@@ -1,0 +1,97 @@
+"""Distribution drift scoring: KS statistic + Population Stability Index
+over t-digest histograms, per partition vs a stored baseline digest.
+
+New capability per BASELINE.json north_star (the reference's nearest
+ancestors are the skewness rule rule_validator.py:394-405 and the
+median-centering check validate_depmap.py:66-74). Standard public formulas:
+
+  KS  = max_x |CDF_part(x) - CDF_base(x)|        (evaluated on merged support)
+  PSI = sum_i (p_i - b_i) * ln(p_i / b_i)        (deciles of the baseline)
+
+Both are computed purely from the mergeable t-digests produced in the single
+validation pass — no second scan of the data.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from .sketches import TDigest
+
+PSI_EPS = 1e-6
+
+
+def ks_statistic(part: TDigest, base: TDigest, n_points: int = 256) -> float:
+    """Approximate two-sample KS distance from two digests, evaluated on a
+    merged quantile grid of both supports."""
+    if part.total_weight == 0 or base.total_weight == 0:
+        return float("nan")
+    qs = np.linspace(0.0, 1.0, n_points)
+    xs = np.unique(
+        np.concatenate([[part.quantile(q) for q in qs], [base.quantile(q) for q in qs]])
+    )
+    diffs = [abs(part.cdf(x) - base.cdf(x)) for x in xs]
+    return float(max(diffs))
+
+
+def psi(part: TDigest, base: TDigest, n_bins: int = 10) -> float:
+    """Population Stability Index over the baseline's decile bins."""
+    if part.total_weight == 0 or base.total_weight == 0:
+        return float("nan")
+    edges = [base.quantile(q) for q in np.linspace(0.0, 1.0, n_bins + 1)]
+    edges[0] -= 1e-9
+    edges[-1] += 1e-9
+    edges = np.array(edges)
+    b = np.clip(base.histogram(edges), PSI_EPS, None)
+    p = np.clip(part.histogram(edges), PSI_EPS, None)
+    b = b / b.sum()
+    p = p / p.sum()
+    return float(np.sum((p - b) * np.log(p / b)))
+
+
+def baseline_to_json(digests: dict[str, TDigest]) -> str:
+    """Serialize named baseline digests (centroid means+weights) to JSON —
+    the FIXTURES.md §2 baseline_digests artifact."""
+    out = {}
+    for name, td in digests.items():
+        td._compress()
+        out[name] = {
+            "compression": td.compression,
+            "means": [float(x) for x in td.means],
+            "weights": [float(x) for x in td.weights],
+        }
+    return json.dumps(out)
+
+
+def baseline_from_json(s: str) -> dict[str, TDigest]:
+    raw = json.loads(s)
+    out = {}
+    for name, d in raw.items():
+        td = TDigest(compression=d["compression"])
+        td.means = np.asarray(d["means"], dtype=float)
+        td.weights = np.asarray(d["weights"], dtype=float)
+        out[name] = td
+    return out
+
+
+def score_partitions(
+    per_shard_digests: dict[str, TDigest],
+    baseline: TDigest,
+    *,
+    ks_threshold: float = 0.2,
+    psi_threshold: float = 0.2,
+) -> dict[str, dict]:
+    """Per-partition drift verdicts vs the baseline digest."""
+    out = {}
+    for shard, td in per_shard_digests.items():
+        if shard == "__all__":
+            continue
+        k, p = ks_statistic(td, baseline), psi(td, baseline)
+        out[shard] = {
+            "ks": round(k, 6),
+            "psi": round(p, 6),
+            "drifted": bool(k > ks_threshold or p > psi_threshold),
+        }
+    return out

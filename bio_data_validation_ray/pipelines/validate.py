@@ -1,0 +1,428 @@
+"""The flagship pipeline: validate a directory of transcript Parquet shards.
+
+Lifecycle (engine mapping of orchestrator.py:287-468, see SURVEY.md §3.4):
+
+  driver: RuleRegistry (version + sha256 hash)
+    -> resume filter: drop shards already committed in the lineage store
+    -> stage A (DRV): declared-schema check, short-circuit on failure
+       (orchestrator.py:366-371)
+    -> stage B (one scan): map_batches(ValidateBatch) -> compact union stream
+       {violations, conversation segments, sketch partials}; materialized once
+       (it is orders of magnitude smaller than the input) and branched
+    -> stage C: segment sort + vectorized merge -> conversation rules;
+       exact re-check only for flagged conversations
+    -> stage D: sketch reduce -> aggregate rules + drift vs baseline digests
+    -> stage E: severity counts -> per-shard verdicts + global decision
+       (policy_engine.py:145-182)
+    -> sinks: violations.parquet, lineage commits, run_summary.json
+
+The raw input is scanned exactly once (plus a tiny filtered re-read for
+conversations that need the exact fallback). Nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .. import drift as drift_mod
+from ..policy import SeverityCounts, decide, needs_review, passed
+from ..registry import RuleRegistry, transcript_registry
+from ..schema import check_schema
+from ..stages.convstage import (
+    MergeSegments,
+    conv_violations,
+    exact_conv_frame,
+    merge_segments_frame,
+)
+from ..stages.rowstage import ValidateBatch
+from ..stages.statstage import agg_violations, reduce_sketches
+from ..state.checkpoint import Lineage
+
+VIO_COLS = ["shard", "conv_id", "turn_idx", "rule_id", "rule_version",
+            "severity", "column", "offending_value"]
+VIO_SCHEMA = pa.schema(
+    [
+        ("shard", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("rule_id", pa.string()),
+        ("rule_version", pa.string()),
+        ("severity", pa.string()),
+        ("column", pa.string()),
+        ("offending_value", pa.string()),
+    ]
+)
+SEG_COLS = ["shard", "conv_id", "seg_turn_lo", "seg_turn_hi", "seg_n",
+            "seg_dup", "seg_min_ts", "seg_max_ts", "seg_mono_ok"]
+
+
+def vio_frame_to_table(df: pd.DataFrame) -> pa.Table:
+    if len(df) == 0:
+        return pa.Table.from_pydict({f.name: [] for f in VIO_SCHEMA}, schema=VIO_SCHEMA)
+    arrays = []
+    for f in VIO_SCHEMA:
+        col = df[f.name] if f.name in df.columns else pd.Series([None] * len(df))
+        vals = [
+            None
+            if v is None or v is pd.NA or (isinstance(v, float) and v != v)
+            else (int(v) if pa.types.is_integer(f.type) else v)
+            for v in col.tolist()
+        ]
+        arrays.append(pa.array(vals, type=f.type))
+    return pa.Table.from_arrays(arrays, schema=VIO_SCHEMA)
+
+
+def list_shards(input_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+
+
+def validate_dir(
+    input_dir: str,
+    *,
+    registry: RuleRegistry | None = None,
+    run_dir: str | None = None,
+    baseline_json: str | None = None,
+    resume: bool = True,
+    batch_size: int = 65536,
+    concurrency=4,
+    write_violations: bool = True,
+) -> dict:
+    """Run the full validation suite over ``input_dir``'s Parquet shards and
+    return the run report (JSON-serializable)."""
+    import ray.data as rd
+
+    t0 = time.time()
+    registry = registry or transcript_registry()
+    report: dict = {
+        "validation_id": uuid.uuid4().hex,
+        "input_dir": input_dir,
+        "ruleset_metadata": registry.metadata(),
+        "stages": {},
+    }
+
+    files = list_shards(input_dir)
+    lineage = Lineage(run_dir, registry.ruleset_hash) if run_dir else None
+    committed: dict[str, dict] = lineage.committed() if (lineage and resume) else {}
+    pending = [f for f in files if os.path.basename(f) not in committed]
+    report["shards_total"] = len(files)
+    report["shards_skipped_committed"] = len(files) - len(pending)
+
+    if not pending:
+        report["final_decision"] = "accepted_from_checkpoint"
+        report["committed"] = committed
+        report["execution_time_s"] = round(time.time() - t0, 3)
+        return report
+
+    # ---- stage A: declared-schema check (DRV, short-circuit) ----
+    t_schema = time.time()
+    actual = pq.ParquetFile(pending[0]).schema_arrow
+    sc = check_schema(actual)
+    report["stages"]["schema"] = {
+        "passed": sc.passed,
+        "issues": [vars(i) for i in sc.issues],
+        "time_s": round(time.time() - t_schema, 4),
+    }
+    if not sc.passed:
+        report["final_decision"] = "rejected"
+        report["rejection_reason"] = "schema_validation_failed"
+        report["execution_time_s"] = round(time.time() - t0, 3)
+        _write_summary(run_dir, report)
+        return report
+
+    # ---- stage B: the single scan ----
+    t_scan = time.time()
+    ds = rd.read_parquet(pending, include_paths=True)
+    out = ds.map_batches(
+        ValidateBatch,
+        fn_constructor_kwargs={"registry": registry},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).materialize()
+    report["stages"]["scan"] = {"time_s": round(time.time() - t_scan, 3)}
+
+    def pick(kind: str, cols: list[str]):
+        return out.map_batches(
+            lambda t, k=kind, c=cols: t.filter(pc.equal(t["kind"], k)).select(c),
+            batch_format="pyarrow",
+        )
+
+    # ---- stage D (first: sketches are needed for drift + shard row counts) --
+    t_stats = time.time()
+    sk = pick("sketch", ["shard", "sketch_name", "payload"]).to_pandas()
+    stats = reduce_sketches(sk)
+    report["stages"]["stats"] = {
+        "time_s": round(time.time() - t_stats, 3),
+        "summary": stats["__all__"].summary(),
+    }
+
+    # ---- stage C: conversation rules via segment merge ----
+    t_conv = time.time()
+    seg = pick("segment", SEG_COLS)
+    merged = (
+        seg.sort(["conv_id", "seg_turn_lo"])
+        .map_batches(MergeSegments, batch_format="pandas", concurrency=2)
+        .materialize()
+    )
+    from ..stages.convstage import RESULT_COLUMNS
+
+    conv_res = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "conv_result")).select(RESULT_COLUMNS),
+        batch_format="pyarrow",
+    )
+    boundary = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "segment")).select(SEG_COLS),
+        batch_format="pyarrow",
+    ).to_pandas()
+    boundary_res = merge_segments_frame(boundary)
+
+    interior_exact = conv_res.map_batches(
+        lambda t: t.filter(pc.equal(t["needs_exact"], True)).select(["conv_id"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # an all-empty Dataset can reach pandas without columns — guard
+    interior_ids = (
+        set(interior_exact["conv_id"]) if "conv_id" in interior_exact.columns else set()
+    )
+    exact_ids = sorted(
+        interior_ids | set(boundary_res.loc[boundary_res["needs_exact"], "conv_id"])
+    )
+    exact_res, exact_rowdups = (
+        _exact_pass(pending, exact_ids) if exact_ids else (None, None)
+    )
+
+    # interior conversation violations stay distributed (vectorized per batch)
+    vio_conv_ds = conv_res.map_batches(
+        lambda df, r=registry: vio_frame_to_table(
+            conv_violations(df[~df["needs_exact"]], r)
+        ),
+        batch_format="pandas",
+    )
+    driver_results = boundary_res[~boundary_res["needs_exact"]]
+    if exact_res is not None:
+        driver_results = pd.concat([driver_results, exact_res], ignore_index=True)
+    extras = conv_violations(driver_results, registry)
+    rowdup_spec = next((s for s in registry.group_rules() if s.kind == "row_dup"), None)
+    if exact_rowdups is not None and len(exact_rowdups) and rowdup_spec:
+        shard_of = dict(zip(driver_results["conv_id"], driver_results["main_shard"]))
+        extras = pd.concat(
+            [
+                extras,
+                pd.DataFrame(
+                    {
+                        "shard": exact_rowdups["conv_id"].map(shard_of),
+                        "conv_id": exact_rowdups["conv_id"],
+                        "turn_idx": exact_rowdups["turn_idx"],
+                        "rule_id": rowdup_spec.rule_id,
+                        "rule_version": rowdup_spec.version,
+                        "severity": rowdup_spec.severity,
+                        "column": None,
+                        "offending_value": "exact_duplicate_row",
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    report["stages"]["conversation"] = {
+        "time_s": round(time.time() - t_conv, 3),
+        "exact_fallback_convs": len(exact_ids),
+    }
+
+    # ---- stage D (rest): aggregate rules + drift ----
+    agg_vio = agg_violations(stats, registry)
+    drift_report = {}
+    if baseline_json:
+        spec = next((s for s in registry.agg_rules() if s.kind == "drift"), None)
+        baseline = drift_mod.baseline_from_json(baseline_json)["text_len"]
+        drift_report = drift_mod.score_partitions(
+            {s: st.tdigest for s, st in stats.items()},
+            baseline,
+            ks_threshold=spec.params["ks_threshold"] if spec else 0.2,
+            psi_threshold=spec.params["psi_threshold"] if spec else 0.2,
+        )
+        if spec:
+            drifted = [s for s, v in drift_report.items() if v["drifted"]]
+            agg_vio = pd.concat(
+                [
+                    agg_vio,
+                    pd.DataFrame(
+                        {
+                            "shard": drifted,
+                            "conv_id": None,
+                            "turn_idx": pd.array([None] * len(drifted), dtype="Int32"),
+                            "rule_id": spec.rule_id,
+                            "rule_version": spec.version,
+                            "severity": spec.severity,
+                            "column": spec.column,
+                            "offending_value": [
+                                f"ks={drift_report[s]['ks']},psi={drift_report[s]['psi']}"
+                                for s in drifted
+                            ],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+    report["drift"] = drift_report
+
+    # ---- violations sink + severity counts ----
+    t_vio = time.time()
+    vio_row_ds = pick("violation", VIO_COLS)
+    if exact_ids and rowdup_spec:
+        # rowstage's within-batch DUP_001 detections for exact-fallback convs
+        # are superseded by the exact pass (which sees the whole conversation)
+        eset = frozenset(exact_ids)
+        rid = rowdup_spec.rule_id
+
+        def _drop_superseded(t: pa.Table) -> pa.Table:
+            keep = pc.invert(
+                pc.and_(
+                    pc.equal(t["rule_id"], rid),
+                    pc.is_in(t["conv_id"], value_set=pa.array(list(eset))),
+                )
+            )
+            return t.filter(keep)
+
+        vio_row_ds = vio_row_ds.map_batches(_drop_superseded, batch_format="pyarrow")
+    import ray.data as _rd
+
+    extras_all = pd.concat([extras, agg_vio], ignore_index=True)
+    vio_all = vio_row_ds.union(vio_conv_ds)
+    if len(extras_all):
+        vio_all = vio_all.union(_rd.from_arrow(vio_frame_to_table(extras_all)))
+    vio_all = vio_all.materialize()
+    if write_violations and run_dir:
+        vio_all.write_parquet(os.path.join(run_dir, "violations"))
+    counts_df = vio_all.groupby(["shard", "severity"]).count().to_pandas()
+    report["stages"]["violations"] = {
+        "time_s": round(time.time() - t_vio, 3),
+        "total": int(counts_df["count()"].sum()) if len(counts_df) else 0,
+    }
+
+    # ---- stage E: policy verdicts ----
+    shard_names = sorted(
+        s for s in stats.keys() if s != "__all__"
+    )
+    per_shard: dict[str, dict] = {}
+    global_counts = SeverityCounts()
+    sev_map = {"CRITICAL": "critical", "ERROR": "error",
+               "WARNING": "warning", "INFO": "info"}
+    for shard in shard_names + ["__all__"]:
+        sub = counts_df[counts_df["shard"] == shard] if len(counts_df) else counts_df
+        kw = {"critical": 0, "error": 0, "warning": 0, "info": 0}
+        if len(sub):
+            for _, r in sub.iterrows():
+                kw[sev_map[r["severity"]]] += int(r["count()"])
+        c = SeverityCounts(**kw)
+        if shard == "__all__":
+            global_counts = global_counts + c  # dataset-level (agg) violations
+            continue
+        global_counts = global_counts + c
+        per_shard[shard] = {
+            "severity_counts": vars(c),
+            "passed": passed(c),
+            "decision": decide(c),
+            "rows_scanned": stats[shard].content_rows,
+        }
+    report["per_shard"] = per_shard
+    report["severity_counts"] = vars(global_counts)
+    report["final_decision"] = decide(global_counts)
+    report["requires_review"] = needs_review(global_counts)
+    report["passed"] = passed(global_counts)
+
+    # ---- lineage commits (idempotent, per shard) ----
+    wall = time.time() - t0
+    total_rows = max(1, stats["__all__"].content_rows)
+    if lineage:
+        for shard in shard_names:
+            st = stats[shard]
+            n_vio = 0
+            if len(counts_df):
+                n_vio = int(counts_df.loc[counts_df["shard"] == shard, "count()"].sum())
+            lineage.commit(
+                shard,
+                rows_scanned=st.content_rows,
+                rules_evaluated=len(registry.rules),
+                violations=n_vio,
+                wall_time_s=wall * st.content_rows / total_rows,
+                extra={"decision": per_shard[shard]["decision"]},
+            )
+    report["rows_scanned"] = stats["__all__"].content_rows
+    report["execution_time_s"] = round(wall, 3)
+    report["turns_per_sec"] = round(stats["__all__"].content_rows / max(wall, 1e-9), 1)
+    _write_summary(run_dir, report)
+    return report
+
+
+def _exact_pass(pending: list[str], conv_ids: list[str]):
+    """Exact conversation re-check: filtered re-read of just the flagged
+    conversations (tiny; full columns so whole-row duplicates are decidable).
+    Uses Parquet predicate pushdown when the installed Ray supports the
+    ``filter`` expression kwarg, else a vectorized post-read filter."""
+    import ray.data as rd
+
+    try:
+        ds = rd.read_parquet(
+            pending, filter=pc.field("conv_id").isin(conv_ids), include_paths=True
+        )
+        frames = ds.to_pandas()
+    except Exception:
+        ds = rd.read_parquet(pending, include_paths=True)
+        idset = set(conv_ids)
+        frames = ds.map_batches(
+            lambda df: df[df["conv_id"].isin(idset)], batch_format="pandas"
+        ).to_pandas()
+    if len(frames) == 0:
+        return exact_conv_frame(frames.assign(shard=[]))
+    frames["shard"] = frames["path"].map(os.path.basename)
+    frames = frames[frames["conv_id"].isin(set(conv_ids))]
+    return exact_conv_frame(frames.drop(columns=["path"]))
+
+
+def _write_summary(run_dir: str | None, report: dict) -> None:
+    if not run_dir:
+        return
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "run_summary.json"), "w") as fh:
+        json.dump(report, fh, indent=2, default=str)
+
+
+def write_sorted_output(input_dir: str, out_dir: str) -> None:
+    """Materialize the validated pass-through view, globally sorted by
+    (conv_id, turn_idx) — the stable order for the per-turn text byte-equality
+    parity check (north_star; reference analog: validators never mutate data,
+    bio_rules.py derived cols excepted — which this engine never emits)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(list_shards(input_dir))
+    ds.sort(["conv_id", "turn_idx"]).write_parquet(out_dir)
+
+
+def content_hash_of_dir(d: str) -> tuple[int, int]:
+    """(hash-sum, rows) of (conv_id, turn_idx, text) for parity checks —
+    must equal the pipeline's content_hash_sum over the same rows."""
+    import ray.data as rd
+
+    from ..stages.rowstage import ValidateBatch as _VB
+
+    ds = rd.read_parquet(list_shards(d), columns=["conv_id", "turn_idx", "text"])
+    total, rows = 0, 0
+    vb = _VB.__new__(_VB)
+    vb.text_col = "text"
+    for t in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s, n = vb._content_hash(conv, turn, t)
+        total = (total + s) % (1 << 64)
+        rows += n
+    return total, rows

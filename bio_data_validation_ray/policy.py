@@ -1,0 +1,82 @@
+"""Severity-count -> decision policy.
+
+Exact re-expression of the reference's decision matrix
+(src/agents/policy_engine.py:145-182; thresholds config/policy_config.yml:10-15):
+
+    critical >= 1                     -> rejected
+    errors   >= 5                     -> rejected
+    errors   in 1..4                  -> conditional_accept
+    warnings >= 5 and errors == 0     -> conditional_accept
+    else                              -> accepted
+
+``passed`` on a stage result means "no ERROR/CRITICAL"
+(rule_validator.py:150-160). Review triggers mirror
+policy_engine.py:184-208.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+ACCEPTED = "accepted"
+CONDITIONAL = "conditional_accept"
+REJECTED = "rejected"
+
+DEFAULT_THRESHOLDS = {
+    "reject_critical": 1,
+    "reject_errors": 5,
+    "conditional_errors": 1,
+    "conditional_warnings": 5,
+    "review_errors": 3,
+    "review_warnings": 15,
+}
+
+
+@dataclass(frozen=True)
+class SeverityCounts:
+    critical: int = 0
+    error: int = 0
+    warning: int = 0
+    info: int = 0
+
+    def __add__(self, o: "SeverityCounts") -> "SeverityCounts":
+        return SeverityCounts(
+            self.critical + o.critical,
+            self.error + o.error,
+            self.warning + o.warning,
+            self.info + o.info,
+        )
+
+
+def decide(counts: SeverityCounts, thresholds: dict | None = None) -> str:
+    t = thresholds or DEFAULT_THRESHOLDS
+    if counts.critical >= t["reject_critical"]:
+        return REJECTED
+    if counts.error >= t["reject_errors"]:
+        return REJECTED
+    if counts.error >= t["conditional_errors"]:
+        return CONDITIONAL
+    if counts.warning >= t["conditional_warnings"]:
+        return CONDITIONAL
+    return ACCEPTED
+
+
+def passed(counts: SeverityCounts) -> bool:
+    return counts.critical == 0 and counts.error == 0
+
+
+def needs_review(counts: SeverityCounts, thresholds: dict | None = None) -> bool:
+    t = thresholds or DEFAULT_THRESHOLDS
+    return (
+        counts.critical >= 1
+        or counts.error >= t["review_errors"]
+        or counts.warning >= t["review_warnings"]
+    )
+
+
+def counts_from_pairs(pairs: list[tuple[str, int]]) -> SeverityCounts:
+    """Build SeverityCounts from (severity, n) pairs (groupby output)."""
+    m = {"CRITICAL": 0, "ERROR": 0, "WARNING": 0, "INFO": 0}
+    for sev, n in pairs:
+        m[sev] = m.get(sev, 0) + int(n)
+    return SeverityCounts(m["CRITICAL"], m["ERROR"], m["WARNING"], m["INFO"])

@@ -1,0 +1,266 @@
+"""Mergeable single-pass sketches: Welford moments, t-digest, HyperLogLog.
+
+These replace the reference's whole-DataFrame statistics
+(matrix_validator.py:531-659 mean/std/skew; rule_validator.py:355-371 qcut
+quantiles; rule_validator.py:338 / variant_validator.py:403 nunique) with
+partial+merge accumulators so a Ray Data pipeline can compute them in one
+streaming pass: each ``map_batches`` task emits one serialized partial per
+batch, and a tiny downstream reduce merges them (see stages/statstage.py).
+
+All implementations are pure numpy (public algorithms: Chan et al. parallel
+moments; Dunning's merging t-digest; Flajolet et al. HyperLogLog with
+linear-counting small-range correction).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# --------------------------------------------------------------------------
+# Welford / Chan parallel moments (count, mean, M2, M3) + min/max
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Moments:
+    n: float = 0.0
+    mean: float = 0.0
+    m2: float = 0.0
+    m3: float = 0.0
+    min: float = float("inf")
+    max: float = float("-inf")
+
+    def add_array(self, x: np.ndarray) -> "Moments":
+        x = np.asarray(x, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        if x.size == 0:
+            return self
+        nb = float(x.size)
+        mb = float(x.mean())
+        d = x - mb
+        other = Moments(
+            n=nb,
+            mean=mb,
+            m2=float(np.dot(d, d)),
+            m3=float(np.sum(d**3)),
+            min=float(x.min()),
+            max=float(x.max()),
+        )
+        return self.merge(other)
+
+    def merge(self, o: "Moments") -> "Moments":
+        if o.n == 0:
+            return self
+        if self.n == 0:
+            self.n, self.mean, self.m2, self.m3 = o.n, o.mean, o.m2, o.m3
+            self.min, self.max = o.min, o.max
+            return self
+        na, nb, n = self.n, o.n, self.n + o.n
+        d = o.mean - self.mean
+        self.m3 = (
+            self.m3
+            + o.m3
+            + d**3 * na * nb * (na - nb) / n**2
+            + 3.0 * d * (na * o.m2 - nb * self.m2) / n
+        )
+        self.m2 = self.m2 + o.m2 + d * d * na * nb / n
+        self.mean = self.mean + d * nb / n
+        self.n = n
+        self.min = min(self.min, o.min)
+        self.max = max(self.max, o.max)
+        return self
+
+    @property
+    def variance(self) -> float:  # population variance, like np.var / stddev_pop
+        return self.m2 / self.n if self.n > 0 else float("nan")
+
+    @property
+    def std(self) -> float:
+        return float(np.sqrt(self.variance)) if self.n > 0 else float("nan")
+
+    @property
+    def skewness(self) -> float:
+        """Population (g1) skewness; the reference's df.skew() is the
+        adjusted variant — adjust() converts when n is known."""
+        if self.n == 0 or self.m2 == 0:
+            return float("nan")
+        return float((self.m3 / self.n) / (self.m2 / self.n) ** 1.5)
+
+    @property
+    def skewness_adjusted(self) -> float:
+        """Adjusted Fisher-Pearson skew (pandas df.skew, rule_validator.py:397)."""
+        n, g1 = self.n, self.skewness
+        if n < 3 or np.isnan(g1):
+            return float("nan")
+        return float(g1 * np.sqrt(n * (n - 1)) / (n - 2))
+
+
+# --------------------------------------------------------------------------
+# Merging t-digest (Dunning) — quantiles / CDF for qcut, drift histograms
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TDigest:
+    compression: float = 100.0
+    means: np.ndarray = field(default_factory=lambda: np.empty(0))
+    weights: np.ndarray = field(default_factory=lambda: np.empty(0))
+    _buf_m: list = field(default_factory=list)
+    _buf_w: list = field(default_factory=list)
+
+    def add_array(self, x: np.ndarray, weight: float = 1.0) -> "TDigest":
+        x = np.asarray(x, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        if x.size:
+            self._buf_m.append(x)
+            self._buf_w.append(np.full(x.size, weight))
+            if sum(a.size for a in self._buf_m) > 8192:
+                self._compress()
+        return self
+
+    def merge(self, o: "TDigest") -> "TDigest":
+        o._compress()
+        if o.means.size:
+            self._buf_m.append(o.means)
+            self._buf_w.append(o.weights)
+            self._compress()
+        return self
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        # k1 scale function: delta/(2*pi) * asin(2q-1)
+        return self.compression / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def _compress(self) -> None:
+        if self._buf_m:
+            m = np.concatenate([self.means] + self._buf_m)
+            w = np.concatenate([self.weights] + self._buf_w)
+            self._buf_m, self._buf_w = [], []
+        else:
+            m, w = self.means, self.weights
+        if m.size == 0:
+            return
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        total = w.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        cur_m, cur_w = m[0], w[0]
+        w_so_far = 0.0
+        k_lo = self._k(np.array([0.0]))[0]
+        for i in range(1, m.size):
+            q_hi = (w_so_far + cur_w + w[i]) / total
+            if self._k(np.array([q_hi]))[0] - k_lo <= 1.0:
+                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_so_far += cur_w
+                k_lo = self._k(np.array([w_so_far / total]))[0]
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    @property
+    def total_weight(self) -> float:
+        self._compress()
+        return float(self.weights.sum()) if self.weights.size else 0.0
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def cdf(self, x: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return 0.5 if x == self.means[0] else (0.0 if x < self.means[0] else 1.0)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        total = self.weights.sum()
+        return float(np.clip(np.interp(x, self.means, cum / total), 0.0, 1.0))
+
+    def histogram(self, edges: np.ndarray) -> np.ndarray:
+        """Approximate bin masses between consecutive edges (for PSI)."""
+        cdfs = np.array([self.cdf(e) for e in edges])
+        return np.diff(cdfs)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (p-register, linear-counting correction) — distinct conv_id
+# --------------------------------------------------------------------------
+
+
+def _hash64(values) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash (pandas siphash, fixed key)."""
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    v = v.copy()
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl[v > 0] += 1
+    return bl
+
+
+@dataclass
+class HLL:
+    p: int = 14
+    registers: np.ndarray = field(default_factory=lambda: np.zeros(1 << 14, np.uint8))
+
+    def add_hashes(self, h: np.ndarray) -> "HLL":
+        p = np.uint64(self.p)
+        idx = (h >> (np.uint64(64) - p)).astype(np.int64)
+        w = h & ((np.uint64(1) << (np.uint64(64) - p)) - np.uint64(1))
+        rho = ((64 - self.p) - _bit_length(w) + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+        return self
+
+    def add_values(self, values) -> "HLL":
+        return self.add_hashes(_hash64(values))
+
+    def merge(self, o: "HLL") -> "HLL":
+        np.maximum(self.registers, o.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.registers.size)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        e = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = float(np.count_nonzero(self.registers == 0))
+        if e <= 2.5 * m and zeros > 0:
+            e = m * np.log(m / zeros)
+        return float(e)
+
+
+# --------------------------------------------------------------------------
+# serialization helpers (for shipping partials through Arrow binary columns)
+# --------------------------------------------------------------------------
+
+
+def dumps(obj) -> bytes:
+    if isinstance(obj, TDigest):
+        obj._compress()
+        obj._buf_m, obj._buf_w = [], []
+    return pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def loads(b: bytes):
+    return pickle.loads(b)

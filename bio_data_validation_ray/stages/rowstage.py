@@ -1,0 +1,293 @@
+"""Single-pass per-batch validation stage.
+
+One ``map_batches(ValidateBatch, batch_format="pyarrow")`` pass over the raw
+transcript dataset emits THREE compact derived streams in a single union-typed
+Arrow table (discriminated by ``kind``):
+
+- ``violation`` rows: {conv_id, turn_idx, rule_id, rule_version, severity,
+  column, offending_value, shard} — the full-row generalization of the
+  reference's ValidationIssue (base_schemas.py:266-273; count+examples at
+  matrix_validator.py:264-269).
+- ``segment`` rows: per-(shard, conv-within-batch) summaries {turn_lo,
+  turn_hi, n, n_dup, min_ts, max_ts, mono_ok} — mergeable partials for the
+  conversation-level rules (uniqueness DUP_002, contiguity, ts monotonicity,
+  shard-referential integrity). The merge happens in convstage.py over a
+  shuffle keyed by conv_id; only these summaries shuffle, never raw turns
+  (SURVEY.md §7.5: keep ``text`` out of shuffles).
+- ``sketch`` rows: one serialized mergeable sketch per (shard, batch) —
+  Welford moments + t-digest of text length, HLL of conv_id, role counts,
+  null counts, and a content-hash-sum for the text byte-equality invariant.
+
+Design rationale (100 TB): raw data is scanned exactly once; everything that
+leaves this stage is orders of magnitude smaller than the input, so the
+downstream groupby/merge shuffles are cheap. The stage is a callable class so
+rule compilation happens once per actor (``__init__``), not per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..registry import RuleRegistry
+from ..rules import compile_row_rules
+from ..sketches import HLL, Moments, TDigest, _hash64, dumps
+
+OUT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("shard", pa.string()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("rule_id", pa.string()),
+        ("rule_version", pa.string()),
+        ("severity", pa.string()),
+        ("column", pa.string()),
+        ("offending_value", pa.string()),
+        ("seg_turn_lo", pa.int32()),
+        ("seg_turn_hi", pa.int32()),
+        ("seg_n", pa.int64()),
+        ("seg_dup", pa.int64()),
+        ("seg_min_ts", pa.int64()),
+        ("seg_max_ts", pa.int64()),
+        ("seg_mono_ok", pa.bool_()),
+        ("sketch_name", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+_EMPTY_COLS = {f.name: [] for f in OUT_SCHEMA}
+
+
+def _rows(kind: str, n: int, **cols) -> dict:
+    out = {name: [None] * n for name in _EMPTY_COLS}
+    out["kind"] = [kind] * n
+    for k, v in cols.items():
+        out[k] = list(v)
+    return out
+
+
+class ValidateBatch:
+    """Actor-pool batch validator. ``registry`` is constructed once per actor."""
+
+    def __init__(self, registry: RuleRegistry | None = None, key_group: str = "conv_id",
+                 key_order: str = "turn_idx", ts_col: str = "ts", text_col: str = "text"):
+        if registry is None:
+            from ..registry import transcript_registry
+
+            registry = transcript_registry()
+        self.registry = registry
+        self.compiled = compile_row_rules(registry.row_rules())
+        self.key_group, self.key_order = key_group, key_order
+        self.ts_col, self.text_col = ts_col, text_col
+        self.rowdup_spec = next(
+            (s for s in registry.group_rules() if s.kind == "row_dup"), None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "path" in batch.column_names:
+            paths = batch["path"].to_numpy(zero_copy_only=False)
+            shard_key = pd.Series(paths).map(
+                {p: os.path.basename(p) for p in pd.unique(paths)}
+            ).to_numpy(dtype=object)
+            batch = batch.drop_columns(["path"])
+        else:
+            shard_key = np.full(batch.num_rows, "all", dtype=object)
+
+        parts: list[dict] = []
+        uniq_shards = pd.unique(shard_key)
+        if len(uniq_shards) == 1:
+            self._one_shard(batch, str(uniq_shards[0]), parts)
+        else:
+            for s in uniq_shards:
+                idx = np.flatnonzero(shard_key == s)
+                self._one_shard(batch.take(pa.array(idx)), str(s), parts)
+
+        if not parts:
+            return pa.Table.from_pydict(_EMPTY_COLS, schema=OUT_SCHEMA)
+        merged = {
+            name: sum((p[name] for p in parts), []) for name in _EMPTY_COLS
+        }
+        return pa.Table.from_pydict(merged, schema=OUT_SCHEMA)
+
+    # ------------------------------------------------------------------
+
+    def _one_shard(self, t: pa.Table, shard: str, parts: list[dict]) -> None:
+        n = t.num_rows
+        if n == 0:
+            return
+        conv = t[self.key_group]
+        turn = t[self.key_order]
+
+        # --- row-local rules -> violation rows ---
+        for cr in self.compiled:
+            mask = cr.mask_fn(t)
+            idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            if idx.size == 0:
+                continue
+            ia = pa.array(idx)
+            col = cr.spec.column
+            if col in t.column_names:
+                vals = pc.cast(t[col].take(ia), pa.string()).to_pylist()
+                vals = ["null" if v is None else v for v in vals]
+            else:
+                vals = ["null"] * idx.size
+            parts.append(
+                _rows(
+                    "violation",
+                    idx.size,
+                    shard=[shard] * idx.size,
+                    conv_id=conv.take(ia).to_pylist(),
+                    turn_idx=turn.take(ia).to_pylist(),
+                    rule_id=[cr.spec.rule_id] * idx.size,
+                    rule_version=[cr.spec.version] * idx.size,
+                    severity=[cr.spec.severity] * idx.size,
+                    column=[col] * idx.size,
+                    offending_value=vals,
+                )
+            )
+
+        # --- conversation segments (mergeable partials for group rules) ---
+        conv_np = conv.to_numpy(zero_copy_only=False)
+        turn_np = turn.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_np = t[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        codes, uniq_vals = pd.factorize(conv_np)
+        rowhash = self._row_hash(t, ts_np)
+        order = np.lexsort((rowhash, ts_np, turn_np, codes))
+        cs, ti, tsv = codes[order], turn_np[order], ts_np[order]
+
+        # whole-row exact duplicates (DUP_001 analog, rule_validator.py:261-271):
+        # identical rows share (conv_id, turn_idx) so they sort adjacent here;
+        # cross-batch copies surface as overlapping segments -> exact fallback.
+        rh = rowhash[order]
+        if self.rowdup_spec is not None:
+            full_dup = (
+                (cs[1:] == cs[:-1])
+                & (ti[1:] == ti[:-1])
+                & (tsv[1:] == tsv[:-1])
+                & (rh[1:] == rh[:-1])
+            )
+            didx = np.flatnonzero(full_dup) + 1
+            if didx.size:
+                spec = self.rowdup_spec
+                parts.append(
+                    _rows(
+                        "violation",
+                        didx.size,
+                        shard=[shard] * didx.size,
+                        conv_id=conv_np[order[didx]].tolist(),
+                        turn_idx=turn_np[order[didx]].tolist(),
+                        rule_id=[spec.rule_id] * didx.size,
+                        rule_version=[spec.version] * didx.size,
+                        severity=[spec.severity] * didx.size,
+                        column=[None] * didx.size,
+                        offending_value=["exact_duplicate_row"] * didx.size,
+                    )
+                )
+
+        change = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        counts = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        uniq = np.asarray(uniq_vals, dtype=object)[cs[starts]]
+        g = np.repeat(np.arange(starts.size), counts)
+        # within-segment duplicate (conv, turn) pairs: adjacent equal after sort
+        adj_dup = (cs[1:] == cs[:-1]) & (ti[1:] == ti[:-1])
+        seg_dup = np.bincount(g[1:][adj_dup], minlength=uniq.size)
+        seg_lo = ti[starts]
+        ends = starts + counts - 1
+        seg_hi = ti[ends]
+        seg_min_ts = np.minimum.reduceat(tsv, starts)
+        seg_max_ts = np.maximum.reduceat(tsv, starts)
+        seg_mono = self._mono_ok(g, ti, tsv, uniq.size)
+
+        parts.append(
+            _rows(
+                "segment",
+                uniq.size,
+                shard=[shard] * uniq.size,
+                conv_id=uniq.tolist(),
+                seg_turn_lo=seg_lo.astype(np.int32).tolist(),
+                seg_turn_hi=seg_hi.astype(np.int32).tolist(),
+                seg_n=counts.astype(np.int64).tolist(),
+                seg_dup=seg_dup.astype(np.int64).tolist(),
+                seg_min_ts=seg_min_ts.tolist(),
+                seg_max_ts=seg_max_ts.tolist(),
+                seg_mono_ok=seg_mono.tolist(),
+            )
+        )
+
+        # --- sketch partials ---
+        text = t[self.text_col]
+        text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(float)
+        sketches = {
+            "text_len_moments": Moments().add_array(text_len),
+            "text_len_tdigest": TDigest().add_array(text_len),
+            "hll_conv": HLL().add_values(conv_np),
+            "role_counts": dict(pd.Series(
+                t["role"].to_numpy(zero_copy_only=False)).value_counts())
+            if "role" in t.column_names else {},
+            "null_counts": {
+                c: (int(t[c].null_count), n) for c in t.column_names
+            },
+            "content_hash": self._content_hash(conv_np, turn_np, t),
+        }
+        names = list(sketches)
+        parts.append(
+            _rows(
+                "sketch",
+                len(names),
+                shard=[shard] * len(names),
+                sketch_name=names,
+                payload=[dumps(sketches[k]) if not isinstance(sketches[k], (dict, tuple))
+                         else pickle.dumps(sketches[k]) for k in names],
+            )
+        )
+
+    def _row_hash(self, t: pa.Table, ts_np: np.ndarray) -> np.ndarray:
+        """64-bit hash over the non-key columns (role, text, tool) + ts, for
+        whole-row duplicate detection."""
+        h = ts_np.astype(np.uint64).copy()
+        for c in ("role", self.text_col, "tool"):
+            if c in t.column_names:
+                vals = pc.fill_null(t[c], "\x00NULL\x00").to_numpy(
+                    zero_copy_only=False
+                )
+                h = h * np.uint64(0x100000001B3) + _hash64(vals)
+        return h
+
+    def _content_hash(self, conv_np, turn_np, t) -> tuple:
+        """(sum of 64-bit row hashes mod 2^64, count): multiset fingerprint of
+        (conv_id, turn_idx, text) proving the text byte-equality invariant."""
+        txt = pc.fill_null(t[self.text_col], "\x00NULL\x00").to_numpy(
+            zero_copy_only=False
+        )
+        hturn = pd.util.hash_array(turn_np, categorize=False).astype(np.uint64)
+        h = _hash64(conv_np) + hturn * np.uint64(0x9E3779B97F4A7C15) + _hash64(txt)
+        return (int(h.sum(dtype=np.uint64)), int(h.size))
+
+    @staticmethod
+    def _mono_ok(g: np.ndarray, ti: np.ndarray, tsv: np.ndarray, n_groups: int) -> np.ndarray:
+        """Per group (sorted by (g, turn, ts)): True unless there exist rows
+        a, b with turn_a < turn_b and ts_a > ts_b (the EXISTS-pair definition;
+        well-defined even with duplicate turn_idx)."""
+        if g.size == 0:
+            return np.zeros(0, dtype=bool)
+        df = pd.DataFrame({"g": g, "t": ti, "ts": tsv})
+        new_run = (df["g"].diff().ne(0) | df["t"].diff().ne(0)).to_numpy()
+        run = np.cumsum(new_run) - 1
+        df["run"] = run
+        per_run = df.groupby("run", sort=False).agg(
+            g=("g", "first"), mx=("ts", "max"), mn=("ts", "min")
+        )
+        per_run["cm"] = per_run.groupby("g")["mx"].cummax()
+        per_run["prev"] = per_run.groupby("g")["cm"].shift(1)
+        viol = per_run["mn"] < per_run["prev"]
+        bad_groups = per_run.loc[viol.fillna(False), "g"].unique()
+        out = np.ones(n_groups, dtype=bool)
+        out[bad_groups] = False
+        return out

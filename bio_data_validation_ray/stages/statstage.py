@@ -1,0 +1,131 @@
+"""Sketch-partial reduction + aggregate (dataset-level) rules.
+
+rowstage.py emits one serialized sketch per (shard, batch); there are
+O(#batches) of them, so the reduce is tiny and runs driver-side (the partials
+stream through the same single pass as everything else — no extra scan).
+
+Aggregate rules evaluated here (reference ancestors):
+- missing_rate   BIAS_002  rule_validator.py:376-388
+- class_balance  BIAS_001  rule_validator.py:336-352
+- drift (KS/PSI) new per north_star; skew ancestor rule_validator.py:394-405
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from ..registry import RuleRegistry
+from ..sketches import HLL, Moments, TDigest, loads
+
+
+@dataclass
+class ShardStats:
+    moments: Moments = field(default_factory=Moments)
+    tdigest: TDigest = field(default_factory=TDigest)
+    hll: HLL = field(default_factory=HLL)
+    role_counts: dict = field(default_factory=dict)
+    null_counts: dict = field(default_factory=dict)  # col -> [nulls, total]
+    content_hash_sum: int = 0
+    content_rows: int = 0
+
+    def merge_payload(self, name: str, payload: bytes) -> None:
+        if name == "text_len_moments":
+            self.moments.merge(loads(payload))
+        elif name == "text_len_tdigest":
+            self.tdigest.merge(loads(payload))
+        elif name == "hll_conv":
+            self.hll.merge(loads(payload))
+        elif name == "role_counts":
+            for k, v in pickle.loads(payload).items():
+                self.role_counts[k] = self.role_counts.get(k, 0) + int(v)
+        elif name == "null_counts":
+            for c, (nulls, total) in pickle.loads(payload).items():
+                cur = self.null_counts.setdefault(c, [0, 0])
+                cur[0] += int(nulls)
+                cur[1] += int(total)
+        elif name == "content_hash":
+            s, n = pickle.loads(payload)
+            self.content_hash_sum = (self.content_hash_sum + s) % (1 << 64)
+            self.content_rows += n
+
+    def merge(self, o: "ShardStats") -> "ShardStats":
+        self.moments.merge(o.moments)
+        self.tdigest.merge(o.tdigest)
+        self.hll.merge(o.hll)
+        for k, v in o.role_counts.items():
+            self.role_counts[k] = self.role_counts.get(k, 0) + v
+        for c, (a, b) in o.null_counts.items():
+            cur = self.null_counts.setdefault(c, [0, 0])
+            cur[0] += a
+            cur[1] += b
+        self.content_hash_sum = (self.content_hash_sum + o.content_hash_sum) % (1 << 64)
+        self.content_rows += o.content_rows
+        return self
+
+    def summary(self) -> dict:
+        m = self.moments
+        return {
+            "rows": int(self.content_rows),
+            "distinct_convs_hll": round(self.hll.estimate(), 1),
+            "text_len": {
+                "n": m.n, "mean": m.mean, "std": m.std,
+                "skew_adjusted": m.skewness_adjusted,
+                "min": m.min, "max": m.max,
+                "p50": self.tdigest.quantile(0.5),
+                "p95": self.tdigest.quantile(0.95),
+            },
+            "role_counts": dict(sorted(self.role_counts.items())),
+            "null_fractions": {
+                c: (n / t if t else 0.0) for c, (n, t) in sorted(self.null_counts.items())
+            },
+            "content_hash_sum": self.content_hash_sum,
+        }
+
+
+def reduce_sketches(sketch_rows: pd.DataFrame) -> dict[str, ShardStats]:
+    """Merge sketch-partial rows (columns: shard, sketch_name, payload) into
+    one ShardStats per shard; key "__all__" holds the global merge."""
+    per_shard: dict[str, ShardStats] = {}
+    for shard, name, payload in zip(
+        sketch_rows["shard"], sketch_rows["sketch_name"], sketch_rows["payload"]
+    ):
+        per_shard.setdefault(shard, ShardStats()).merge_payload(name, payload)
+    allstats = ShardStats()
+    for s in per_shard.values():
+        allstats.merge(s)
+    per_shard["__all__"] = allstats
+    return per_shard
+
+
+def agg_violations(
+    stats: dict[str, ShardStats], registry: RuleRegistry
+) -> pd.DataFrame:
+    """Dataset-level violation rows from merged stats (one row per failed
+    aggregate rule, affected-count in offending_value — matching the
+    reference's one-issue-per-rule aggregate semantics)."""
+    cols = ["shard", "conv_id", "turn_idx", "rule_id", "rule_version",
+            "severity", "column", "offending_value"]
+    rows = []
+    g = stats["__all__"]
+    for spec in registry.agg_rules():
+        if spec.kind == "missing_rate":
+            nulls, total = g.null_counts.get(spec.column, (0, 0))
+            frac = nulls / total if total else 0.0
+            if frac > spec.params["threshold"]:
+                rows.append(("__all__", None, None, spec.rule_id, spec.version,
+                             spec.severity, spec.column,
+                             f"null_fraction={frac:.6f}"))
+        elif spec.kind == "class_balance":
+            total = sum(g.role_counts.values())
+            if total and g.role_counts:
+                mn = min(g.role_counts.values()) / total
+                if mn < spec.params["threshold"]:
+                    rows.append(("__all__", None, None, spec.rule_id, spec.version,
+                                 spec.severity, spec.column,
+                                 f"min_proportion={mn:.6f}"))
+        # drift is scored in drift.py against a baseline (needs the baseline
+        # artifact, so pipeline.py wires it explicitly)
+    return pd.DataFrame(rows, columns=cols)

@@ -1,0 +1,94 @@
+"""Per-partition lineage + checkpoint store for idempotent resume.
+
+North-rule requirement (BASELINE.json): "resumable from checkpoint with
+per-partition lineage + metrics (rows scanned, rules evaluated, violations,
+wall-time)". The reference has no run-level resume; its only persistent state
+is the SQLite gene cache (src/utils/cache_manager.py:26-449) — this store is
+the distributed analog: append-only, keyed by partition, safe to re-commit.
+
+Layout: ``<run_dir>/lineage/<partition_id>.json`` — one atomically-written
+file per committed partition (write tmp + rename), so a killed run leaves
+either a fully committed partition or nothing. ``committed()`` is the resume
+filter: the pipeline skips input files whose partition_id is present.
+
+``LineageActor`` wraps the store as a Ray actor so commits serialize through
+one writer when many driver-side tasks commit concurrently (actor-pool
+checkpoint stage per the north rule); the plain class is used directly in
+tests and single-driver runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class Lineage:
+    def __init__(self, run_dir: str, ruleset_hash: str):
+        self.dir = os.path.join(run_dir, "lineage")
+        os.makedirs(self.dir, exist_ok=True)
+        self.ruleset_hash = ruleset_hash
+
+    def committed(self) -> dict[str, dict]:
+        out = {}
+        for f in os.listdir(self.dir):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(self.dir, f)) as fh:
+                rec = json.load(fh)
+            # a ruleset change invalidates prior commits (hash is stamped,
+            # mirroring orchestrator.py:342-349's report stamping)
+            if rec.get("ruleset_hash") == self.ruleset_hash:
+                out[rec["partition_id"]] = rec
+        return out
+
+    def commit(
+        self,
+        partition_id: str,
+        *,
+        rows_scanned: int,
+        rules_evaluated: int,
+        violations: int,
+        wall_time_s: float,
+        status: str = "committed",
+        extra: dict | None = None,
+    ) -> dict:
+        rec = {
+            "partition_id": partition_id,
+            "ruleset_hash": self.ruleset_hash,
+            "rows_scanned": int(rows_scanned),
+            "rules_evaluated": int(rules_evaluated),
+            "violations": int(violations),
+            "wall_time_s": round(float(wall_time_s), 4),
+            "status": status,
+            "committed_at": time.time(),
+        }
+        if extra:
+            rec.update(extra)
+        safe = partition_id.replace("/", "_")
+        path = os.path.join(self.dir, f"{safe}.json")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, path)  # atomic, idempotent on re-commit
+        return rec
+
+
+def lineage_actor_cls():
+    """Ray-actor wrapper, constructed lazily so importing this module never
+    touches Ray (the driver owns the session)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class LineageActor:
+        def __init__(self, run_dir: str, ruleset_hash: str):
+            self._store = Lineage(run_dir, ruleset_hash)
+
+        def committed(self):
+            return self._store.committed()
+
+        def commit(self, partition_id, **kw):
+            return self._store.commit(partition_id, **kw)
+
+    return LineageActor
