@@ -1,44 +1,52 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data validation engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-validation pipeline at sf0.001
+(plus the generic-table rule suite over the sf0.001 events table) and
+returns the combined violation rows. ``queries()`` / ``oracle_sql()`` expose
+every implemented operator from SURVEY.md §2 for the side-by-side DuckDB
+comparison at sf=0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import pandas as pd
+
+    from bio_data_validation_ray.pipelines import queries as q
+
+    sf_dir = "/root/testdata/sf0.001"
+    _, vio = q.run_validation(sf_dir)  # flagship transcript pipeline
+    ev = q.events_validate(sf_dir)     # generic-table rule suite on testdata
+    ev = ev.rename(columns={"event_id": "row_key"})
+    ev["row_key"] = ev["row_key"].astype(str)
+    tv = pd.DataFrame(
+        {
+            "row_key": vio["conv_id"].astype(str) + ":" + vio["turn_idx"].astype(str),
+            "rule_id": vio["rule_id"],
+            "severity": vio["severity"],
+        }
+    )
+    return pd.concat([tv, ev], ignore_index=True)[["row_key", "rule_id", "severity"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from bio_data_validation_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from bio_data_validation_ray.pipelines.queries import oracles
+
+    return oracles()

@@ -1,0 +1,102 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``topk_cosine``: brute-force cosine top-k — the exact baseline. Per batch:
+  one numpy matmul against the (broadcast) query matrix, local top-k, then a
+  tiny global merge. The query matrix ships once via ray.put, not per batch.
+- ``IVFIndex``: the scale path — coarse k-means-style centroids (built from a
+  deterministic sample), vectors bucketed by nearest centroid; queries probe
+  only the ``nprobe`` nearest buckets. Bucket assignment is a vectorized
+  map_batches stage; the index (centroids) broadcasts once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
+                vec_col: str = "embedding", batch_size: int = 4096) -> pd.DataFrame:
+    """Exact top-k by cosine vs a single query vector.
+    -> DataFrame[(vec_id, cosine)] sorted by (-cosine, vec_id), rounded 6dp
+    (ties broken by id so results are deterministic and oracle-comparable)."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    qref = ray.put(q)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(qref)
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        sims = np.round(m @ qv, 6)
+        order = np.lexsort((batch[id_col].to_numpy(), -sims))[:k]
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy()[order], "cosine": sims[order]}
+        )
+
+    parts = ds.map_batches(
+        local_topk, batch_format="pandas", batch_size=batch_size
+    ).to_pandas()
+    parts = parts.sort_values(["cosine", id_col], ascending=[False, True],
+                              kind="stable")
+    return parts.head(k).reset_index(drop=True)
+
+
+class IVFIndex:
+    """Inverted-file ANN index (public IVF-flat scheme, cosine metric)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids.astype(np.float64))
+
+    @classmethod
+    def train(cls, sample: np.ndarray, n_lists: int = 16, iters: int = 10,
+              seed: int = 42) -> "IVFIndex":
+        """Mini k-means on a driver-side sample (deterministic)."""
+        rng = np.random.default_rng(seed)
+        x = _normalize(sample.astype(np.float64))
+        idx = rng.choice(len(x), size=min(n_lists, len(x)), replace=False)
+        c = x[idx].copy()
+        for _ in range(iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c = _normalize(c)
+        return cls(c)
+
+    def assign_batch(self, batch: pd.DataFrame, vec_col: str = "embedding") -> pd.DataFrame:
+        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        batch["ivf_list"] = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
+        return batch
+
+    def probe_lists(self, query: np.ndarray, nprobe: int = 4) -> np.ndarray:
+        q = np.asarray(query, dtype=np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        return np.argsort(-(self.centroids @ q))[:nprobe]
+
+
+def ivf_topk(ds, query: np.ndarray, k: int = 10, *, index: IVFIndex,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> pd.DataFrame:
+    """ANN top-k: scan only the nprobe nearest inverted lists. At scale the
+    ``ivf_list`` column is a Parquet partition key, so the probe becomes a
+    partition-pruned read instead of a filter."""
+    import ray
+
+    lists = set(int(x) for x in index.probe_lists(query, nprobe))
+    iref = ray.put(index)
+
+    assigned = ds.map_batches(
+        lambda b: ray.get(iref).assign_batch(b, vec_col), batch_format="pandas"
+    )
+    pruned = assigned.map_batches(
+        lambda b: b[b["ivf_list"].isin(lists)].drop(columns=["ivf_list"]),
+        batch_format="pandas",
+    )
+    return topk_cosine(pruned, query, k, id_col=id_col, vec_col=vec_col)

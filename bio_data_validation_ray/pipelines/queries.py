@@ -1,0 +1,727 @@
+"""Named queries + DuckDB oracle SQL for the driver's correctness gate.
+
+Each ``QUERIES[name]`` is a callable ``fn(sf_dir) -> DataFrame/Table`` run on
+an already-initialized Ray session; ``ORACLES[name]`` (when present) is the
+equivalent DuckDB SQL over the same inputs. Column names and value types are
+chosen to hash-match: integer columns wherever possible (cents/basis-point
+tricks instead of float sums), explicit rounding only where floats are
+unavoidable.
+
+Transcript queries run over the deterministic generated table (see
+sources/transcripts.py) cached under /tmp, so the oracle reads the exact same
+bytes via read_parquet('<dir>/*.parquet'). The heavy validation pipeline runs
+ONCE per scale factor and is reused by every t_* query (module-level cache).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+from ..registry import transcript_registry
+from ..sources.transcripts import ensure_transcripts, sf_name_of
+from .validate import validate_dir
+
+_RUN_CACHE: dict[str, tuple[dict, pd.DataFrame]] = {}
+
+ROLE_SET_SQL = "('system','user','assistant','tool')"
+TOOL_RE_SQL = "'^[a-z][a-z0-9_]{0,63}$'"
+ORACLE_SF = "sf0.01"  # the driver compares at sf=0.01
+
+
+def transcripts_dir(sf_dir: str) -> str:
+    return ensure_transcripts(sf_name_of(sf_dir))
+
+
+def _tq(sf: str = ORACLE_SF) -> str:
+    """The transcripts CTE used by every transcript oracle."""
+    d = ensure_transcripts(sf)
+    return (
+        f"WITH t AS (SELECT *, parse_filename(filename) AS shard "
+        f"FROM read_parquet('{d}/*.parquet', filename=true))"
+    )
+
+
+def run_validation(sf_dir: str) -> tuple[dict, pd.DataFrame]:
+    """Run (once per sf) the flagship pipeline on the generated transcripts;
+    returns (report, violations DataFrame)."""
+    d = transcripts_dir(sf_dir)
+    if d in _RUN_CACHE:
+        return _RUN_CACHE[d]
+    reg = transcript_registry()
+    run_dir = os.path.join(
+        "/tmp/bdvr_queryruns", os.path.basename(d) + "-" + reg.ruleset_hash
+    )
+    marker = os.path.join(run_dir, "run_summary.json")
+    if not os.path.exists(marker):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        report = validate_dir(d, registry=reg, run_dir=run_dir, resume=False)
+    else:
+        import json
+
+        with open(marker) as fh:  # completed earlier -> reuse the full report
+            report = json.load(fh)
+    vio = pd.read_parquet(os.path.join(run_dir, "violations"))
+    _RUN_CACHE[d] = (report, vio)
+    return report, vio
+
+
+def _vio_rows(sf_dir: str, rule_id: str, cols: dict[str, str]) -> pd.DataFrame:
+    """Project violation rows of one rule; ``cols`` maps output name ->
+    violations column (offending_value may be renamed to the data column)."""
+    _, vio = run_validation(sf_dir)
+    sub = vio[vio["rule_id"] == rule_id]
+    out = pd.DataFrame({name: sub[src].to_numpy() for name, src in cols.items()})
+    return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# transcript rule queries (engine result vs straight-SQL re-statement)
+# ---------------------------------------------------------------------------
+
+
+def t_role_vocab(sf_dir):
+    return _vio_rows(sf_dir, "TXT_ROLE_VOCAB",
+                     {"conv_id": "conv_id", "turn_idx": "turn_idx",
+                      "role": "offending_value"})
+
+
+def t_tool_pattern(sf_dir):
+    return _vio_rows(sf_dir, "TXT_TOOL_PATTERN",
+                     {"conv_id": "conv_id", "turn_idx": "turn_idx",
+                      "tool": "offending_value"})
+
+
+def t_tool_role(sf_dir):
+    return _vio_rows(sf_dir, "TXT_TOOL_ROLE",
+                     {"conv_id": "conv_id", "turn_idx": "turn_idx",
+                      "tool": "offending_value"})
+
+
+def t_text_empty(sf_dir):
+    return _vio_rows(sf_dir, "TXT_TEXT_EMPTY",
+                     {"conv_id": "conv_id", "turn_idx": "turn_idx"})
+
+
+def t_text_null(sf_dir):
+    return _vio_rows(sf_dir, "TXT_TEXT_NULL",
+                     {"conv_id": "conv_id", "turn_idx": "turn_idx"})
+
+
+def t_turn_range(sf_dir):
+    return _vio_rows(sf_dir, "CONS_003_TURN_MIN",
+                     {"conv_id": "conv_id", "turn_idx": "turn_idx"})
+
+
+def t_ts_window(sf_dir):
+    return _vio_rows(sf_dir, "TXT_TS_WINDOW",
+                     {"conv_id": "conv_id", "turn_idx": "turn_idx"})
+
+
+def t_dup_turn_key(sf_dir):
+    out = _vio_rows(sf_dir, "DUP_002_TURN_KEY",
+                    {"conv_id": "conv_id", "dup_turns": "offending_value"})
+    out["dup_turns"] = out["dup_turns"].astype(np.int64)
+    return out
+
+
+def t_contig(sf_dir):
+    return _vio_rows(sf_dir, "TXT_TURN_CONTIG", {"conv_id": "conv_id"})
+
+
+def t_ts_mono(sf_dir):
+    return _vio_rows(sf_dir, "TXT_TS_MONOTONIC", {"conv_id": "conv_id"})
+
+
+def t_conv_span_shards(sf_dir):
+    return _vio_rows(sf_dir, "TXT_CONV_SINGLE_SHARD", {"conv_id": "conv_id"})
+
+
+def t_row_dup(sf_dir):
+    return _vio_rows(sf_dir, "DUP_001_ROW",
+                     {"conv_id": "conv_id", "turn_idx": "turn_idx"})
+
+
+def t_rule_counts(sf_dir):
+    """Full-suite severity counts by rule — the flagship parity query."""
+    _, vio = run_validation(sf_dir)
+    out = (
+        vio.groupby(["rule_id", "severity"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("rule_id").reset_index(drop=True)
+
+
+def t_verdicts(sf_dir):
+    """Per-shard decision + rows scanned (rows-only check: shard attribution
+    of conversation-level violations is main-shard-based, not SQL-friendly)."""
+    report, _ = run_validation(sf_dir)
+    rows = [
+        {
+            "shard": s,
+            "decision": v["decision"],
+            "passed": v["passed"],
+            "rows_scanned": v["rows_scanned"],
+            **{f"n_{k}": int(n) for k, n in v["severity_counts"].items()},
+        }
+        for s, v in sorted(report["per_shard"].items())
+    ]
+    return pd.DataFrame(rows)
+
+
+def t_conv_stats(sf_dir):
+    """Per-conversation aggregates via Ray groupby (GA operator family)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir), columns=["conv_id", "turn_idx"])
+    out = (
+        ds.groupby("conv_id")
+        .aggregate(
+            Count(alias_name="n_turns"),
+            Min("turn_idx", alias_name="turn_min"),
+            Max("turn_idx", alias_name="turn_max"),
+        )
+        .to_pandas()
+    )
+    out["turn_min"] = out["turn_min"].astype(np.int64)
+    out["turn_max"] = out["turn_max"].astype(np.int64)
+    out["n_turns"] = out["n_turns"].astype(np.int64)
+    return out
+
+
+def t_role_stats(sf_dir):
+    """Per-role text-length stats with exact integer aggregates (pre-
+    aggregated inside map_batches, then a tiny keyed reduce — the
+    partial+final pattern from SURVEY.md §2.5)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir), columns=["role", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = pc.fill_null(pc.cast(pc.utf8_length(t["text"]), pa.int64()), 0)
+        tt = t.append_column("len", ln)
+        df = tt.select(["role", "len"]).to_pandas()
+        g = df.groupby("role", as_index=False).agg(
+            n=("len", "size"), sum_len=("len", "sum"),
+            min_len=("len", "min"), max_len=("len", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby("role")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_len", alias_name="sum_len"),
+            Min("min_len", alias_name="min_len"),
+            Max("max_len", alias_name="max_len"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "sum_len", "min_len", "max_len"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def t_distinct_convs(sf_dir):
+    """HLL++ estimate next to the exact distinct count (approximate op —
+    rows-only; the pytest suite asserts the <2% error bound instead)."""
+    report, _ = run_validation(sf_dir)
+    import ray.data as rd
+
+    exact = rd.read_parquet(transcripts_dir(sf_dir), columns=["conv_id"]).unique(
+        "conv_id"
+    )
+    est = report["stages"]["stats"]["summary"]["distinct_convs_hll"]
+    return pd.DataFrame(
+        {"hll_estimate": [est], "exact": [len(exact)],
+         "rel_error": [round(abs(est - len(exact)) / len(exact), 4)]}
+    )
+
+
+def t_drift(sf_dir):
+    """Per-shard KS/PSI of text length vs the clean baseline digests
+    (sketch-based — rows-only)."""
+    from .. import drift as drift_mod
+    from ..sketches import TDigest
+    from ..stages.statstage import reduce_sketches
+
+    report, _ = run_validation(sf_dir)
+    # baseline: digests from the CLEAN generator at the same sf
+    clean_dir = ensure_transcripts(sf_name_of(sf_dir), clean=True)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = TDigest()
+    for f in sorted(os.listdir(clean_dir)):
+        t = pq.read_table(os.path.join(clean_dir, f), columns=["text"])
+        base.add_array(
+            pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(float)
+        )
+    # recompute per-shard digests from the cached violations run's stats:
+    # re-reduce the sketch rows is not persisted, so re-derive quickly
+    d = transcripts_dir(sf_dir)
+    per_shard = {}
+    for f in sorted(os.listdir(d)):
+        t = pq.read_table(os.path.join(d, f), columns=["text"])
+        td = TDigest().add_array(
+            pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(float)
+        )
+        per_shard[f] = td
+    scored = drift_mod.score_partitions(per_shard, base)
+    rows = [
+        {"shard": s, "ks": v["ks"], "psi": v["psi"], "drifted": v["drifted"]}
+        for s, v in sorted(scored.items())
+    ]
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# generic-table validation + data-pipeline operators over the testdata
+# ---------------------------------------------------------------------------
+
+
+def events_registry():
+    from ..registry import RuleRegistry
+    from ..rules import RuleSpec
+
+    return RuleRegistry(
+        version="1.0.0-events",
+        rules=[
+            RuleSpec("EV_TYPE_VOCAB", "in_set", "event_type",
+                     {"values": ["view", "click", "purchase", "signup"]},
+                     "WARNING", "1"),
+            RuleSpec("EV_VALUE_RANGE", "range", "value",
+                     {"min": 0.0, "max": 400.0}, "ERROR", "1"),
+            RuleSpec("EV_TS_WINDOW", "ts_window", "ts",
+                     {"min": "2024-01-01T00:00:00", "max": "2024-02-01T00:00:00"},
+                     "ERROR", "1"),
+        ],
+    )
+
+
+def events_validate(sf_dir):
+    """Generic-table surface: the same row-rule compiler applied to the
+    events table, keyed by event_id."""
+    import ray.data as rd
+
+    from ..stages.rowstage import RowRulesOnly
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    vio = ds.map_batches(
+        RowRulesOnly,
+        fn_constructor_kwargs={"registry": events_registry(),
+                               "key_cols": ["event_id"]},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    if "event_id" not in vio.columns:
+        return pd.DataFrame(columns=["event_id", "rule_id", "severity"])
+    out = vio[["event_id", "rule_id", "severity"]].copy()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out.sort_values(["event_id", "rule_id"]).reset_index(drop=True)
+
+
+def events_by_type(sf_dir):
+    """Pre-aggregated keyed reduce with exact integer value sums (cents)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value", "user_id"])
+
+    def add_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        return df[["event_type", "cents", "user_id"]]
+
+    out = (
+        ds.map_batches(add_cents, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="sum_cents"),
+            Min("user_id", alias_name="min_user"),
+            Max("user_id", alias_name="max_user"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "sum_cents", "min_user", "max_user"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def events_props_k(sf_dir):
+    """JSON-ish scalar extraction from the props column, summed per type."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        df["k"] = (
+            df["props"].str.extract(r'"k": ([0-9]+)')[0].astype(np.int64)
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n=("k", "size")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_k"] = out["sum_k"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def doc_dedup_exact(sf_dir):
+    import ray.data as rd
+
+    from ..functions.dedup import exact_dedup_groups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = exact_dedup_groups(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_copies"] = out["n_copies"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_token_count(sf_dir):
+    import ray.data as rd
+
+    from ..functions.textstats import add_token_count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(add_token_count, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_quality(sf_dir):
+    import ray.data as rd
+
+    from ..functions.textstats import add_quality_metrics
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(add_quality_metrics, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_chars", "n_alpha", "n_digit", "n_punct"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprint(sf_dir):
+    import ray.data as rd
+
+    from ..functions.textstats import add_fingerprint
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(add_fingerprint, batch_format="pandas")
+        .to_pandas()[["doc_id", "fingerprint"]]
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_langid(sf_dir):
+    import ray.data as rd
+
+    from ..functions.textstats import LangId
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(
+        LangId, batch_format="pandas", concurrency=2
+    ).to_pandas()[["doc_id", "lang", "lang_pred"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_minhash_pairs(sf_dir):
+    import ray.data as rd
+
+    from ..functions.dedup import minhash_near_dups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return minhash_near_dups(ds, threshold=0.5, concurrency=2)
+
+
+def doc_simhash(sf_dir):
+    import ray.data as rd
+
+    from ..functions.dedup import add_simhash
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(add_simhash, batch_format="pandas").to_pandas()[
+        ["doc_id", "simhash"]
+    ]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _query_vec(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = t.filter(
+        __import__("pyarrow").compute.equal(t["vec_id"], 0)
+    )["embedding"].to_pylist()[0]
+    return np.asarray(emb, dtype=np.float64)
+
+
+def emb_topk(sf_dir):
+    import ray.data as rd
+
+    from ..functions.similarity import topk_cosine
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = topk_cosine(ds, _query_vec(sf_dir), k=10)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out
+
+
+def emb_topk_ids(sf_dir):
+    """Top-k neighbor IDs only (integers hash-match; the scored variant stays
+    rows-only because DuckDB's list_cosine_similarity computes in float32)."""
+    out = emb_topk(sf_dir)[["vec_id"]].copy()
+    return out
+
+
+def emb_ivf_topk(sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.similarity import IVFIndex, ivf_topk
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    sample = np.stack(t["embedding"].to_pylist()[:512])
+    index = IVFIndex.train(sample, n_lists=8)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = ivf_topk(ds, _query_vec(sf_dir), k=10, index=index, nprobe=3)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out
+
+
+def emb_near_dups(sf_dir):
+    import ray.data as rd
+
+    from ..functions.dedup import embedding_near_dups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(ds, threshold=0.9)
+
+
+def li_pricing(sf_dir):
+    """lineitem pricing summary (classic GA sanity pipeline) with exact
+    integer money/quantity columns."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df["qty"] = np.round(df["l_quantity"]).astype(np.int64)
+        df["price_cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
+        df["disc_bp"] = np.round(df["l_discount"] * 10000).astype(np.int64)
+        return df[["l_returnflag", "l_linestatus", "qty", "price_cents", "disc_bp"]]
+
+    out = (
+        ds.map_batches(cents, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_bp", alias_name="sum_disc_bp"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_price_cents", "sum_disc_bp", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# registry of queries + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "t_role_vocab": t_role_vocab,
+    "t_tool_pattern": t_tool_pattern,
+    "t_tool_role": t_tool_role,
+    "t_text_empty": t_text_empty,
+    "t_text_null": t_text_null,
+    "t_turn_range": t_turn_range,
+    "t_ts_window": t_ts_window,
+    "t_dup_turn_key": t_dup_turn_key,
+    "t_contig": t_contig,
+    "t_ts_mono": t_ts_mono,
+    "t_conv_span_shards": t_conv_span_shards,
+    "t_row_dup": t_row_dup,
+    "t_rule_counts": t_rule_counts,
+    "t_verdicts": t_verdicts,
+    "t_conv_stats": t_conv_stats,
+    "t_role_stats": t_role_stats,
+    "t_distinct_convs": t_distinct_convs,
+    "t_drift": t_drift,
+    "events_validate": events_validate,
+    "events_by_type": events_by_type,
+    "events_props_k": events_props_k,
+    "doc_dedup_exact": doc_dedup_exact,
+    "doc_token_count": doc_token_count,
+    "doc_quality": doc_quality,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_langid": doc_langid,
+    "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_simhash": doc_simhash,
+    "emb_topk": emb_topk,
+    "emb_topk_ids": emb_topk_ids,
+    "emb_ivf_topk": emb_ivf_topk,
+    "emb_near_dups": emb_near_dups,
+    "li_pricing": li_pricing,
+}
+
+
+def oracles(sf: str = ORACLE_SF) -> dict[str, str]:
+    tq = _tq(sf)
+    mono_sub = (
+        "SELECT DISTINCT conv_id FROM (SELECT conv_id, ts, max(ts) OVER "
+        "(PARTITION BY conv_id ORDER BY turn_idx RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING) AS pm FROM t) WHERE ts < pm"
+    )
+    contig_sub = (
+        "SELECT conv_id FROM t GROUP BY conv_id HAVING NOT ("
+        "min(turn_idx)=0 AND count(DISTINCT turn_idx)=max(turn_idx)+1)"
+    )
+    span_sub = (
+        "SELECT conv_id FROM t GROUP BY conv_id HAVING count(DISTINCT shard)>1"
+    )
+    dup_extras = (
+        "SELECT coalesce(sum(c-1),0) FROM (SELECT count(*) AS c FROM t "
+        "GROUP BY conv_id, turn_idx, role, text, tool, ts HAVING count(*)>1)"
+    )
+    rule_counts = f"""{tq},
+counts(rule_id, severity, n) AS (
+ SELECT 'TXT_ROLE_VOCAB','ERROR',count(*) FROM t WHERE role NOT IN {ROLE_SET_SQL}
+ UNION ALL SELECT 'TXT_TOOL_PATTERN','ERROR',count(*) FROM t WHERE tool IS NOT NULL AND NOT regexp_matches(tool,{TOOL_RE_SQL})
+ UNION ALL SELECT 'TXT_TOOL_ROLE','ERROR',count(*) FROM t WHERE tool IS NOT NULL AND role <> 'tool'
+ UNION ALL SELECT 'TXT_TOOL_REQUIRED','ERROR',count(*) FROM t WHERE tool IS NULL AND role = 'tool'
+ UNION ALL SELECT 'TXT_TEXT_EMPTY','ERROR',count(*) FROM t WHERE length(text)=0
+ UNION ALL SELECT 'TXT_TEXT_NULL','ERROR',count(*) FROM t WHERE text IS NULL
+ UNION ALL SELECT 'CONS_003_TURN_MIN','ERROR',count(*) FROM t WHERE turn_idx < 0
+ UNION ALL SELECT 'TXT_TS_WINDOW','ERROR',count(*) FROM t WHERE ts < TIMESTAMP '2000-01-01' OR ts > TIMESTAMP '2035-01-01'
+ UNION ALL SELECT 'TXT_TEXT_MAXLEN','WARNING',count(*) FROM t WHERE length(text) > 1000000
+ UNION ALL SELECT 'DUP_002_TURN_KEY','ERROR',count(DISTINCT conv_id) FROM (SELECT conv_id FROM t GROUP BY conv_id, turn_idx HAVING count(*)>1)
+ UNION ALL SELECT 'TXT_TURN_CONTIG','ERROR',count(*) FROM ({contig_sub})
+ UNION ALL SELECT 'TXT_TS_MONOTONIC','WARNING',count(*) FROM ({mono_sub})
+ UNION ALL SELECT 'TXT_CONV_SINGLE_SHARD','CRITICAL',count(*) FROM ({span_sub})
+ UNION ALL SELECT 'DUP_001_ROW','WARNING',CAST(({dup_extras}) AS BIGINT)
+ UNION ALL SELECT 'BIAS_001_ROLE_BALANCE','WARNING',CASE WHEN (SELECT min(c)*1.0/sum(c) FROM (SELECT count(*) AS c FROM t WHERE role IS NOT NULL GROUP BY role)) < 0.02 THEN 1 ELSE 0 END
+ UNION ALL SELECT 'BIAS_002_TEXT_MISSING','WARNING',CASE WHEN (SELECT sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)*1.0/count(*) FROM t) > 0.1 THEN 1 ELSE 0 END
+)
+SELECT rule_id, severity, CAST(n AS BIGINT) AS n FROM counts WHERE n > 0 ORDER BY rule_id"""
+
+    return {
+        "t_role_vocab": f"{tq} SELECT conv_id, turn_idx, role FROM t "
+                        f"WHERE role NOT IN {ROLE_SET_SQL}",
+        "t_tool_pattern": f"{tq} SELECT conv_id, turn_idx, tool FROM t WHERE "
+                          f"tool IS NOT NULL AND NOT regexp_matches(tool,{TOOL_RE_SQL})",
+        "t_tool_role": f"{tq} SELECT conv_id, turn_idx, tool FROM t "
+                       f"WHERE tool IS NOT NULL AND role <> 'tool'",
+        "t_text_empty": f"{tq} SELECT conv_id, turn_idx FROM t WHERE length(text)=0",
+        "t_text_null": f"{tq} SELECT conv_id, turn_idx FROM t WHERE text IS NULL",
+        "t_turn_range": f"{tq} SELECT conv_id, turn_idx FROM t WHERE turn_idx < 0",
+        "t_ts_window": f"{tq} SELECT conv_id, turn_idx FROM t WHERE "
+                       f"ts < TIMESTAMP '2000-01-01' OR ts > TIMESTAMP '2035-01-01'",
+        "t_dup_turn_key": f"{tq} SELECT conv_id, CAST(sum(c-1) AS BIGINT) AS dup_turns "
+                          f"FROM (SELECT conv_id, count(*) AS c FROM t "
+                          f"GROUP BY conv_id, turn_idx) WHERE c > 1 GROUP BY conv_id",
+        "t_contig": f"{tq} {contig_sub}",
+        "t_ts_mono": f"{tq} {mono_sub}",
+        "t_conv_span_shards": f"{tq} {span_sub}",
+        "t_row_dup": f"{tq} SELECT conv_id, turn_idx FROM t GROUP BY conv_id, "
+                     f"turn_idx, role, text, tool, ts HAVING count(*)>1",
+        "t_rule_counts": rule_counts,
+        "t_conv_stats": f"{tq} SELECT conv_id, count(*) AS n_turns, "
+                        f"CAST(min(turn_idx) AS BIGINT) AS turn_min, "
+                        f"CAST(max(turn_idx) AS BIGINT) AS turn_max "
+                        f"FROM t GROUP BY conv_id",
+        "t_role_stats": f"{tq} SELECT role, count(*) AS n, "
+                        f"CAST(sum(coalesce(length(text),0)) AS BIGINT) AS sum_len, "
+                        f"CAST(min(coalesce(length(text),0)) AS BIGINT) AS min_len, "
+                        f"CAST(max(coalesce(length(text),0)) AS BIGINT) AS max_len "
+                        f"FROM t GROUP BY role",
+        "events_validate": """
+WITH v AS (
+ SELECT event_id, 'EV_TYPE_VOCAB' AS rule_id, 'WARNING' AS severity FROM events
+  WHERE event_type NOT IN ('view','click','purchase','signup')
+ UNION ALL
+ SELECT event_id, 'EV_VALUE_RANGE', 'ERROR' FROM events WHERE value < 0 OR value > 400
+ UNION ALL
+ SELECT event_id, 'EV_TS_WINDOW', 'ERROR' FROM events
+  WHERE ts < TIMESTAMP '2024-01-01' OR ts > TIMESTAMP '2024-02-01'
+) SELECT * FROM v ORDER BY event_id, rule_id""",
+        "events_by_type": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(user_id) AS BIGINT) AS min_user,
+       CAST(max(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY event_type""",
+        "events_props_k": """
+SELECT event_type,
+       CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type""",
+        "doc_dedup_exact": "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+                           "count(*) AS n_copies FROM documents GROUP BY text",
+        "doc_token_count": "SELECT doc_id, CAST(length(list_filter("
+                           "regexp_split_to_array(text, '\\s+'), x -> x <> '')) "
+                           "AS BIGINT) AS n_tokens FROM documents",
+        "doc_quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents""",
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "emb_topk_ids": """
+SELECT vec_id FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10""",
+        "li_pricing": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_discount*10000,0) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    }

@@ -94,12 +94,19 @@ def validate_dir(
     baseline_json: str | None = None,
     resume: bool = True,
     batch_size: int = 65536,
-    concurrency=4,
+    concurrency=None,
     write_violations: bool = True,
 ) -> dict:
     """Run the full validation suite over ``input_dir``'s Parquet shards and
     return the run report (JSON-serializable)."""
+    import ray
     import ray.data as rd
+
+    if concurrency is None:
+        # leave CPUs for the read/shuffle stages — a pool that reserves every
+        # CPU starves the reader and the pipeline deadlocks
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(1, min(8, ncpu // 2))
 
     t0 = time.time()
     registry = registry or transcript_registry()

@@ -291,3 +291,47 @@ class ValidateBatch:
         out = np.ones(n_groups, dtype=bool)
         out[bad_groups] = False
         return out
+
+
+class RowRulesOnly:
+    """Generic row-local rule evaluation for ANY keyed table (not just
+    transcripts): emits one violation row per (row, failed rule) with the
+    caller's key columns. This is the engine's generic-table surface — the
+    analog of RuleValidator.validate over an arbitrary DataFrame
+    (rule_validator.py:101-148), minus transcript-specific group checks.
+
+    Use as ``ds.map_batches(RowRulesOnly, fn_constructor_kwargs=...,
+    batch_format="pyarrow", concurrency=N)``.
+    """
+
+    def __init__(self, registry: RuleRegistry, key_cols: list[str]):
+        self.compiled = compile_row_rules(registry.row_rules())
+        self.key_cols = list(key_cols)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys: dict[str, list] = {k: [] for k in self.key_cols}
+        meta: dict[str, list] = {
+            "rule_id": [], "rule_version": [], "severity": [],
+            "column": [], "offending_value": [],
+        }
+        for cr in self.compiled:
+            mask = cr.mask_fn(t)
+            idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+            if idx.size == 0:
+                continue
+            ia = pa.array(idx)
+            for k in self.key_cols:
+                keys[k].extend(t[k].take(ia).to_pylist())
+            col = cr.spec.column
+            vals = pc.cast(t[col].take(ia), pa.string()).to_pylist()
+            meta["rule_id"] += [cr.spec.rule_id] * idx.size
+            meta["rule_version"] += [cr.spec.version] * idx.size
+            meta["severity"] += [cr.spec.severity] * idx.size
+            meta["column"] += [col] * idx.size
+            meta["offending_value"] += [
+                "null" if v is None else v for v in vals
+            ]
+        fields = [
+            pa.field(k, t.schema.field(k).type) for k in self.key_cols
+        ] + [pa.field(n, pa.string()) for n in meta]
+        return pa.Table.from_pydict({**keys, **meta}, schema=pa.schema(fields))

@@ -1,0 +1,200 @@
+"""Integration tests for the flagship validation pipeline (FIXTURES.md §4
+invariants: exact seeded violations, policy decisions, resume idempotency,
+text byte-equality parity, drift)."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "sf0.001"
+
+
+@pytest.fixture(scope="module")
+def seeded_run(ray_session, tmp_path_factory):
+    from bio_data_validation_ray.pipelines.validate import validate_dir
+    from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+    d = ensure_transcripts(SF)
+    run_dir = str(tmp_path_factory.mktemp("run_seeded"))
+    report = validate_dir(d, run_dir=run_dir, concurrency=2)
+    vio = pd.read_parquet(os.path.join(run_dir, "violations"))
+    return d, run_dir, report, vio
+
+
+class TestSeededRun:
+    def test_decision_rejected(self, seeded_run):
+        _, _, report, _ = seeded_run
+        assert report["final_decision"] == "rejected"
+        assert report["severity_counts"]["critical"] >= 1
+        assert not report["passed"]
+
+    def test_all_rule_families_fire(self, seeded_run):
+        _, _, _, vio = seeded_run
+        fired = set(vio["rule_id"])
+        for rid in [
+            "TXT_ROLE_VOCAB", "TXT_TOOL_PATTERN", "TXT_TOOL_ROLE",
+            "TXT_TEXT_EMPTY", "TXT_TEXT_NULL", "CONS_003_TURN_MIN",
+            "TXT_TS_WINDOW", "DUP_002_TURN_KEY", "TXT_TURN_CONTIG",
+            "TXT_TS_MONOTONIC", "TXT_CONV_SINGLE_SHARD", "DUP_001_ROW",
+        ]:
+            assert rid in fired, rid
+
+    def test_ruleset_hash_stamped(self, seeded_run):
+        from bio_data_validation_ray.registry import transcript_registry
+
+        _, run_dir, report, _ = seeded_run
+        assert report["ruleset_metadata"]["rules_hash"] == \
+            transcript_registry().ruleset_hash
+        saved = json.load(open(os.path.join(run_dir, "run_summary.json")))
+        assert saved["ruleset_metadata"]["rules_hash"] == \
+            transcript_registry().ruleset_hash
+
+    def test_lineage_written_per_shard(self, seeded_run):
+        d, run_dir, report, _ = seeded_run
+        recs = [
+            json.load(open(p))
+            for p in glob.glob(os.path.join(run_dir, "lineage", "*.json"))
+        ]
+        assert len(recs) == len(glob.glob(os.path.join(d, "*.parquet")))
+        assert sum(r["rows_scanned"] for r in recs) == report["rows_scanned"]
+        for r in recs:
+            assert r["rules_evaluated"] > 0 and r["status"] == "committed"
+
+    def test_per_shard_verdicts_consistent(self, seeded_run):
+        from bio_data_validation_ray import policy
+
+        _, _, report, _ = seeded_run
+        for shard, v in report["per_shard"].items():
+            c = policy.SeverityCounts(**v["severity_counts"])
+            assert v["decision"] == policy.decide(c)
+            assert v["passed"] == policy.passed(c)
+
+
+class TestResume:
+    def test_resume_skips_committed_and_is_idempotent(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        run_dir = str(tmp_path / "run")
+        r1 = validate_dir(d, run_dir=run_dir, concurrency=2)
+        # simulate crash-after-partial-commit: drop half the lineage records
+        lineage = sorted(glob.glob(os.path.join(run_dir, "lineage", "*.json")))
+        kept = lineage[: len(lineage) // 2]
+        for p in lineage[len(lineage) // 2:]:
+            os.remove(p)
+        r2 = validate_dir(d, run_dir=run_dir, concurrency=2)
+        assert r2["shards_skipped_committed"] == len(kept)
+        # all shards committed again, rows_scanned covers only the re-run ones
+        recs = {
+            json.load(open(p))["partition_id"]: json.load(open(p))
+            for p in glob.glob(os.path.join(run_dir, "lineage", "*.json"))
+        }
+        assert len(recs) == r1["shards_total"]
+        total_rows = sum(
+            v["rows_scanned"]
+            for s, v in r1["per_shard"].items()
+        )
+        assert sum(r["rows_scanned"] for r in recs.values()) == total_rows
+
+    def test_completed_run_short_circuits(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        run_dir = str(tmp_path / "run")
+        validate_dir(d, run_dir=run_dir, concurrency=2)
+        r2 = validate_dir(d, run_dir=run_dir, concurrency=2)
+        assert r2["final_decision"] == "accepted_from_checkpoint"
+        assert r2["shards_skipped_committed"] == r2["shards_total"]
+
+    def test_ruleset_change_invalidates_lineage(self, ray_session, tmp_path):
+        from bio_data_validation_ray.registry import transcript_registry
+        from bio_data_validation_ray.state.checkpoint import Lineage
+
+        run_dir = str(tmp_path / "run")
+        reg = transcript_registry()
+        lin = Lineage(run_dir, reg.ruleset_hash)
+        lin.commit("s1", rows_scanned=10, rules_evaluated=5, violations=0,
+                   wall_time_s=0.1)
+        assert set(lin.committed()) == {"s1"}
+        lin2 = Lineage(run_dir, "different_hash_0000")
+        assert lin2.committed() == {}
+
+
+class TestParity:
+    def test_text_byte_equality_through_sorted_output(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import (
+            content_hash_of_dir,
+            write_sorted_output,
+        )
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF, clean=True)
+        out = str(tmp_path / "sorted")
+        write_sorted_output(d, out)
+        assert content_hash_of_dir(out) == content_hash_of_dir(d)
+        # and the sorted output really is in stable (conv_id, turn_idx) order
+        t = pd.concat(
+            [pd.read_parquet(p) for p in sorted(glob.glob(out + "/*.parquet"))]
+        )
+        key = list(zip(t["conv_id"], t["turn_idx"]))
+        assert key == sorted(key)
+
+    def test_clean_data_accepted_no_violations(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF, clean=True)
+        rep = validate_dir(d, run_dir=str(tmp_path / "r"), concurrency=2)
+        assert rep["final_decision"] == "accepted"
+        assert rep["stages"]["violations"]["total"] == 0
+        assert rep["passed"]
+
+
+class TestDrift:
+    def test_drifted_partition_flagged(self, ray_session):
+        import numpy as np
+
+        from bio_data_validation_ray import drift
+        from bio_data_validation_ray.sketches import TDigest
+
+        rng = np.random.default_rng(3)
+        base = TDigest().add_array(rng.normal(100, 10, 50_000))
+        same = TDigest().add_array(rng.normal(100, 10, 50_000))
+        shifted = TDigest().add_array(rng.normal(140, 10, 50_000))
+        scored = drift.score_partitions(
+            {"same": same, "shifted": shifted}, base,
+            ks_threshold=0.2, psi_threshold=0.2,
+        )
+        assert not scored["same"]["drifted"]
+        assert scored["shifted"]["drifted"]
+        assert scored["shifted"]["ks"] > 0.5
+        assert scored["shifted"]["psi"] > 1.0
+
+    def test_pipeline_drift_stage(self, ray_session, tmp_path):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray import drift
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sketches import TDigest
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        clean = ensure_transcripts(SF, clean=True)
+        base = TDigest()
+        for f in sorted(glob.glob(clean + "/*.parquet")):
+            t = pq.read_table(f, columns=["text"])
+            base.add_array(
+                pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(float)
+            )
+        baseline_json = drift.baseline_to_json({"text_len": base})
+        rep = validate_dir(clean, run_dir=str(tmp_path / "r"),
+                           baseline_json=baseline_json, concurrency=2)
+        assert rep["drift"], "per-shard drift scores present"
+        assert not any(v["drifted"] for v in rep["drift"].values())
