@@ -35,20 +35,22 @@ def content_hash_batch(batch: pd.DataFrame, col: str = "text",
     return batch
 
 
-def exact_dedup_groups(ds, id_col: str = "doc_id", col: str = "text"):
-    """-> Dataset[(doc_id=min id per identical text, n_copies)] — the
+def exact_dedup_groups(ds, id_col: str = "doc_id", col: str = "text") -> pd.DataFrame:
+    """-> DataFrame[(doc_id=min id per identical text, n_copies)] — the
     hash-partitioned re-expression of DUP_001/DUP_003
-    (rule_validator.py:261-305). Shuffles only (hash, id)."""
-    from ray.data.aggregate import Count, Min
+    (rule_validator.py:261-305). Shuffles only (hash, id) via the sort-based
+    vectorized keyed reduce (stages/keyed_reduce.py), never the text."""
+    from ..stages.keyed_reduce import keyed_reduce_pandas
 
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, col=col)[[id_col, "content_hash"]],
         batch_format="pandas",
     )
-    agg = hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+    out = keyed_reduce_pandas(
+        hashed, ["content_hash"],
+        {id_col: (id_col, "min"), "n_copies": (id_col, "count")},
     )
-    return agg.drop_columns(["content_hash"])
+    return out.drop(columns=["content_hash"]).reset_index(drop=True)
 
 
 def char_shingles(s: str, k: int = 5) -> np.ndarray:
@@ -77,27 +79,44 @@ class MinHashBands:
     ``groupby(["band","band_hash"])`` downstream yields candidate buckets."""
 
     def __init__(self, col: str = "text", id_col: str = "doc_id",
-                 k: int = 5, n_perm: int = 128, bands: int = 32):
+                 k: int = 5, n_perm: int = 128, bands: int = 16):
         assert n_perm % bands == 0
         self.col, self.id_col = col, id_col
         self.k, self.n_perm, self.bands = k, n_perm, bands
         self.rows_per_band = n_perm // bands
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes = [], [], []
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({self.id_col: [], "band": [], "band_hash": []})
+        # batch-vectorized minhash: concatenate every doc's shingle set and
+        # min-reduce per (permutation, doc) with reduceat — no per-doc loop
+        shingle_sets = [char_shingles(s, self.k) for s in batch[self.col]]
+        lens = np.array([s.size for s in shingle_sets], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        allsh = np.concatenate(shingle_sets) if lens.sum() else np.zeros(0, np.uint64)
+        sigs = np.empty((n, self.n_perm), dtype=np.uint64)
+        if allsh.size:
+            for p0 in range(0, self.n_perm, 16):  # chunk perms to bound memory
+                p1 = min(p0 + 16, self.n_perm)
+                prod = (
+                    allsh[None, :] * _PERM_MULT[p0:p1, None]
+                    + _PERM_ADD[p0:p1, None]
+                )
+                sigs[:, p0:p1] = np.minimum.reduceat(prod, offsets, axis=1).T
+        empty = lens == 0
+        sigs[empty, :] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        # band hashes: fnv over each band's rows, vectorized
         r = self.rows_per_band
-        for i, s in zip(batch[self.id_col], batch[self.col]):
-            sig = minhash_signature(char_shingles(s, self.k), self.n_perm)
-            for b in range(self.bands):
-                chunk = sig[b * r:(b + 1) * r]
-                h = np.uint64(0xCBF29CE484222325)
-                for v in chunk:
-                    h = h * np.uint64(0x100000001B3) + v
-                ids.append(i)
-                band_ids.append(b)
-                band_hashes.append(np.int64(h.astype(np.int64)))
+        bh = np.full((n, self.bands), np.uint64(0xCBF29CE484222325))
+        banded = sigs.reshape(n, self.bands, r)
+        for j in range(r):
+            bh = bh * np.uint64(0x100000001B3) + banded[:, :, j]
+        ids = np.repeat(batch[self.id_col].to_numpy(), self.bands)
+        bands = np.tile(np.arange(self.bands, dtype=np.int64), n)
         return pd.DataFrame(
-            {self.id_col: ids, "band": band_ids, "band_hash": band_hashes}
+            {self.id_col: ids, "band": bands,
+             "band_hash": bh.reshape(-1).astype(np.int64)}
         )
 
 
@@ -110,7 +129,7 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
 
 def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, k: int = 5,
-                      n_perm: int = 128, bands: int = 32,
+                      n_perm: int = 128, bands: int = 16,
                       concurrency: int = 4) -> pd.DataFrame:
     """Full MinHash+LSH near-dup pipeline -> DataFrame[(id_a, id_b, jaccard)]
     with id_a < id_b and exact shingle-Jaccard >= threshold.
@@ -121,27 +140,41 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
     import ray.data as rd
     from ray.data.aggregate import AggregateFn
 
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (
+            (df["band"].to_numpy().astype(np.int64) * np.int64(0x9E3779B9))
+            ^ df["band_hash"].to_numpy()
+        )
+        return df[[id_col, "bucket"]]
+
     banded = ds.map_batches(
         MinHashBands(col=col, id_col=id_col, k=k, n_perm=n_perm, bands=bands),
         batch_format="pandas",
-        concurrency=concurrency,
+    ).map_batches(fuse, batch_format="pandas").materialize()
+    # buckets with >1 doc -> candidate pairs. Bucket sizes via the vectorized
+    # keyed reduce; hot-bucket keys broadcast back as a filter — no per-group
+    # Python anywhere.
+    counts = keyed_reduce_pandas(
+        banded, ["bucket"], {"c": (id_col, "count")}
     )
-    # buckets with >1 doc -> candidate pairs
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
-
-    cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    hot = counts[counts["c"] > 1]
+    if len(hot) == 0:
+        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+    hot_keys = set(hot["bucket"])
+    members = banded.map_batches(
+        lambda df: df[df["bucket"].isin(hot_keys)], batch_format="pandas"
+    ).to_pandas()
+    members = members.drop_duplicates()
+    # vectorized pair generation: self-join on bucket
+    j = members.merge(members, on="bucket", suffixes=("_a", "_b"))
+    cand = j[j[f"{id_col}_a"] < j[f"{id_col}_b"]][
+        [f"{id_col}_a", f"{id_col}_b"]
+    ].rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
+    cand = cand.drop_duplicates().reset_index(drop=True)
     if len(cand) == 0:
         return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
-    cand = cand.drop_duplicates().reset_index(drop=True)
     need = set(cand["id_a"]) | set(cand["id_b"])
     texts = (
         ds.map_batches(
@@ -151,7 +184,15 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
         .set_index(id_col)[col]
         .to_dict()
     )
-    jac = [jaccard(texts[a], texts[b], k) for a, b in zip(cand["id_a"], cand["id_b"])]
+    shingle_cache = {i: char_shingles(texts[i], k) for i in need}
+
+    def fast_jaccard(a, b):
+        sa, sb = shingle_cache[a], shingle_cache[b]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        return inter / union if union else 1.0
+
+    jac = [fast_jaccard(a, b) for a, b in zip(cand["id_a"], cand["id_b"])]
     cand["jaccard"] = np.round(jac, 6)
     out = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -164,7 +205,7 @@ def simhash64(s: str, k: int = 5) -> np.uint64:
     if h.size == 0:
         return np.uint64(0)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    votes = bits.sum(axis=0) * 2 - h.size
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - np.int64(h.size)
     out = np.uint64(0)
     for i in np.flatnonzero(votes > 0):
         out |= np.uint64(1) << np.uint64(i)

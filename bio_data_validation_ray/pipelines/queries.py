@@ -175,57 +175,46 @@ def t_verdicts(sf_dir):
 
 
 def t_conv_stats(sf_dir):
-    """Per-conversation aggregates via Ray groupby (GA operator family)."""
+    """Per-conversation aggregates: partial per-batch combine inside
+    map_batches, then the keyed reduce runs over ~#convs partial rows instead
+    of raw turns (the pre-aggregate-before-shuffle pattern, SURVEY.md §2.5)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
+
+    from ..stages.keyed_reduce import keyed_reduce_pandas
 
     ds = rd.read_parquet(transcripts_dir(sf_dir), columns=["conv_id", "turn_idx"])
-    out = (
-        ds.groupby("conv_id")
-        .aggregate(
-            Count(alias_name="n_turns"),
-            Min("turn_idx", alias_name="turn_min"),
-            Max("turn_idx", alias_name="turn_max"),
-        )
-        .to_pandas()
+    out = keyed_reduce_pandas(
+        ds, ["conv_id"],
+        {"n_turns": ("turn_idx", "count"),
+         "turn_min": ("turn_idx", "min"),
+         "turn_max": ("turn_idx", "max")},
     )
-    out["turn_min"] = out["turn_min"].astype(np.int64)
-    out["turn_max"] = out["turn_max"].astype(np.int64)
-    out["n_turns"] = out["n_turns"].astype(np.int64)
+    for c in ("n_turns", "turn_min", "turn_max"):
+        out[c] = out[c].astype(np.int64)
     return out
 
 
 def t_role_stats(sf_dir):
-    """Per-role text-length stats with exact integer aggregates (pre-
-    aggregated inside map_batches, then a tiny keyed reduce — the
-    partial+final pattern from SURVEY.md §2.5)."""
+    """Per-role text-length stats with exact integer aggregates: low-
+    cardinality key -> per-batch partials combined driver-side, no shuffle
+    at all (SURVEY.md §2.5 partial+final pattern)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.keyed_reduce import combine_low_card
 
     ds = rd.read_parquet(transcripts_dir(sf_dir), columns=["role", "text"])
 
-    def partial(t: pa.Table) -> pa.Table:
+    def add_len(t: pa.Table) -> pa.Table:
         ln = pc.fill_null(pc.cast(pc.utf8_length(t["text"]), pa.int64()), 0)
-        tt = t.append_column("len", ln)
-        df = tt.select(["role", "len"]).to_pandas()
-        g = df.groupby("role", as_index=False).agg(
-            n=("len", "size"), sum_len=("len", "sum"),
-            min_len=("len", "min"), max_len=("len", "max"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return t.append_column("len", ln).select(["role", "len"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = (
-        partials.groupby("role")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_len", alias_name="sum_len"),
-            Min("min_len", alias_name="min_len"),
-            Max("max_len", alias_name="max_len"),
-        )
-        .to_pandas()
+    out = combine_low_card(
+        ds.map_batches(add_len, batch_format="pyarrow"),
+        ["role"],
+        {"n": ("len", "count"), "sum_len": ("len", "sum"),
+         "min_len": ("len", "min"), "max_len": ("len", "max")},
     )
     for c in ("n", "sum_len", "min_len", "max_len"):
         out[c] = out[c].astype(np.int64)
@@ -332,10 +321,10 @@ def events_validate(sf_dir):
 
 
 def events_by_type(sf_dir):
-    """Pre-aggregated keyed reduce with exact integer value sums (cents)."""
-    import pyarrow as pa
+    """Low-cardinality keyed reduce with exact integer value sums (cents)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.keyed_reduce import combine_low_card
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "value", "user_id"])
@@ -344,16 +333,11 @@ def events_by_type(sf_dir):
         df["cents"] = np.round(df["value"] * 100).astype(np.int64)
         return df[["event_type", "cents", "user_id"]]
 
-    out = (
-        ds.map_batches(add_cents, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("cents", alias_name="sum_cents"),
-            Min("user_id", alias_name="min_user"),
-            Max("user_id", alias_name="max_user"),
-        )
-        .to_pandas()
+    out = combine_low_card(
+        ds.map_batches(add_cents, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("cents", "count"), "sum_cents": ("cents", "sum"),
+         "min_user": ("user_id", "min"), "max_user": ("user_id", "max")},
     )
     for c in ("n", "sum_cents", "min_user", "max_user"):
         out[c] = out[c].astype(np.int64)
@@ -367,22 +351,18 @@ def events_props_k(sf_dir):
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "props"])
 
+    from ..stages.keyed_reduce import combine_low_card
+
     def extract(df: pd.DataFrame) -> pd.DataFrame:
         df["k"] = (
             df["props"].str.extract(r'"k": ([0-9]+)')[0].astype(np.int64)
         )
-        g = df.groupby("event_type", as_index=False).agg(
-            sum_k=("k", "sum"), n=("k", "size")
-        )
-        return g
+        return df[["event_type", "k"]]
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(extract, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
-        .to_pandas()
+    out = combine_low_card(
+        ds.map_batches(extract, batch_format="pandas"),
+        ["event_type"],
+        {"sum_k": ("k", "sum"), "n": ("k", "count")},
     )
     out["sum_k"] = out["sum_k"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
@@ -396,7 +376,7 @@ def doc_dedup_exact(sf_dir):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    out = exact_dedup_groups(ds).to_pandas()
+    out = exact_dedup_groups(ds)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_copies"] = out["n_copies"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -466,7 +446,7 @@ def doc_minhash_pairs(sf_dir):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    return minhash_near_dups(ds, threshold=0.5, concurrency=2)
+    return minhash_near_dups(ds, threshold=0.8)
 
 
 def doc_simhash(sf_dir):
@@ -538,7 +518,8 @@ def li_pricing(sf_dir):
     """lineitem pricing summary (classic GA sanity pipeline) with exact
     integer money/quantity columns."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+
+    from ..stages.keyed_reduce import combine_low_card
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -552,16 +533,11 @@ def li_pricing(sf_dir):
         df["disc_bp"] = np.round(df["l_discount"] * 10000).astype(np.int64)
         return df[["l_returnflag", "l_linestatus", "qty", "price_cents", "disc_bp"]]
 
-    out = (
-        ds.map_batches(cents, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Sum("disc_bp", alias_name="sum_disc_bp"),
-            Count(alias_name="n"),
-        )
-        .to_pandas()
+    out = combine_low_card(
+        ds.map_batches(cents, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("qty", "sum"), "sum_price_cents": ("price_cents", "sum"),
+         "sum_disc_bp": ("disc_bp", "sum"), "n": ("qty", "count")},
     )
     for c in ("sum_qty", "sum_price_cents", "sum_disc_bp", "n"):
         out[c] = out[c].astype(np.int64)

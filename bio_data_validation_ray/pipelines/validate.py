@@ -93,20 +93,13 @@ def validate_dir(
     run_dir: str | None = None,
     baseline_json: str | None = None,
     resume: bool = True,
-    batch_size: int = 65536,
+    batch_size: int | None = None,
     concurrency=None,
     write_violations: bool = True,
 ) -> dict:
     """Run the full validation suite over ``input_dir``'s Parquet shards and
     return the run report (JSON-serializable)."""
-    import ray
     import ray.data as rd
-
-    if concurrency is None:
-        # leave CPUs for the read/shuffle stages — a pool that reserves every
-        # CPU starves the reader and the pipeline deadlocks
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = max(1, min(8, ncpu // 2))
 
     t0 = time.time()
     registry = registry or transcript_registry()
@@ -148,13 +141,32 @@ def validate_dir(
 
     # ---- stage B: the single scan ----
     t_scan = time.time()
-    ds = rd.read_parquet(pending, include_paths=True)
+    # one block per input file + whole-block batches: batch boundaries align
+    # to shard files, so conversations written contiguously stay within one
+    # ValidateBatch call and only genuinely shard-spanning conversations take
+    # the exact-fallback path. The scanner batch_size stops pyarrow from
+    # slicing files into 10k-row record batches (each would become a block).
+    read_kwargs: dict = {"include_paths": True,
+                         "override_num_blocks": len(pending)}
+    try:
+        ds = rd.read_parquet(pending, batch_size=1_000_000, **read_kwargs)
+        ds.schema()  # force plan validation so a bad kwarg fails here
+    except Exception:
+        ds = rd.read_parquet(pending, **read_kwargs)
+    # ValidateBatch state (compiled rules) is light, so the scan runs as
+    # elastic stateless tasks (instance pickled once, reused per task) —
+    # an actor pool here would cap read parallelism at the pool size.
+    # Pass concurrency explicitly to get a bounded actor pool instead
+    # (the right call when rules carry heavy state, e.g. model weights).
+    vb = ValidateBatch(registry=registry)
+    mb_kwargs: dict = {}
+    if concurrency:
+        mb_kwargs["concurrency"] = concurrency
     out = ds.map_batches(
-        ValidateBatch,
-        fn_constructor_kwargs={"registry": registry},
+        vb,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        **mb_kwargs,
     ).materialize()
     report["stages"]["scan"] = {"time_s": round(time.time() - t_scan, 3)}
 
@@ -174,48 +186,68 @@ def validate_dir(
     }
 
     # ---- stage C: conversation rules via segment merge ----
+    # Two physical plans, same semantics:
+    #  - driver path (derived stream is small, the common case in tests and
+    #    single-node benches): collect the compact segments once and merge
+    #    vectorized in pandas — zero extra Ray executions;
+    #  - distributed path (conversation count too large for one machine):
+    #    range-sort the segments and finalize interior conversations
+    #    per-batch, stitching only each batch's first/last conversation.
     t_conv = time.time()
-    seg = pick("segment", SEG_COLS)
-    merged = (
-        seg.sort(["conv_id", "seg_turn_lo"])
-        .map_batches(MergeSegments, batch_format="pandas", concurrency=2)
-        .materialize()
-    )
-    from ..stages.convstage import RESULT_COLUMNS
+    vio_conv_ds = None
+    driver_segment_cap = 5_000_000
+    if out.count() <= driver_segment_cap:
+        seg_df = pick("segment", SEG_COLS).to_pandas()
+        if "conv_id" not in seg_df.columns:
+            seg_df = pd.DataFrame(columns=SEG_COLS)
+        all_res = merge_segments_frame(seg_df)
+        exact_ids = sorted(all_res.loc[all_res["needs_exact"], "conv_id"])
+        exact_res, exact_rowdups = (
+            _exact_pass(pending, exact_ids) if exact_ids else (None, None)
+        )
+        driver_results = all_res[~all_res["needs_exact"]]
+    else:
+        seg = pick("segment", SEG_COLS)
+        merged = (
+            seg.sort(["conv_id", "seg_turn_lo"])
+            .map_batches(MergeSegments, batch_format="pandas", concurrency=2)
+            .materialize()
+        )
+        from ..stages.convstage import RESULT_COLUMNS
 
-    conv_res = merged.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "conv_result")).select(RESULT_COLUMNS),
-        batch_format="pyarrow",
-    )
-    boundary = merged.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "segment")).select(SEG_COLS),
-        batch_format="pyarrow",
-    ).to_pandas()
-    boundary_res = merge_segments_frame(boundary)
+        conv_res = merged.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "conv_result")).select(RESULT_COLUMNS),
+            batch_format="pyarrow",
+        )
+        boundary = merged.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "segment")).select(SEG_COLS),
+            batch_format="pyarrow",
+        ).to_pandas()
+        boundary_res = merge_segments_frame(boundary)
 
-    interior_exact = conv_res.map_batches(
-        lambda t: t.filter(pc.equal(t["needs_exact"], True)).select(["conv_id"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    # an all-empty Dataset can reach pandas without columns — guard
-    interior_ids = (
-        set(interior_exact["conv_id"]) if "conv_id" in interior_exact.columns else set()
-    )
-    exact_ids = sorted(
-        interior_ids | set(boundary_res.loc[boundary_res["needs_exact"], "conv_id"])
-    )
-    exact_res, exact_rowdups = (
-        _exact_pass(pending, exact_ids) if exact_ids else (None, None)
-    )
+        interior_exact = conv_res.map_batches(
+            lambda t: t.filter(pc.equal(t["needs_exact"], True)).select(["conv_id"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        # an all-empty Dataset can reach pandas without columns — guard
+        interior_ids = (
+            set(interior_exact["conv_id"]) if "conv_id" in interior_exact.columns else set()
+        )
+        exact_ids = sorted(
+            interior_ids | set(boundary_res.loc[boundary_res["needs_exact"], "conv_id"])
+        )
+        exact_res, exact_rowdups = (
+            _exact_pass(pending, exact_ids) if exact_ids else (None, None)
+        )
 
-    # interior conversation violations stay distributed (vectorized per batch)
-    vio_conv_ds = conv_res.map_batches(
-        lambda df, r=registry: vio_frame_to_table(
-            conv_violations(df[~df["needs_exact"]], r)
-        ),
-        batch_format="pandas",
-    )
-    driver_results = boundary_res[~boundary_res["needs_exact"]]
+        # interior conversation violations stay distributed (vectorized per batch)
+        vio_conv_ds = conv_res.map_batches(
+            lambda df, r=registry: vio_frame_to_table(
+                conv_violations(df[~df["needs_exact"]], r)
+            ),
+            batch_format="pandas",
+        )
+        driver_results = boundary_res[~boundary_res["needs_exact"]]
     if exact_res is not None:
         driver_results = pd.concat([driver_results, exact_res], ignore_index=True)
     extras = conv_violations(driver_results, registry)
@@ -304,13 +336,17 @@ def validate_dir(
     import ray.data as _rd
 
     extras_all = pd.concat([extras, agg_vio], ignore_index=True)
-    vio_all = vio_row_ds.union(vio_conv_ds)
+    vio_all = vio_row_ds if vio_conv_ds is None else vio_row_ds.union(vio_conv_ds)
     if len(extras_all):
         vio_all = vio_all.union(_rd.from_arrow(vio_frame_to_table(extras_all)))
     vio_all = vio_all.materialize()
     if write_violations and run_dir:
         vio_all.write_parquet(os.path.join(run_dir, "violations"))
-    counts_df = vio_all.groupby(["shard", "severity"]).count().to_pandas()
+    from ..stages.keyed_reduce import combine_low_card
+
+    counts_df = combine_low_card(
+        vio_all, ["shard", "severity"], {"count()": ("rule_id", "count")}
+    )
     report["stages"]["violations"] = {
         "time_s": round(time.time() - t_vio, 3),
         "total": int(counts_df["count()"].sum()) if len(counts_df) else 0,
@@ -371,29 +407,62 @@ def validate_dir(
     return report
 
 
-def _exact_pass(pending: list[str], conv_ids: list[str]):
-    """Exact conversation re-check: filtered re-read of just the flagged
-    conversations (tiny; full columns so whole-row duplicates are decidable).
-    Uses Parquet predicate pushdown when the installed Ray supports the
-    ``filter`` expression kwarg, else a vectorized post-read filter."""
+def _filtered_read(pending: list[str], conv_ids: list[str], columns: list[str]):
+    """Column-pruned, conv-filtered re-read -> pandas with a shard column.
+    Small file counts read directly with pyarrow on the driver (no Ray
+    execution latency); larger inputs use a distributed read with Parquet
+    predicate pushdown when this Ray supports the ``filter`` kwarg, else a
+    vectorized post-read filter (projection still applies)."""
     import ray.data as rd
 
+    idset = set(conv_ids)
+    if len(pending) <= 256:
+        frames = []
+        flt = [("conv_id", "in", list(idset))]
+        for p in pending:
+            t = pq.read_table(p, columns=columns, filters=flt)
+            if t.num_rows:
+                df = t.to_pandas()
+                df["shard"] = os.path.basename(p)
+                frames.append(df)
+        if not frames:
+            return pd.DataFrame(columns=columns + ["shard"])
+        return pd.concat(frames, ignore_index=True)
     try:
         ds = rd.read_parquet(
-            pending, filter=pc.field("conv_id").isin(conv_ids), include_paths=True
+            pending, columns=columns,
+            filter=pc.field("conv_id").isin(conv_ids), include_paths=True,
         )
         frames = ds.to_pandas()
     except Exception:
-        ds = rd.read_parquet(pending, include_paths=True)
-        idset = set(conv_ids)
+        ds = rd.read_parquet(pending, columns=columns, include_paths=True)
         frames = ds.map_batches(
             lambda df: df[df["conv_id"].isin(idset)], batch_format="pandas"
         ).to_pandas()
     if len(frames) == 0:
-        return exact_conv_frame(frames.assign(shard=[]))
+        return pd.DataFrame(columns=columns + ["shard"])
     frames["shard"] = frames["path"].map(os.path.basename)
-    frames = frames[frames["conv_id"].isin(set(conv_ids))]
-    return exact_conv_frame(frames.drop(columns=["path"]))
+    return frames[frames["conv_id"].isin(idset)].drop(columns=["path"])
+
+
+def _exact_pass(pending: list[str], conv_ids: list[str]):
+    """Exact conversation re-check for flagged conversations. Two stages so
+    the common case never touches ``text``:
+      A. key columns only (conv_id, turn_idx, ts) -> uniqueness, contiguity,
+         monotonicity, shard-referential.
+      B. only for convs that actually have duplicate keys: re-read with
+         content columns to decide whole-row duplicates."""
+    frames = _filtered_read(pending, conv_ids, ["conv_id", "turn_idx", "ts"])
+    results, _ = exact_conv_frame(frames)
+    dup_convs = sorted(results.loc[results["dup_turns"] > 0, "conv_id"])
+    if not dup_convs:
+        return results, pd.DataFrame(columns=["conv_id", "turn_idx"])
+    full = _filtered_read(
+        pending, dup_convs,
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    _, rowdups = exact_conv_frame(full)
+    return results, rowdups
 
 
 def _write_summary(run_dir: str | None, report: dict) -> None:

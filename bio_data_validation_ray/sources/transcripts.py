@@ -53,9 +53,12 @@ def generate(
     hot_convs: int = 2,
     hot_len: int = 1500,
     n_shards: int = N_SHARDS,
+    conv_offset: int = 0,
 ) -> tuple[pa.Table, np.ndarray]:
     """Return (table, shard_assignment). Rows are sorted by (conv, turn)
     except for appended duplicate rows (which land at the end of their shard).
+    ``conv_offset`` shifts conv ids/shards for chunked generation of very
+    large tables (each chunk is independent and memory-bounded).
     """
     rng = np.random.default_rng(seed)
 
@@ -66,7 +69,7 @@ def generate(
     total = int(lengths.sum())
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
 
-    conv_idx = np.repeat(np.arange(n_convs), lengths)
+    conv_idx = np.repeat(np.arange(conv_offset, conv_offset + n_convs), lengths)
     turn_idx = (np.arange(total) - np.repeat(offsets, lengths)).astype(np.int64)
 
     # roles: turn0=system, then user/assistant alternating, ~8% tool turns
@@ -108,7 +111,9 @@ def generate(
     if violations:
         n_seed = max(3, total // 2000)
         # eligible rows: not turn 0 and not in the hot convs (keeps recipes local)
-        eligible = np.flatnonzero((turn_idx >= 2) & (conv_idx >= hot_convs))
+        eligible = np.flatnonzero(
+            (turn_idx >= 2) & (conv_idx >= conv_offset + hot_convs)
+        )
         perm = rng.permutation(eligible)
         _used: list[int] = []
 
@@ -182,7 +187,7 @@ def generate(
 
         # V12: conversations spanning shards — odd turns to a different shard
         span_convs = (np.arange(max(2, n_seed // 2)) * 13 + hot_convs + 3) % n_convs
-        span_convs = np.unique(span_convs[span_convs >= hot_convs])
+        span_convs = np.unique(span_convs[span_convs >= hot_convs]) + conv_offset
         span_mask = np.isin(conv_idx, span_convs) & (turn_idx % 2 == 1)
         shard[span_mask] = (shard[span_mask] + 1) % n_shards
 
@@ -212,6 +217,7 @@ def ensure_transcripts(
     n_convs: int | None = None,
     seed: int = 42,
     n_shards: int = N_SHARDS,
+    mean_len: int = 18,
 ) -> str:
     """Generate-and-cache the transcript table for a scale factor (or an
     explicit ``n_convs``). Returns the directory of shard_*.parquet files.
@@ -220,21 +226,41 @@ def ensure_transcripts(
     sf = sf_name_of(sf)
     if n_convs is None:
         n_convs = SF_N_CONVS.get(sf, SF_N_CONVS["sf0.01"])
-    tag = f"{sf}-n{n_convs}-s{seed}" + ("-clean" if clean else "")
+    tag = f"{sf}-n{n_convs}-s{seed}" + (f"-m{mean_len}" if mean_len != 18 else "") \
+        + ("-clean" if clean else "")
     out_dir = os.path.join(CACHE_ROOT, f"v{GENERATOR_VERSION}", tag)
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         return out_dir
-    table, shard = generate(
-        n_convs, seed=seed, violations=not clean, n_shards=n_shards
-    )
     tmp = out_dir + f".tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
-    for s in range(n_shards):
-        mask = shard == s
-        if not mask.any():
-            continue
-        sub = table.filter(pa.array(mask))
-        pq.write_table(sub, os.path.join(tmp, f"shard_{s:04d}.parquet"))
+    # convs per generation chunk — bounds peak memory at ~4.5M rows/chunk
+    CHUNK = max(1000, 4_500_000 // mean_len)
+    if n_convs <= CHUNK:
+        table, shard = generate(
+            n_convs, seed=seed, violations=not clean, n_shards=n_shards,
+            mean_len=mean_len,
+        )
+        for s in range(n_shards):
+            mask = shard == s
+            if not mask.any():
+                continue
+            sub = table.filter(pa.array(mask))
+            pq.write_table(sub, os.path.join(tmp, f"shard_{s:04d}.parquet"))
+    else:
+        for ci, off in enumerate(range(0, n_convs, CHUNK)):
+            nc = min(CHUNK, n_convs - off)
+            table, shard = generate(
+                nc, seed=seed + ci, violations=not clean,
+                n_shards=n_shards, conv_offset=off, mean_len=mean_len,
+            )
+            for s in range(n_shards):
+                mask = shard == s
+                if not mask.any():
+                    continue
+                sub = table.filter(pa.array(mask))
+                pq.write_table(
+                    sub, os.path.join(tmp, f"shard_{s:04d}_c{ci:03d}.parquet")
+                )
     try:
         os.rename(tmp, out_dir)
     except OSError:

@@ -119,13 +119,21 @@ def merge_segments_frame(seg: pd.DataFrame) -> pd.DataFrame:
         max_ts=("seg_max_ts", "max"),
         mono_local=("seg_mono_ok", "all"),
         n_shards=("shard", "nunique"),
-        shards=("shard", lambda s: ",".join(sorted(set(s)))),
     )
     # main shard = shard holding the most rows of the conv
     by_shard = seg.groupby(["conv_id", "shard"], sort=True)["seg_n"].sum().reset_index()
     by_shard = by_shard.sort_values(["conv_id", "seg_n", "shard"],
                                     ascending=[True, False, True], kind="stable")
     agg["main_shard"] = by_shard.drop_duplicates("conv_id").set_index("conv_id")["shard"]
+    # shard-list string: per-group Python only for the rare multi-shard convs
+    agg["shards"] = agg["main_shard"]
+    multi = agg.index[agg["n_shards"] > 1]
+    if len(multi):
+        sub = seg[seg["conv_id"].isin(set(multi))]
+        joined = sub.groupby("conv_id")["shard"].agg(
+            lambda s: ",".join(sorted(set(s)))
+        )
+        agg.loc[multi, "shards"] = joined
 
     flags = tmp.groupby("conv_id", sort=True).agg(
         overlap=("overlap", "any"), cross_bad=("cross_bad", "any")
@@ -187,7 +195,6 @@ def exact_conv_frame(
         min_ts=("ts", "min"),
         max_ts=("ts", "max"),
         n_shards=("shard", "nunique"),
-        shards=("shard", lambda s: ",".join(sorted(set(s)))),
     )
     by_shard = df.assign(shard=rows["shard"].to_numpy(dtype=object)).groupby(
         ["conv_id", "shard"], sort=True
@@ -195,6 +202,14 @@ def exact_conv_frame(
     by_shard = by_shard.sort_values(["conv_id", "n", "shard"],
                                     ascending=[True, False, True], kind="stable")
     agg["main_shard"] = by_shard.drop_duplicates("conv_id").set_index("conv_id")["shard"]
+    agg["shards"] = agg["main_shard"]
+    multi = agg.index[agg["n_shards"] > 1]
+    if len(multi):
+        sub = df.assign(shard=rows["shard"].to_numpy(dtype=object))
+        sub = sub[sub["conv_id"].isin(set(multi))]
+        agg.loc[multi, "shards"] = sub.groupby("conv_id")["shard"].agg(
+            lambda s: ",".join(sorted(set(s)))
+        )
     mono_bad = per_run.groupby("conv_id", sort=True)["bad"].any()
     agg["mono_ok"] = ~mono_bad.reindex(agg.index).fillna(False)
     agg["n_distinct"] = agg["n_rows"] - agg["dup_in"]

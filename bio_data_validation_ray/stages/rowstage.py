@@ -157,22 +157,37 @@ class ValidateBatch:
         turn_np = turn.to_numpy(zero_copy_only=False).astype(np.int64)
         ts_np = t[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         codes, uniq_vals = pd.factorize(conv_np)
-        rowhash = self._row_hash(t, ts_np)
-        order = np.lexsort((rowhash, ts_np, turn_np, codes))
+        order = np.lexsort((ts_np, turn_np, codes))
         cs, ti, tsv = codes[order], turn_np[order], ts_np[order]
 
         # whole-row exact duplicates (DUP_001 analog, rule_validator.py:261-271):
-        # identical rows share (conv_id, turn_idx) so they sort adjacent here;
-        # cross-batch copies surface as overlapping segments -> exact fallback.
-        rh = rowhash[order]
+        # identical rows share (conv_id, turn_idx, ts) so they sort adjacent
+        # here; the content hash is computed LAZILY, only for rows inside
+        # equal-key runs (rare), keeping hashing off the per-row hot path.
+        # Cross-batch copies surface as overlapping segments -> exact fallback.
         if self.rowdup_spec is not None:
-            full_dup = (
+            same_key = (
                 (cs[1:] == cs[:-1])
                 & (ti[1:] == ti[:-1])
                 & (tsv[1:] == tsv[:-1])
-                & (rh[1:] == rh[:-1])
             )
-            didx = np.flatnonzero(full_dup) + 1
+            cand = np.flatnonzero(same_key)
+            didx = np.zeros(0, dtype=np.int64)
+            if cand.size:
+                rows_in_runs = np.unique(np.concatenate([cand, cand + 1]))
+                sub = t.take(pa.array(order[rows_in_runs]))
+                sub_hash = self._row_hash(sub, tsv[rows_in_runs])
+                # runs = maximal consecutive positions sharing (conv,turn,ts);
+                # a row is a duplicate copy if its hash already appeared in
+                # its run (exact for any run length / interleaving)
+                run_ids = np.concatenate(
+                    [[0], np.cumsum(np.diff(rows_in_runs) != 1)]
+                )
+                rdf = pd.DataFrame(
+                    {"run": run_ids, "h": sub_hash, "pos": rows_in_runs}
+                )
+                dup_rows = rdf[rdf.duplicated(["run", "h"], keep="first")]
+                didx = dup_rows["pos"].to_numpy()
             if didx.size:
                 spec = self.rowdup_spec
                 parts.append(

@@ -1,0 +1,207 @@
+"""Tests for the training-data operators: dedup family, similarity search,
+text stats, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+class TestDedup:
+    def test_exact_dedup_groups(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import exact_dedup_groups
+
+        df = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5], "text": ["a", "b", "a", "c", "a"]}
+        )
+        out = exact_dedup_groups(rd.from_pandas(df))
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        assert out.loc[out["doc_id"] == 1, "n_copies"].iloc[0] == 3
+        assert set(out["doc_id"]) == {1, 2, 4}
+
+    def test_minhash_finds_planted_near_dups(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import minhash_near_dups
+
+        rng = np.random.default_rng(5)
+        words = [f"w{i}" for i in range(500)]
+        docs = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+        near = docs[0].replace("w", "x", 1)  # tiny edit -> high jaccard
+        df = pd.DataFrame(
+            {"doc_id": range(41), "text": docs + [near]}
+        )
+        pairs = minhash_near_dups(
+            rd.from_pandas(df), threshold=0.6, concurrency=2
+        )
+        assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 40)).any()
+        assert (pairs["jaccard"] >= 0.6).all()
+
+    def test_jaccard_exact(self):
+        from bio_data_validation_ray.functions.dedup import jaccard
+
+        assert jaccard("abcdefgh", "abcdefgh") == 1.0
+        assert jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+    def test_simhash_similar_texts_close(self):
+        from bio_data_validation_ray.functions.dedup import hamming64, simhash64
+
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = a.replace("lazy", "hazy")
+        c = "completely different content with other words entirely " * 5
+        hab = hamming64(np.array([simhash64(a)]), np.array([simhash64(b)]))[0]
+        hac = hamming64(np.array([simhash64(a)]), np.array([simhash64(c)]))[0]
+        assert hab < hac
+        assert hab <= 12
+
+    def test_embedding_near_dups(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import embedding_near_dups
+
+        rng = np.random.default_rng(9)
+        base = rng.standard_normal((20, 16)).astype(np.float32)
+        base[7] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+        df = pd.DataFrame(
+            {"vec_id": range(20), "embedding": [list(v) for v in base]}
+        )
+        out = embedding_near_dups(rd.from_pandas(df), threshold=0.98)
+        assert ((out["id_a"] == 3) & (out["id_b"] == 7)).any()
+
+
+class TestSimilarity:
+    def test_topk_exact_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.similarity import topk_cosine
+
+        rng = np.random.default_rng(11)
+        m = rng.standard_normal((200, 32))
+        q = rng.standard_normal(32)
+        df = pd.DataFrame(
+            {"vec_id": range(200), "embedding": [list(v) for v in m]}
+        )
+        out = topk_cosine(rd.from_pandas(df), q, k=5, batch_size=64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ (q / np.linalg.norm(q)), 6)
+        expect = np.lexsort((np.arange(200), -sims))[:5]
+        assert list(out["vec_id"]) == list(expect)
+
+    def test_ivf_recall_on_clustered_data(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.similarity import (
+            IVFIndex,
+            ivf_topk,
+            topk_cosine,
+        )
+
+        rng = np.random.default_rng(13)
+        centers = rng.standard_normal((8, 32)) * 5
+        pts = np.concatenate(
+            [c + rng.standard_normal((50, 32)) for c in centers]
+        )
+        df = pd.DataFrame(
+            {"vec_id": range(len(pts)), "embedding": [list(v) for v in pts]}
+        )
+        ds = rd.from_pandas(df)
+        index = IVFIndex.train(pts[::3], n_lists=8)
+        q = centers[2] + rng.standard_normal(32) * 0.1
+        exact = topk_cosine(ds, q, k=10)
+        approx = ivf_topk(ds, q, k=10, index=index, nprobe=3)
+        recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+        assert recall >= 0.8
+
+
+class TestTextStats:
+    def test_token_count_vs_python(self):
+        from bio_data_validation_ray.functions.textstats import add_token_count
+
+        texts = ["a b  c", "  leading", "trailing  ", "", "one"]
+        t = pa.table({"text": texts})
+        out = add_token_count(t)["n_tokens"].to_pylist()
+        assert out == [len(s.split()) for s in texts]
+
+    def test_langid(self):
+        from bio_data_validation_ray.functions.textstats import LangId
+
+        li = LangId()
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "the cat and the dog sat in a corner of the room",
+                    "der Hund und die Katze ist ein Tier nicht zu",
+                    "le chat est une petite chose pour que les gens",
+                    "xyzzy qwerty",
+                ]
+            }
+        )
+        out = li(df)
+        assert list(out["lang_pred"]) == ["en", "de", "fr", "und"]
+
+    def test_rolling_hash_shift_invariance(self):
+        from bio_data_validation_ray.functions.textstats import rolling_hashes
+
+        a = rolling_hashes("hello world, this is content", window=8)
+        b = rolling_hashes("XXhello world, this is content", window=8)
+        # shared windows produce identical hashes regardless of prefix
+        assert len(set(a) & set(b)) >= len(a) - 2
+
+
+class TestMultimodal:
+    def test_featurizer_plumbing(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.multimodal import (
+            FEATURE_DIM,
+            MediaFeaturizer,
+            synthesize_media_table,
+        )
+
+        t = synthesize_media_table(64)
+        out = rd.from_arrow(t).map_batches(
+            MediaFeaturizer,
+            fn_constructor_kwargs={"fake_decode": True},
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+        ).to_pandas()
+        assert len(out) == 64
+        assert "payload" not in out.columns  # heavy bytes dropped
+        assert all(len(f) == FEATURE_DIM for f in out["feature"])
+        # deterministic: same payload -> same feature
+        out2 = rd.from_arrow(t).map_batches(
+            MediaFeaturizer,
+            fn_constructor_kwargs={"fake_decode": True},
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=2,
+        ).to_pandas()
+        f1 = out.sort_values("media_id")["feature"].iloc[0]
+        f2 = out2.sort_values("media_id")["feature"].iloc[0]
+        assert np.allclose(list(f1), list(f2))
+
+    def test_decode_stub_raises(self):
+        from bio_data_validation_ray.functions.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"not-an-image")
+
+    def test_frame_sampler_fanout(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.multimodal import (
+            FrameSampler,
+            synthesize_media_table,
+        )
+
+        t = synthesize_media_table(30)
+        n_videos = sum(1 for k in t["kind"].to_pylist() if k == "video")
+        out = rd.from_arrow(t).map_batches(
+            FrameSampler, fn_constructor_kwargs={"k": 4},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert len(out) == n_videos * 4
+        assert set(out["frame_idx"]) == {0, 1, 2, 3}

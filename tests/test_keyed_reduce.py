@@ -1,0 +1,96 @@
+"""Tests for the vectorized keyed reduce (the engine's grouped-aggregate
+replacement for high-cardinality keys)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def expected(df, keys, spec):
+    agg = {}
+    for out, (src, how) in spec.items():
+        agg[out] = (src, "size" if how == "count" else how)
+    return df.groupby(keys, as_index=False).agg(**agg)
+
+
+class TestKeyedReduce:
+    def test_high_cardinality_exact(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.stages.keyed_reduce import keyed_reduce_pandas
+
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5000, 20_000),
+                "v": rng.integers(0, 100, 20_000),
+            }
+        )
+        spec = {"n": ("v", "count"), "s": ("v", "sum"),
+                "mn": ("v", "min"), "mx": ("v", "max")}
+        got = keyed_reduce_pandas(rd.from_pandas(df).repartition(16), ["k"], spec)
+        want = expected(df, ["k"], spec).sort_values("k").reset_index(drop=True)
+        got = got.astype({c: np.int64 for c in ["k", "n", "s", "mn", "mx"]})
+        want = want.astype({c: np.int64 for c in ["k", "n", "s", "mn", "mx"]})
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_every_key_unique(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.stages.keyed_reduce import keyed_reduce_pandas
+
+        df = pd.DataFrame({"k": np.arange(3000), "v": np.arange(3000) * 2})
+        got = keyed_reduce_pandas(
+            rd.from_pandas(df).repartition(8), ["k"], {"s": ("v", "sum")}
+        )
+        assert len(got) == 3000
+        assert (got["s"].to_numpy() == got["k"].to_numpy() * 2).all()
+
+    def test_single_key_all_rows(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.stages.keyed_reduce import keyed_reduce_pandas
+
+        df = pd.DataFrame({"k": ["x"] * 5000, "v": np.arange(5000)})
+        got = keyed_reduce_pandas(
+            rd.from_pandas(df).repartition(4), ["k"], {"s": ("v", "sum"), "n": ("v", "count")}
+        )
+        assert len(got) == 1
+        assert int(got["s"].iloc[0]) == int(df["v"].sum())
+        assert int(got["n"].iloc[0]) == 5000
+
+    def test_combine_low_card(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.stages.keyed_reduce import combine_low_card
+
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame(
+            {"k": rng.choice(["a", "b", "c"], 10_000), "v": rng.integers(0, 9, 10_000)}
+        )
+        spec = {"n": ("v", "count"), "s": ("v", "sum")}
+        got = combine_low_card(rd.from_pandas(df).repartition(8), ["k"], spec)
+        want = expected(df, ["k"], spec)
+        got = got.sort_values("k").reset_index(drop=True)
+        want = want.sort_values("k").reset_index(drop=True)
+        assert got["n"].tolist() == want["n"].tolist()
+        assert got["s"].tolist() == want["s"].tolist()
+
+    def test_multi_key(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.stages.keyed_reduce import keyed_reduce_pandas
+
+        rng = np.random.default_rng(6)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["p", "q"], 8000),
+                "b": rng.integers(0, 500, 8000),
+                "v": rng.integers(0, 50, 8000),
+            }
+        )
+        spec = {"n": ("v", "count"), "mx": ("v", "max")}
+        got = keyed_reduce_pandas(rd.from_pandas(df).repartition(8), ["a", "b"], spec)
+        want = expected(df, ["a", "b"], spec).sort_values(["a", "b"]).reset_index(drop=True)
+        assert got["n"].tolist() == want["n"].tolist()
+        assert got["mx"].tolist() == want["mx"].tolist()
