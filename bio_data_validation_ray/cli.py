@@ -1,0 +1,113 @@
+"""CLI entry point — the analog of the reference's ``validate-bio validate``
+command (src/cli/commands/validate.py:88-163) with its exit-code contract
+(0 = accepted, 1 = rejected/conditional; validate_bio.py:47-51) and
+text/json output formatters (src/cli/formatters/).
+
+Usage:
+    python -m bio_data_validation_ray.cli validate <input_dir>
+        [--run-dir DIR] [--rules RULES.yml] [--baseline BASELINE.json]
+        [--format text|json] [--no-resume] [--strict]
+
+Owns its Ray session (scripts own sessions; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _fmt_text(report: dict) -> str:
+    lines = [
+        f"validation {report.get('validation_id', '?')}",
+        f"  input:     {report.get('input_dir')}",
+        f"  ruleset:   v{report['ruleset_metadata']['rules_version']} "
+        f"(hash {report['ruleset_metadata']['rules_hash']})",
+        f"  decision:  {report.get('final_decision')}",
+        f"  rationale: {report.get('rationale', '')}",
+    ]
+    sc = report.get("severity_counts")
+    if sc:
+        lines.append(
+            "  issues:    "
+            + ", ".join(f"{k}={v}" for k, v in sc.items() if v)
+        )
+    if report.get("rows_scanned") is not None:
+        lines.append(
+            f"  scanned:   {report['rows_scanned']} turns in "
+            f"{report.get('execution_time_s')}s "
+            f"({report.get('turns_per_sec')} turns/s)"
+        )
+    for shard, v in sorted(report.get("per_shard", {}).items()):
+        lines.append(
+            f"    {shard}: {v['decision']} "
+            f"({', '.join(f'{k}={n}' for k, n in v['severity_counts'].items() if n)}"
+            f" rows={v['rows_scanned']})"
+        )
+    for issue in report.get("top_issues", [])[:10]:
+        lines.append(
+            f"  [{issue['severity']}] {issue['rule_id']} "
+            f"conv={issue.get('conv_id')} turn={issue.get('turn_idx')} "
+            f"value={issue.get('offending_value')}"
+        )
+    return "\n".join(lines)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bio_data_validation_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    v = sub.add_parser("validate", help="validate a directory of Parquet shards")
+    v.add_argument("input_dir")
+    v.add_argument("--run-dir", default=None)
+    v.add_argument("--rules", default=None, help="YAML ruleset path")
+    v.add_argument("--baseline", default=None, help="baseline digests JSON path")
+    v.add_argument("--format", choices=["text", "json"], default="text")
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from .pipelines.validate import validate_dir
+    from .registry import from_yaml
+
+    registry = None
+    if args.rules:
+        with open(args.rules) as fh:
+            registry = from_yaml(fh.read())
+    baseline_json = None
+    if args.baseline:
+        with open(args.baseline) as fh:
+            baseline_json = fh.read()
+
+    report = validate_dir(
+        args.input_dir,
+        registry=registry,
+        run_dir=args.run_dir,
+        baseline_json=baseline_json,
+        resume=not args.no_resume,
+    )
+    if args.format == "json":
+        print(json.dumps(report, indent=2, default=str))
+    else:
+        print(_fmt_text(report))
+    ray.shutdown()
+    decision = report.get("final_decision", "rejected")
+    return 0 if decision in ("accepted", "accepted_from_checkpoint") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -369,6 +369,97 @@ def events_props_k(sf_dir):
     return out
 
 
+def events_daily(sf_dir):
+    """Tumbling-window (daily) aggregate per event type — the batch
+    re-expression of a time-window groupby (ray_guide streaming-shaped
+    pattern; no watermarks needed, the input is a bounded log)."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.floor("D")
+        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        return df[["event_type", "day", "cents"]]
+
+    out = combine_low_card(
+        ds.map_batches(bucket, batch_format="pandas"),
+        ["event_type", "day"],
+        {"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def cust_orders_join(sf_dir):
+    """Broadcast (small-side) join: orders x customer -> revenue per market
+    segment. The dimension table ships once via ray.put; each batch does a
+    vectorized map — no shuffle (ray_guide join pattern #1)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card
+
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_of = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def joined(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(seg_of)
+        df["c_mktsegment"] = df["o_custkey"].map(m)
+        df["cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        return df[["c_mktsegment", "cents"]]
+
+    out = combine_low_card(
+        ds.map_batches(joined, batch_format="pandas"),
+        ["c_mktsegment"],
+        {"n_orders": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def li_orders_join(sf_dir):
+    """lineitem x orders join keyed on orderkey: pre-aggregate the fact side
+    per key inside map_batches, then broadcast-join the (much smaller)
+    per-order partials against the orders dimension."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card, keyed_reduce_pandas
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df["qty"] = np.round(df["l_quantity"]).astype(np.int64)
+        return df[["l_orderkey", "qty"]]
+
+    per_order = keyed_reduce_pandas(
+        li.map_batches(prep, batch_format="pandas"),
+        ["l_orderkey"],
+        {"n_items": ("qty", "count"), "sum_qty": ("qty", "sum")},
+    )
+    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderstatus"])
+    j = per_order.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    out = j.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("l_orderkey", "nunique"),
+        n_items=("n_items", "sum"),
+        sum_qty=("sum_qty", "sum"),
+    )
+    for c in ("n_orders", "n_items", "sum_qty"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def doc_dedup_exact(sf_dir):
     import ray.data as rd
 
@@ -570,6 +661,9 @@ QUERIES = {
     "events_validate": events_validate,
     "events_by_type": events_by_type,
     "events_props_k": events_props_k,
+    "events_daily": events_daily,
+    "cust_orders_join": cust_orders_join,
+    "li_orders_join": li_orders_join,
     "doc_dedup_exact": doc_dedup_exact,
     "doc_token_count": doc_token_count,
     "doc_quality": doc_quality,
@@ -670,6 +764,22 @@ SELECT event_type, count(*) AS n,
        CAST(min(user_id) AS BIGINT) AS min_user,
        CAST(max(user_id) AS BIGINT) AS max_user
 FROM events GROUP BY event_type""",
+        "events_daily": """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+       CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type, date_trunc('day', ts)""",
+        "cust_orders_join": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+        "li_orders_join": """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus""",
         "events_props_k": """
 SELECT event_type,
        CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

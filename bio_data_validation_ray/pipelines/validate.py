@@ -141,13 +141,23 @@ def validate_dir(
 
     # ---- stage B: the single scan ----
     t_scan = time.time()
-    # one block per input file + whole-block batches: batch boundaries align
-    # to shard files, so conversations written contiguously stay within one
+    # Whole files per block + whole-block batches: batch boundaries align to
+    # shard files, so conversations written contiguously stay within one
     # ValidateBatch call and only genuinely shard-spanning conversations take
     # the exact-fallback path. The scanner batch_size stops pyarrow from
     # slicing files into 10k-row record batches (each would become a block).
+    # Read-task count is CPU-aware: one task per file pays ~10ms of driver
+    # scheduling each, which serializes at thousands of files; packing a few
+    # files per task keeps the driver off the critical path.
+    import ray as _ray
+
+    ncpu = (
+        int(_ray.cluster_resources().get("CPU", 8))
+        if _ray.is_initialized() else 8
+    )
+    n_read_tasks = min(len(pending), max(64, 4 * ncpu))
     read_kwargs: dict = {"include_paths": True,
-                         "override_num_blocks": len(pending)}
+                         "override_num_blocks": n_read_tasks}
     try:
         ds = rd.read_parquet(pending, batch_size=1_000_000, **read_kwargs)
         ds.schema()  # force plan validation so a bad kwarg fails here
@@ -176,9 +186,21 @@ def validate_dir(
             batch_format="pyarrow",
         )
 
+    # Driver mode: when the compact derived stream is small (the single-node
+    # common case) collect it ONCE and do everything else in pandas — every
+    # extra Ray execution costs ~0.5-1s of launch latency, which is pure
+    # serial time. The distributed branches below are the 100 TB path.
+    driver_cap = 5_000_000
+    driver_mode = out.count() <= driver_cap
+    out_df = out.to_pandas() if driver_mode else None
+
     # ---- stage D (first: sketches are needed for drift + shard row counts) --
     t_stats = time.time()
-    sk = pick("sketch", ["shard", "sketch_name", "payload"]).to_pandas()
+    if driver_mode:
+        sk = out_df.loc[out_df["kind"] == "sketch",
+                        ["shard", "sketch_name", "payload"]]
+    else:
+        sk = pick("sketch", ["shard", "sketch_name", "payload"]).to_pandas()
     stats = reduce_sketches(sk)
     report["stages"]["stats"] = {
         "time_s": round(time.time() - t_stats, 3),
@@ -195,15 +217,15 @@ def validate_dir(
     #    per-batch, stitching only each batch's first/last conversation.
     t_conv = time.time()
     vio_conv_ds = None
-    driver_segment_cap = 5_000_000
-    if out.count() <= driver_segment_cap:
-        seg_df = pick("segment", SEG_COLS).to_pandas()
-        if "conv_id" not in seg_df.columns:
-            seg_df = pd.DataFrame(columns=SEG_COLS)
+    if driver_mode:
+        seg_df = out_df.loc[out_df["kind"] == "segment", SEG_COLS]
         all_res = merge_segments_frame(seg_df)
-        exact_ids = sorted(all_res.loc[all_res["needs_exact"], "conv_id"])
+        flagged = all_res.loc[all_res["needs_exact"], ["conv_id", "shards"]]
+        exact_ids = sorted(flagged["conv_id"])
+        conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))
         exact_res, exact_rowdups = (
-            _exact_pass(pending, exact_ids) if exact_ids else (None, None)
+            _exact_pass(pending, exact_ids, conv_shards)
+            if exact_ids else (None, None)
         )
         driver_results = all_res[~all_res["needs_exact"]]
     else:
@@ -226,18 +248,21 @@ def validate_dir(
         boundary_res = merge_segments_frame(boundary)
 
         interior_exact = conv_res.map_batches(
-            lambda t: t.filter(pc.equal(t["needs_exact"], True)).select(["conv_id"]),
+            lambda t: t.filter(pc.equal(t["needs_exact"], True)).select(
+                ["conv_id", "shards"]
+            ),
             batch_format="pyarrow",
         ).to_pandas()
         # an all-empty Dataset can reach pandas without columns — guard
-        interior_ids = (
-            set(interior_exact["conv_id"]) if "conv_id" in interior_exact.columns else set()
-        )
-        exact_ids = sorted(
-            interior_ids | set(boundary_res.loc[boundary_res["needs_exact"], "conv_id"])
-        )
+        if "conv_id" not in interior_exact.columns:
+            interior_exact = pd.DataFrame(columns=["conv_id", "shards"])
+        bflag = boundary_res.loc[boundary_res["needs_exact"], ["conv_id", "shards"]]
+        flagged = pd.concat([interior_exact, bflag], ignore_index=True)
+        exact_ids = sorted(set(flagged["conv_id"]))
+        conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))
         exact_res, exact_rowdups = (
-            _exact_pass(pending, exact_ids) if exact_ids else (None, None)
+            _exact_pass(pending, exact_ids, conv_shards)
+            if exact_ids else (None, None)
         )
 
         # interior conversation violations stay distributed (vectorized per batch)
@@ -316,37 +341,62 @@ def validate_dir(
 
     # ---- violations sink + severity counts ----
     t_vio = time.time()
-    vio_row_ds = pick("violation", VIO_COLS)
-    if exact_ids and rowdup_spec:
-        # rowstage's within-batch DUP_001 detections for exact-fallback convs
-        # are superseded by the exact pass (which sees the whole conversation)
-        eset = frozenset(exact_ids)
-        rid = rowdup_spec.rule_id
-
-        def _drop_superseded(t: pa.Table) -> pa.Table:
-            keep = pc.invert(
-                pc.and_(
-                    pc.equal(t["rule_id"], rid),
-                    pc.is_in(t["conv_id"], value_set=pa.array(list(eset))),
-                )
-            )
-            return t.filter(keep)
-
-        vio_row_ds = vio_row_ds.map_batches(_drop_superseded, batch_format="pyarrow")
-    import ray.data as _rd
-
     extras_all = pd.concat([extras, agg_vio], ignore_index=True)
-    vio_all = vio_row_ds if vio_conv_ds is None else vio_row_ds.union(vio_conv_ds)
-    if len(extras_all):
-        vio_all = vio_all.union(_rd.from_arrow(vio_frame_to_table(extras_all)))
-    vio_all = vio_all.materialize()
-    if write_violations and run_dir:
-        vio_all.write_parquet(os.path.join(run_dir, "violations"))
-    from ..stages.keyed_reduce import combine_low_card
+    if driver_mode:
+        vio_rows = out_df.loc[out_df["kind"] == "violation", VIO_COLS]
+        if exact_ids and rowdup_spec:
+            # within-batch DUP_001 detections for exact-fallback convs are
+            # superseded by the exact pass (it sees the whole conversation)
+            eset = set(exact_ids)
+            drop = (vio_rows["rule_id"] == rowdup_spec.rule_id) & vio_rows[
+                "conv_id"
+            ].isin(eset)
+            vio_rows = vio_rows[~drop]
+        all_vio = pd.concat([vio_rows, extras_all], ignore_index=True)
+        if write_violations and run_dir:
+            vdir = os.path.join(run_dir, "violations")
+            os.makedirs(vdir, exist_ok=True)
+            pq.write_table(
+                vio_frame_to_table(all_vio), os.path.join(vdir, "part-0.parquet")
+            )
+        counts_df = (
+            all_vio.groupby(["shard", "severity"], as_index=False)
+            .size()
+            .rename(columns={"size": "count()"})
+        )
+    else:
+        vio_row_ds = pick("violation", VIO_COLS)
+        if exact_ids and rowdup_spec:
+            eset = frozenset(exact_ids)
+            rid = rowdup_spec.rule_id
 
-    counts_df = combine_low_card(
-        vio_all, ["shard", "severity"], {"count()": ("rule_id", "count")}
-    )
+            def _drop_superseded(t: pa.Table) -> pa.Table:
+                keep = pc.invert(
+                    pc.and_(
+                        pc.equal(t["rule_id"], rid),
+                        pc.is_in(t["conv_id"], value_set=pa.array(list(eset))),
+                    )
+                )
+                return t.filter(keep)
+
+            vio_row_ds = vio_row_ds.map_batches(
+                _drop_superseded, batch_format="pyarrow"
+            )
+        import ray.data as _rd
+
+        vio_all = (
+            vio_row_ds if vio_conv_ds is None else vio_row_ds.union(vio_conv_ds)
+        )
+        if len(extras_all):
+            vio_all = vio_all.union(_rd.from_arrow(vio_frame_to_table(extras_all)))
+        vio_all = vio_all.materialize()
+        if write_violations and run_dir:
+            vio_all.write_parquet(os.path.join(run_dir, "violations"))
+        from ..stages.keyed_reduce import combine_low_card
+
+        counts_df = combine_low_card(
+            vio_all, ["shard", "severity"], {"count()": ("rule_id", "count")}
+        )
     report["stages"]["violations"] = {
         "time_s": round(time.time() - t_vio, 3),
         "total": int(counts_df["count()"].sum()) if len(counts_df) else 0,
@@ -382,24 +432,51 @@ def validate_dir(
     report["final_decision"] = decide(global_counts)
     report["requires_review"] = needs_review(global_counts)
     report["passed"] = passed(global_counts)
+    report["rationale"] = _rationale(report["final_decision"], global_counts)
+
+    # top issues for human review: severity-prioritized, capped at 20 —
+    # the driver-side analog of HumanReviewCoordinator's selection
+    # (human_review_coordinator.py:319-393); it flags, never decides.
+    if driver_mode:
+        sample = all_vio
+    else:
+        sample = vio_all.limit(2000).to_pandas()
+    if len(sample):
+        rank = {"CRITICAL": 3, "ERROR": 2, "WARNING": 1, "INFO": 0}
+        top = sample.assign(_r=sample["severity"].map(rank)).sort_values(
+            ["_r", "rule_id"], ascending=[False, True], kind="stable"
+        ).head(20)
+        report["top_issues"] = [
+            {k: (None if pd.isna(v) else v) for k, v in row.items() if k != "_r"}
+            for row in top.to_dict("records")
+        ]
+    else:
+        report["top_issues"] = []
 
     # ---- lineage commits (idempotent, per shard) ----
     wall = time.time() - t0
     total_rows = max(1, stats["__all__"].content_rows)
     if lineage:
-        for shard in shard_names:
+        from concurrent.futures import ThreadPoolExecutor
+
+        vio_by_shard = (
+            counts_df.groupby("shard")["count()"].sum().to_dict()
+            if len(counts_df) else {}
+        )
+
+        def _commit(shard: str):
             st = stats[shard]
-            n_vio = 0
-            if len(counts_df):
-                n_vio = int(counts_df.loc[counts_df["shard"] == shard, "count()"].sum())
             lineage.commit(
                 shard,
                 rows_scanned=st.content_rows,
                 rules_evaluated=len(registry.rules),
-                violations=n_vio,
+                violations=int(vio_by_shard.get(shard, 0)),
                 wall_time_s=wall * st.content_rows / total_rows,
                 extra={"decision": per_shard[shard]["decision"]},
             )
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(_commit, shard_names))
     report["rows_scanned"] = stats["__all__"].content_rows
     report["execution_time_s"] = round(wall, 3)
     report["turns_per_sec"] = round(stats["__all__"].content_rows / max(wall, 1e-9), 1)
@@ -407,24 +484,45 @@ def validate_dir(
     return report
 
 
-def _filtered_read(pending: list[str], conv_ids: list[str], columns: list[str]):
+def _filtered_read(pending: list[str], conv_ids: list[str], columns: list[str],
+                   file_convs: dict[str, list[str]] | None = None):
     """Column-pruned, conv-filtered re-read -> pandas with a shard column.
-    Small file counts read directly with pyarrow on the driver (no Ray
-    execution latency); larger inputs use a distributed read with Parquet
-    predicate pushdown when this Ray supports the ``filter`` kwarg, else a
-    vectorized post-read filter (projection still applies)."""
+
+    ``file_convs`` (shard basename -> conv ids needing that file, derived
+    from the segment results) prunes the read to only the files that contain
+    flagged conversations, each with its own small filter list — the re-read
+    cost scales with the flagged data, not the input. Files read directly
+    with pyarrow on a thread pool (pyarrow releases the GIL); falls back to
+    a distributed Ray read with predicate pushdown when no pruning map is
+    available and the file count is large."""
     import ray.data as rd
 
     idset = set(conv_ids)
-    if len(pending) <= 256:
-        frames = []
-        flt = [("conv_id", "in", list(idset))]
-        for p in pending:
-            t = pq.read_table(p, columns=columns, filters=flt)
-            if t.num_rows:
-                df = t.to_pandas()
-                df["shard"] = os.path.basename(p)
-                frames.append(df)
+    if file_convs is not None or len(pending) <= 64:
+        from concurrent.futures import ThreadPoolExecutor
+
+        by_base = {os.path.basename(p): p for p in pending}
+        if file_convs is None:
+            jobs = [(p, list(idset)) for p in pending]
+        else:
+            jobs = [
+                (by_base[base], ids)
+                for base, ids in file_convs.items()
+                if base in by_base and ids
+            ]
+
+        def read_one(job):
+            p, ids = job
+            t = pq.read_table(p, columns=columns,
+                              filters=[("conv_id", "in", ids)])
+            if not t.num_rows:
+                return None
+            df = t.to_pandas()
+            df["shard"] = os.path.basename(p)
+            return df
+
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(jobs)))) as ex:
+            frames = [f for f in ex.map(read_one, jobs) if f is not None]
         if not frames:
             return pd.DataFrame(columns=columns + ["shard"])
         return pd.concat(frames, ignore_index=True)
@@ -445,24 +543,53 @@ def _filtered_read(pending: list[str], conv_ids: list[str], columns: list[str]):
     return frames[frames["conv_id"].isin(idset)].drop(columns=["path"])
 
 
-def _exact_pass(pending: list[str], conv_ids: list[str]):
+def _exact_pass(pending: list[str], conv_ids: list[str],
+                conv_shards: dict[str, str] | None = None):
     """Exact conversation re-check for flagged conversations. Two stages so
     the common case never touches ``text``:
       A. key columns only (conv_id, turn_idx, ts) -> uniqueness, contiguity,
          monotonicity, shard-referential.
       B. only for convs that actually have duplicate keys: re-read with
-         content columns to decide whole-row duplicates."""
-    frames = _filtered_read(pending, conv_ids, ["conv_id", "turn_idx", "ts"])
+         content columns to decide whole-row duplicates.
+    ``conv_shards`` (conv -> comma-joined shard basenames from the segment
+    merge) prunes both reads to only the files holding flagged convs."""
+
+    def prune(ids: list[str]) -> dict[str, list[str]] | None:
+        if conv_shards is None:
+            return None
+        fc: dict[str, list[str]] = {}
+        for c in ids:
+            for base in str(conv_shards.get(c, "")).split(","):
+                if base:
+                    fc.setdefault(base, []).append(c)
+        return fc
+
+    frames = _filtered_read(
+        pending, conv_ids, ["conv_id", "turn_idx", "ts"], prune(conv_ids)
+    )
     results, _ = exact_conv_frame(frames)
     dup_convs = sorted(results.loc[results["dup_turns"] > 0, "conv_id"])
     if not dup_convs:
         return results, pd.DataFrame(columns=["conv_id", "turn_idx"])
     full = _filtered_read(
         pending, dup_convs,
-        ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"], prune(dup_convs),
     )
     _, rowdups = exact_conv_frame(full)
     return results, rowdups
+
+
+def _rationale(decision: str, c) -> str:
+    """Human-readable decision rationale (policy_engine.py:210-280 analog)."""
+    if decision == "rejected":
+        if c.critical:
+            return f"rejected: {c.critical} critical issue(s)"
+        return f"rejected: {c.error} errors (threshold 5)"
+    if decision == "conditional_accept":
+        if c.error:
+            return f"conditional accept: {c.error} error(s) require remediation"
+        return f"conditional accept: {c.warning} warnings (threshold 5)"
+    return "accepted: no blocking issues"
 
 
 def _write_summary(run_dir: str | None, report: dict) -> None:
@@ -491,14 +618,19 @@ def content_hash_of_dir(d: str) -> tuple[int, int]:
 
     from ..stages.rowstage import ValidateBatch as _VB
 
+    from ..sketches import _hash64
+
     ds = rd.read_parquet(list_shards(d), columns=["conv_id", "turn_idx", "text"])
     total, rows = 0, 0
     vb = _VB.__new__(_VB)
     vb.text_col = "text"
     for t in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        enc = t["conv_id"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        conv_hash = _hash64(uniq)[codes]
         turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s, n = vb._content_hash(conv, turn, t)
+        s, n = vb._content_hash(conv_hash, turn, t)
         total = (total + s) % (1 << 64)
         rows += n
     return total, rows

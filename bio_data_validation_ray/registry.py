@@ -131,3 +131,44 @@ def transcript_registry() -> RuleRegistry:
             "1.0.0: initial transcript rule suite (row, conversation, aggregate, drift)",
         ],
     )
+
+
+def to_yaml(registry: RuleRegistry) -> str:
+    """Serialize a registry to the reference's YAML shape: version/changelog
+    header + rule list (config/validation_rules.yml:5-23)."""
+    import yaml
+
+    doc = {
+        "version": registry.version,
+        "changelog": list(registry.changelog),
+        "rules": [r.spec_dict() | {"description": r.description}
+                  for r in registry.rules],
+    }
+    return yaml.safe_dump(doc, sort_keys=False)
+
+
+def from_yaml(text: str) -> RuleRegistry:
+    """Load a versioned ruleset from YAML (callable params are not
+    expressible in YAML; use the 'pandas_expr' kind for custom predicates,
+    the analog of the reference's CUSTOM_* query-string rules,
+    rule_validator.py:409-436)."""
+    import yaml
+
+    doc = yaml.safe_load(text)
+    rules = [
+        RuleSpec(
+            rule_id=r["rule_id"],
+            kind=r["kind"],
+            column=r.get("column"),
+            params=r.get("params", {}),
+            severity=r.get("severity", "ERROR"),
+            version=str(r.get("version", "1")),
+            description=r.get("description", ""),
+        )
+        for r in doc["rules"]
+    ]
+    return RuleRegistry(
+        version=str(doc.get("version", "0")),
+        rules=rules,
+        changelog=list(doc.get("changelog", [])),
+    )

@@ -45,6 +45,8 @@ ROW_LOCAL_KINDS = {
     "compare",
     "null_unless",
     "required_when",
+    "finite",
+    "pandas_expr",
     "custom",
 }
 GROUP_KINDS = {
@@ -54,7 +56,7 @@ GROUP_KINDS = {
     "single_shard_group",
     "row_dup",
 }
-AGG_KINDS = {"missing_rate", "class_balance", "drift"}
+AGG_KINDS = {"missing_rate", "class_balance", "drift", "skewness"}
 
 
 @dataclass(frozen=True)
@@ -213,6 +215,29 @@ def compile_rule(spec: RuleSpec) -> Callable[[pa.Table], pa.Array]:
 
         def f(t: pa.Table) -> pa.Array:
             return _no_nulls(pc.and_(pc.is_null(t[col]), pc.equal(t[other], value)))
+
+        return f
+
+    if kind == "finite":
+        # infinite/NaN values in a float column (matrix_validator.py:393-408)
+        def f(t: pa.Table) -> pa.Array:
+            c = t[col]
+            bad = pc.or_(pc.is_inf(c), pc.is_nan(c))
+            return _no_nulls(bad)
+
+        return f
+
+    if kind == "pandas_expr":
+        # declarative expression escape hatch, YAML-safe — the analog of the
+        # reference's CUSTOM_* pandas-query rules (rule_validator.py:409-436,
+        # config/validation_rules.yml:112-126). Violation = NOT expr.
+        expr = p["expr"]
+
+        def f(t: pa.Table) -> pa.Array:
+            df = t.to_pandas()
+            ok = df.eval(expr)
+            mask = ~ok.fillna(True).astype(bool)
+            return pa.array(mask.to_numpy(), type=pa.bool_())
 
         return f
 

@@ -149,6 +149,11 @@ class TDigest:
         return self.compression / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
 
     def _compress(self) -> None:
+        """Vectorized bucket-merge compression: sort centroids, map each to a
+        half-unit cell of the k1 scale function by its mid-quantile, and
+        weighted-average within cells (C-speed reduceat; cell width 1/2 in
+        k-space keeps the per-centroid quantile error within the standard
+        t-digest bound, at ~2x the centroid count of the greedy merge)."""
         if self._buf_m:
             m = np.concatenate([self.means] + self._buf_m)
             w = np.concatenate([self.weights] + self._buf_w)
@@ -160,26 +165,14 @@ class TDigest:
         order = np.argsort(m, kind="stable")
         m, w = m[order], w[order]
         total = w.sum()
-        out_m: list[float] = []
-        out_w: list[float] = []
-        cur_m, cur_w = m[0], w[0]
-        w_so_far = 0.0
-        k_lo = self._k(np.array([0.0]))[0]
-        for i in range(1, m.size):
-            q_hi = (w_so_far + cur_w + w[i]) / total
-            if self._k(np.array([q_hi]))[0] - k_lo <= 1.0:
-                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
-                cur_w += w[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_so_far += cur_w
-                k_lo = self._k(np.array([w_so_far / total]))[0]
-                cur_m, cur_w = m[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        cum = np.cumsum(w)
+        qmid = (cum - w / 2.0) / total
+        cell = np.floor(self._k(qmid) * 2.0)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(cell)) + 1])
+        wsum = np.add.reduceat(w, starts)
+        msum = np.add.reduceat(m * w, starts)
+        self.means = msum / wsum
+        self.weights = wsum
 
     @property
     def total_weight(self) -> float:
@@ -221,6 +214,51 @@ def _hash64(values) -> np.ndarray:
     """Deterministic vectorized 64-bit hash (pandas siphash, fixed key)."""
     arr = np.asarray(values, dtype=object)
     return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+def hash_string_array(arr) -> np.ndarray:
+    """Deterministic 64-bit fingerprint per string, computed directly from
+    the Arrow buffers — NO per-row Python objects (the object-array path
+    allocates a PyStr per row, which dominates memory traffic at scale).
+
+    Fingerprint = mix(byte_length, sum(bytes), sum(bytes * local_position)),
+    each exact via two global cumsums + offset gathers (O(total_bytes),
+    fully vectorized). Strong enough for content-parity / duplicate checks
+    (a collision needs equal length, byte-sum AND position-weighted sum);
+    not a cryptographic hash. Nulls hash to a fixed sentinel.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "\x00NULL\x00")
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offs_all = np.frombuffer(bufs[1], dtype=off_dtype)
+    offs = offs_all[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    b = data.astype(np.uint64)
+    c_b = np.concatenate([[np.uint64(0)], np.cumsum(b)])
+    gpos = np.arange(b.size, dtype=np.uint64)
+    c_bp = np.concatenate([[np.uint64(0)], np.cumsum(b * gpos)])
+    s, e = offs[:-1], offs[1:]
+    S = c_b[e] - c_b[s]
+    P = (c_bp[e] - c_bp[s]) - s.astype(np.uint64) * S
+    L = (e - s).astype(np.uint64)
+    h = (
+        (L + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        ^ (S * np.uint64(0x94D049BB133111EB))
+        ^ (P * np.uint64(0x2545F4914F6CDD1D))
+    )
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return h
 
 
 def _bit_length(v: np.ndarray) -> np.ndarray:

@@ -36,7 +36,7 @@ import pyarrow.compute as pc
 
 from ..registry import RuleRegistry
 from ..rules import compile_row_rules
-from ..sketches import HLL, Moments, TDigest, _hash64, dumps
+from ..sketches import HLL, Moments, TDigest, _hash64, dumps, hash_string_array
 
 OUT_SCHEMA = pa.schema(
     [
@@ -62,6 +62,26 @@ OUT_SCHEMA = pa.schema(
 )
 
 _EMPTY_COLS = {f.name: [] for f in OUT_SCHEMA}
+
+_ARROW_CLAMPED = False
+
+
+def _clamp_arrow_threads() -> None:
+    """Clamp Arrow's process-wide thread pools to this worker's CPU share
+    (runs once per worker process, at the first batch). Without this every
+    Ray worker decodes parquet on pa.cpu_count() threads and an
+    intentionally small cluster silently uses every core on the machine —
+    which would fake any cluster-size scaling measurement."""
+    global _ARROW_CLAMPED
+    if _ARROW_CLAMPED:
+        return
+    try:
+        if pa.cpu_count() > 2:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+    _ARROW_CLAMPED = True
 
 
 def _rows(kind: str, n: int, **cols) -> dict:
@@ -90,23 +110,29 @@ class ValidateBatch:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if "path" in batch.column_names:
-            paths = batch["path"].to_numpy(zero_copy_only=False)
-            shard_key = pd.Series(paths).map(
-                {p: os.path.basename(p) for p in pd.unique(paths)}
-            ).to_numpy(dtype=object)
-            batch = batch.drop_columns(["path"])
-        else:
-            shard_key = np.full(batch.num_rows, "all", dtype=object)
-
+        _clamp_arrow_threads()
         parts: list[dict] = []
-        uniq_shards = pd.unique(shard_key)
-        if len(uniq_shards) == 1:
-            self._one_shard(batch, str(uniq_shards[0]), parts)
+        if "path" in batch.column_names:
+            # dictionary-encode instead of materializing a Python string per
+            # row — paths repeat per file, the dictionary is tiny. Files are
+            # concatenated in order inside a block, so each shard is a
+            # contiguous run -> zero-copy slices, never a take() copy.
+            enc = batch["path"].combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            shards = [os.path.basename(p) for p in enc.dictionary.to_pylist()]
+            batch = batch.drop_columns(["path"])
+            if len(shards) == 1:
+                self._one_shard(batch, shards[0], parts)
+            else:
+                run_starts = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(codes)) + 1, [codes.size]]
+                )
+                for a, b in zip(run_starts[:-1], run_starts[1:]):
+                    self._one_shard(
+                        batch.slice(int(a), int(b - a)), shards[codes[a]], parts
+                    )
         else:
-            for s in uniq_shards:
-                idx = np.flatnonzero(shard_key == s)
-                self._one_shard(batch.take(pa.array(idx)), str(s), parts)
+            self._one_shard(batch, "all", parts)
 
         if not parts:
             return pa.Table.from_pydict(_EMPTY_COLS, schema=OUT_SCHEMA)
@@ -153,10 +179,13 @@ class ValidateBatch:
             )
 
         # --- conversation segments (mergeable partials for group rules) ---
-        conv_np = conv.to_numpy(zero_copy_only=False)
+        # dictionary-encode the conversation key: per-row work stays on int
+        # codes; only the (small) dictionary ever becomes Python strings
+        conv_enc = conv.combine_chunks().dictionary_encode()
+        codes = conv_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_vals = np.asarray(conv_enc.dictionary.to_pylist(), dtype=object)
         turn_np = turn.to_numpy(zero_copy_only=False).astype(np.int64)
         ts_np = t[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        codes, uniq_vals = pd.factorize(conv_np)
         order = np.lexsort((ts_np, turn_np, codes))
         cs, ti, tsv = codes[order], turn_np[order], ts_np[order]
 
@@ -195,7 +224,7 @@ class ValidateBatch:
                         "violation",
                         didx.size,
                         shard=[shard] * didx.size,
-                        conv_id=conv_np[order[didx]].tolist(),
+                        conv_id=uniq_vals[codes[order[didx]]].tolist(),
                         turn_idx=turn_np[order[didx]].tolist(),
                         rule_id=[spec.rule_id] * didx.size,
                         rule_version=[spec.version] * didx.size,
@@ -239,17 +268,28 @@ class ValidateBatch:
         # --- sketch partials ---
         text = t[self.text_col]
         text_len = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(float)
+        # hash only the (small) conv dictionary; rows map through int codes
+        uniq_hash = _hash64(uniq_vals)
+        if "role" in t.column_names:
+            renc = t["role"].combine_chunks().dictionary_encode()
+            rcounts = np.bincount(
+                renc.indices.to_numpy(zero_copy_only=False),
+                minlength=len(renc.dictionary),
+            )
+            role_counts = {
+                k: int(v) for k, v in zip(renc.dictionary.to_pylist(), rcounts)
+            }
+        else:
+            role_counts = {}
         sketches = {
             "text_len_moments": Moments().add_array(text_len),
             "text_len_tdigest": TDigest().add_array(text_len),
-            "hll_conv": HLL().add_values(conv_np),
-            "role_counts": dict(pd.Series(
-                t["role"].to_numpy(zero_copy_only=False)).value_counts())
-            if "role" in t.column_names else {},
+            "hll_conv": HLL().add_hashes(uniq_hash),
+            "role_counts": role_counts,
             "null_counts": {
                 c: (int(t[c].null_count), n) for c in t.column_names
             },
-            "content_hash": self._content_hash(conv_np, turn_np, t),
+            "content_hash": self._content_hash(uniq_hash[codes], turn_np, t),
         }
         names = list(sketches)
         parts.append(
@@ -265,24 +305,24 @@ class ValidateBatch:
 
     def _row_hash(self, t: pa.Table, ts_np: np.ndarray) -> np.ndarray:
         """64-bit hash over the non-key columns (role, text, tool) + ts, for
-        whole-row duplicate detection."""
+        whole-row duplicate detection (buffer-level, no Python objects)."""
         h = ts_np.astype(np.uint64).copy()
         for c in ("role", self.text_col, "tool"):
             if c in t.column_names:
-                vals = pc.fill_null(t[c], "\x00NULL\x00").to_numpy(
-                    zero_copy_only=False
-                )
-                h = h * np.uint64(0x100000001B3) + _hash64(vals)
+                h = h * np.uint64(0x100000001B3) + hash_string_array(t[c])
         return h
 
-    def _content_hash(self, conv_np, turn_np, t) -> tuple:
+    def _content_hash(self, conv_hash: np.ndarray, turn_np, t) -> tuple:
         """(sum of 64-bit row hashes mod 2^64, count): multiset fingerprint of
-        (conv_id, turn_idx, text) proving the text byte-equality invariant."""
+        (conv_id, turn_idx, text) proving the text byte-equality invariant.
+        ``conv_hash`` is the per-row conv hash (dictionary hash gathered
+        through codes); text hashes come straight from the Arrow buffers."""
+        hturn = pd.util.hash_array(np.asarray(turn_np, dtype=np.int64),
+                                   categorize=False).astype(np.uint64)
         txt = pc.fill_null(t[self.text_col], "\x00NULL\x00").to_numpy(
             zero_copy_only=False
         )
-        hturn = pd.util.hash_array(turn_np, categorize=False).astype(np.uint64)
-        h = _hash64(conv_np) + hturn * np.uint64(0x9E3779B97F4A7C15) + _hash64(txt)
+        h = conv_hash + hturn * np.uint64(0x9E3779B97F4A7C15) + _hash64(txt)
         return (int(h.sum(dtype=np.uint64)), int(h.size))
 
     @staticmethod

@@ -126,6 +126,15 @@ def agg_violations(
                     rows.append(("__all__", None, None, spec.rule_id, spec.version,
                                  spec.severity, spec.column,
                                  f"min_proportion={mn:.6f}"))
+        elif spec.kind == "skewness":
+            # |adjusted skew| above threshold -> INFO/WARNING
+            # (BIAS_003 analog, rule_validator.py:394-405)
+            sk = g.moments.skewness_adjusted
+            thr = spec.params.get("threshold", 2.0)
+            if sk == sk and abs(sk) > thr:  # NaN-safe
+                rows.append(("__all__", None, None, spec.rule_id, spec.version,
+                             spec.severity, spec.column,
+                             f"abs_skew={abs(sk):.6f}"))
         # drift is scored in drift.py against a baseline (needs the baseline
         # artifact, so pipeline.py wires it explicitly)
     return pd.DataFrame(rows, columns=cols)

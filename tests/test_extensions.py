@@ -1,0 +1,161 @@
+"""Tests for the extension surface: YAML rulesets, expression rules, finite
+rule, CLI, generic readers, review prioritization."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bio_data_validation_ray import registry as reg_mod
+from bio_data_validation_ray.rules import RuleSpec, compile_rule
+
+
+class TestYamlRegistry:
+    def test_roundtrip_preserves_hash(self):
+        r = reg_mod.transcript_registry()
+        text = reg_mod.to_yaml(r)
+        r2 = reg_mod.from_yaml(text)
+        assert r2.ruleset_hash == r.ruleset_hash
+        assert r2.version == r.version
+        assert [x.rule_id for x in r2.rules] == [x.rule_id for x in r.rules]
+
+    def test_custom_yaml_ruleset(self):
+        text = """
+version: "2.1.0"
+changelog: ["2.1.0: tightened ranges"]
+rules:
+  - rule_id: R1
+    kind: range
+    column: x
+    params: {min: 0, max: 10}
+    severity: ERROR
+  - rule_id: R2
+    kind: pandas_expr
+    column: x
+    params: {expr: "x < y"}
+    severity: WARNING
+"""
+        r = reg_mod.from_yaml(text)
+        assert len(r.rules) == 2 and r.version == "2.1.0"
+        t = pa.table({"x": [5.0, 20.0], "y": [9.0, 25.0]})
+        assert compile_rule(r.rules[0])(t).to_pylist() == [False, True]
+
+
+class TestNewRuleKinds:
+    def test_pandas_expr(self):
+        spec = RuleSpec("E", "pandas_expr", "a", {"expr": "a + b >= 10"})
+        t = pa.table({"a": [1, 9], "b": [2, 8]})
+        assert compile_rule(spec)(t).to_pylist() == [True, False]
+
+    def test_finite(self):
+        spec = RuleSpec("F", "finite", "v", {})
+        t = pa.table({"v": [1.0, float("inf"), float("nan"), None]})
+        assert compile_rule(spec)(t).to_pylist() == [False, True, True, False]
+
+
+class TestReaders:
+    def test_read_table_formats(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.sources.readers import from_records, read_table
+
+        df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+        pq.write_table(pa.Table.from_pandas(df), tmp_path / "t.parquet")
+        df.to_csv(tmp_path / "t.csv", index=False)
+        df.to_json(tmp_path / "t.json", orient="records", lines=True)
+        for name in ("t.parquet", "t.csv", "t.json"):
+            ds = read_table(str(tmp_path / name))
+            out = ds.to_pandas().sort_values("a").reset_index(drop=True)
+            assert out["a"].tolist() == [1, 2, 3], name
+        ds = from_records([{"a": 1}, {"a": 2}])
+        assert ds.count() == 2
+
+    def test_read_records_with(self, ray_session, tmp_path):
+        from bio_data_validation_ray.sources.readers import read_records_with
+
+        # FASTA-ish custom format: >id then one line of payload
+        p = tmp_path / "records.fa"
+        p.write_text(">r1\nACGT\n>r2\nGGTT\n")
+
+        def parse(b: bytes):
+            out = []
+            lines = b.decode().strip().splitlines()
+            for i in range(0, len(lines), 2):
+                out.append({"id": lines[i][1:], "seq": lines[i + 1]})
+            return out
+
+        ds = read_records_with([str(p)], parse)
+        got = ds.to_pandas().sort_values("id")
+        assert got["id"].tolist() == ["r1", "r2"]
+        assert got["seq"].tolist() == ["ACGT", "GGTT"]
+
+
+class TestCli:
+    def test_cli_validate_exit_codes_and_output(self, tmp_path):
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        seeded = ensure_transcripts("sf0.001")
+        clean = ensure_transcripts("sf0.001", clean=True)
+        env = dict(os.environ)
+        # seeded -> rejected -> exit 1, text format mentions decision
+        r = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli", "validate",
+             seeded, "--format", "text", "--num-cpus", "4"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert r.returncode == 1, r.stderr[-500:]
+        assert "decision:  rejected" in r.stdout
+        assert "[CRITICAL]" in r.stdout or "[ERROR]" in r.stdout
+        # clean -> accepted -> exit 0, json format parses
+        r2 = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli", "validate",
+             clean, "--format", "json", "--num-cpus", "4"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert r2.returncode == 0, r2.stderr[-500:]
+        rep = json.loads(r2.stdout)
+        assert rep["final_decision"] == "accepted"
+
+    def test_cli_custom_yaml_rules(self, tmp_path):
+        from bio_data_validation_ray import registry as rm
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        clean = ensure_transcripts("sf0.001", clean=True)
+        # a deliberately impossible rule: every text must be empty
+        custom = rm.RuleRegistry(
+            version="9.9.9",
+            rules=[rm.RuleSpec("MUST_EMPTY", "length_range", "text",
+                               {"max": 0}, "ERROR", "1")],
+        )
+        p = tmp_path / "rules.yml"
+        p.write_text(rm.to_yaml(custom))
+        r = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli", "validate",
+             clean, "--rules", str(p), "--format", "json", "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 1
+        rep = json.loads(r.stdout)
+        assert rep["final_decision"] == "rejected"
+        assert rep["ruleset_metadata"]["rules_version"] == "9.9.9"
+
+
+class TestReviewPrioritization:
+    def test_top_issues_severity_ordered(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts("sf0.001")
+        rep = validate_dir(d, run_dir=str(tmp_path / "r"), concurrency=2)
+        top = rep["top_issues"]
+        assert 0 < len(top) <= 20
+        rank = {"CRITICAL": 3, "ERROR": 2, "WARNING": 1, "INFO": 0}
+        rs = [rank[t["severity"]] for t in top]
+        assert rs == sorted(rs, reverse=True)
+        assert top[0]["severity"] == "CRITICAL"
+        assert rep["rationale"].startswith("rejected")
