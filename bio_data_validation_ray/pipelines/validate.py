@@ -96,9 +96,17 @@ def validate_dir(
     batch_size: int | None = None,
     concurrency=None,
     write_violations: bool = True,
+    files: list[str] | None = None,
+    violations_subdir: str = "violations",
+    max_pending_files: int | None = None,
+    conv_stage: bool = True,
+    agg_stage: bool = True,
+    segments_out: str | None = None,
 ) -> dict:
     """Run the full validation suite over ``input_dir``'s Parquet shards and
-    return the run report (JSON-serializable)."""
+    return the run report (JSON-serializable). For crash-resumable
+    chunked-commit execution over very large inputs, use
+    ``validate_resumable`` (which drives this in per-pass file groups)."""
     import ray.data as rd
 
     t0 = time.time()
@@ -110,10 +118,12 @@ def validate_dir(
         "stages": {},
     }
 
-    files = list_shards(input_dir)
+    files = files if files is not None else list_shards(input_dir)
     lineage = Lineage(run_dir, registry.ruleset_hash) if run_dir else None
     committed: dict[str, dict] = lineage.committed() if (lineage and resume) else {}
     pending = [f for f in files if os.path.basename(f) not in committed]
+    if max_pending_files is not None:
+        pending = pending[:max_pending_files]
     report["shards_total"] = len(files)
     report["shards_skipped_committed"] = len(files) - len(pending)
 
@@ -217,7 +227,28 @@ def validate_dir(
     #    per-batch, stitching only each batch's first/last conversation.
     t_conv = time.time()
     vio_conv_ds = None
-    if driver_mode:
+    if segments_out is not None:
+        # persist the compact segment partials (chunked-pass mode: the
+        # global conversation merge happens once at the end, over every
+        # committed pass's segments — see validate_resumable)
+        os.makedirs(os.path.dirname(segments_out) or ".", exist_ok=True)
+        if driver_mode:
+            seg_persist = out_df.loc[out_df["kind"] == "segment", SEG_COLS]
+            tmp = segments_out + f".tmp{os.getpid()}"
+            pq.write_table(
+                pa.Table.from_pandas(seg_persist, preserve_index=False), tmp
+            )
+            os.replace(tmp, segments_out)
+        else:
+            pick("segment", SEG_COLS).write_parquet(segments_out)
+    if not conv_stage:
+        exact_ids: list[str] = []
+        extras = pd.DataFrame(columns=VIO_COLS)
+        rowdup_spec = next(
+            (s for s in registry.group_rules() if s.kind == "row_dup"), None
+        )
+        report["stages"]["conversation"] = {"deferred_to_final_merge": True}
+    elif driver_mode:
         seg_df = out_df.loc[out_df["kind"] == "segment", SEG_COLS]
         all_res = merge_segments_frame(seg_df)
         flagged = all_res.loc[all_res["needs_exact"], ["conv_id", "shards"]]
@@ -273,39 +304,30 @@ def validate_dir(
             batch_format="pandas",
         )
         driver_results = boundary_res[~boundary_res["needs_exact"]]
-    if exact_res is not None:
-        driver_results = pd.concat([driver_results, exact_res], ignore_index=True)
-    extras = conv_violations(driver_results, registry)
-    rowdup_spec = next((s for s in registry.group_rules() if s.kind == "row_dup"), None)
-    if exact_rowdups is not None and len(exact_rowdups) and rowdup_spec:
-        shard_of = dict(zip(driver_results["conv_id"], driver_results["main_shard"]))
-        extras = pd.concat(
-            [
-                extras,
-                pd.DataFrame(
-                    {
-                        "shard": exact_rowdups["conv_id"].map(shard_of),
-                        "conv_id": exact_rowdups["conv_id"],
-                        "turn_idx": exact_rowdups["turn_idx"],
-                        "rule_id": rowdup_spec.rule_id,
-                        "rule_version": rowdup_spec.version,
-                        "severity": rowdup_spec.severity,
-                        "column": None,
-                        "offending_value": "exact_duplicate_row",
-                    }
-                ),
-            ],
-            ignore_index=True,
+    if conv_stage:
+        if exact_res is not None:
+            driver_results = pd.concat(
+                [driver_results, exact_res], ignore_index=True
+            )
+        extras = conv_violations(driver_results, registry)
+        rowdup_spec = next(
+            (s for s in registry.group_rules() if s.kind == "row_dup"), None
         )
-    report["stages"]["conversation"] = {
-        "time_s": round(time.time() - t_conv, 3),
-        "exact_fallback_convs": len(exact_ids),
-    }
+        extras = _append_rowdup_violations(
+            extras, exact_rowdups, driver_results, rowdup_spec
+        )
+        report["stages"]["conversation"] = {
+            "time_s": round(time.time() - t_conv, 3),
+            "exact_fallback_convs": len(exact_ids),
+        }
 
     # ---- stage D (rest): aggregate rules + drift ----
-    agg_vio = agg_violations(stats, registry)
+    agg_vio = (
+        agg_violations(stats, registry) if agg_stage
+        else pd.DataFrame(columns=VIO_COLS)
+    )
     drift_report = {}
-    if baseline_json:
+    if baseline_json and agg_stage:
         spec = next((s for s in registry.agg_rules() if s.kind == "drift"), None)
         baseline = drift_mod.baseline_from_json(baseline_json)["text_len"]
         drift_report = drift_mod.score_partitions(
@@ -354,7 +376,7 @@ def validate_dir(
             vio_rows = vio_rows[~drop]
         all_vio = pd.concat([vio_rows, extras_all], ignore_index=True)
         if write_violations and run_dir:
-            vdir = os.path.join(run_dir, "violations")
+            vdir = os.path.join(run_dir, violations_subdir)
             os.makedirs(vdir, exist_ok=True)
             pq.write_table(
                 vio_frame_to_table(all_vio), os.path.join(vdir, "part-0.parquet")
@@ -391,7 +413,7 @@ def validate_dir(
             vio_all = vio_all.union(_rd.from_arrow(vio_frame_to_table(extras_all)))
         vio_all = vio_all.materialize()
         if write_violations and run_dir:
-            vio_all.write_parquet(os.path.join(run_dir, "violations"))
+            vio_all.write_parquet(os.path.join(run_dir, violations_subdir))
         from ..stages.keyed_reduce import combine_low_card
 
         counts_df = combine_low_card(
@@ -464,15 +486,26 @@ def validate_dir(
             if len(counts_df) else {}
         )
 
+        from ..sketches import dumps as _sk_dumps
+
         def _commit(shard: str):
             st = stats[shard]
+            safe = shard.replace("/", "_")
+            # persist the shard's mergeable sketches next to its lineage
+            # record so a resumed run can still evaluate dataset-level
+            # (aggregate/drift) rules EXACTLY over all shards
+            with open(os.path.join(lineage.dir, f"{safe}.stats.pkl"), "wb") as fh:
+                fh.write(_sk_dumps(st))
             lineage.commit(
                 shard,
                 rows_scanned=st.content_rows,
                 rules_evaluated=len(registry.rules),
                 violations=int(vio_by_shard.get(shard, 0)),
                 wall_time_s=wall * st.content_rows / total_rows,
-                extra={"decision": per_shard[shard]["decision"]},
+                extra={
+                    "decision": per_shard[shard]["decision"],
+                    "severity_counts": per_shard[shard]["severity_counts"],
+                },
             )
 
         with ThreadPoolExecutor(max_workers=16) as ex:
@@ -579,6 +612,32 @@ def _exact_pass(pending: list[str], conv_ids: list[str],
     return results, rowdups
 
 
+def _append_rowdup_violations(extras, exact_rowdups, results, rowdup_spec):
+    """Violation rows for whole-row duplicates found by the exact pass,
+    attributed to each conversation's main shard."""
+    if exact_rowdups is None or not len(exact_rowdups) or rowdup_spec is None:
+        return extras
+    shard_of = dict(zip(results["conv_id"], results["main_shard"]))
+    return pd.concat(
+        [
+            extras,
+            pd.DataFrame(
+                {
+                    "shard": exact_rowdups["conv_id"].map(shard_of),
+                    "conv_id": exact_rowdups["conv_id"],
+                    "turn_idx": exact_rowdups["turn_idx"],
+                    "rule_id": rowdup_spec.rule_id,
+                    "rule_version": rowdup_spec.version,
+                    "severity": rowdup_spec.severity,
+                    "column": None,
+                    "offending_value": "exact_duplicate_row",
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+
+
 def _rationale(decision: str, c) -> str:
     """Human-readable decision rationale (policy_engine.py:210-280 analog)."""
     if decision == "rejected":
@@ -634,3 +693,228 @@ def content_hash_of_dir(d: str) -> tuple[int, int]:
         total = (total + s) % (1 << 64)
         rows += n
     return total, rows
+
+
+def validate_resumable(
+    input_dir: str,
+    *,
+    run_dir: str,
+    registry: RuleRegistry | None = None,
+    baseline_json: str | None = None,
+    files_per_pass: int = 64,
+    max_passes: int | None = None,
+    **kw,
+) -> dict:
+    """Crash-resumable chunked execution: pending shards are processed in
+    groups of ``files_per_pass``; each pass commits lineage records (with
+    row-local severity counts), per-shard sketches, and its compact segment
+    partials. Cross-shard semantics stay EXACT under chunking:
+
+    - conversation rules (uniqueness / contiguity / ts order / shard
+      referential) are NOT decided per pass — the persisted segments of
+      every committed pass merge globally in the final step, so a
+      conversation split across passes is still checked whole;
+    - dataset-level rules (aggregate stats, drift) evaluate once over the
+      merged per-shard sketches;
+    - whole-row duplicate counts are corrected for conversations that the
+      global merge flags (their per-pass detections are superseded by the
+      exact re-check).
+
+    A killed run resumes from the last committed pass and produces a final
+    report identical to an uninterrupted one. ``max_passes`` exists for
+    tests (simulate a crash after N passes).
+    """
+    import pyarrow.dataset as pads
+
+    from ..sketches import loads as _sk_loads
+    from ..stages.statstage import ShardStats, agg_violations
+
+    t0 = time.time()
+    registry = registry or transcript_registry()
+    lineage = Lineage(run_dir, registry.ruleset_hash)
+    all_files = list_shards(input_dir)
+    committed = lineage.committed()
+    pending = [f for f in all_files if os.path.basename(f) not in committed]
+    seg_dir = os.path.join(run_dir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+
+    n_pass = 0
+    while pending:
+        if max_passes is not None and n_pass >= max_passes:
+            break
+        group = pending[:files_per_pass]
+        pending = pending[files_per_pass:]
+        import hashlib as _hl
+
+        gid = _hl.sha1("|".join(os.path.basename(f) for f in group).encode()) \
+            .hexdigest()[:12]
+        rep = validate_dir(
+            input_dir,
+            registry=registry,
+            run_dir=run_dir,
+            resume=False,
+            files=group,
+            conv_stage=False,
+            agg_stage=False,
+            segments_out=os.path.join(seg_dir, f"group-{gid}.parquet"),
+            violations_subdir=os.path.join("violations", f"group-{gid}"),
+            **kw,
+        )
+        if rep.get("rejection_reason") == "schema_validation_failed":
+            return rep  # short-circuit, nothing committed
+        n_pass += 1
+
+    committed = lineage.committed()
+    complete = len(committed) == len(all_files)
+
+    # ---- per-shard row-local counts + merged sketches from lineage ----
+    from ..policy import SeverityCounts, decide, needs_review, passed
+
+    shard_counts: dict[str, SeverityCounts] = {}
+    rows_scanned = 0
+    stats_all = ShardStats()
+    per_shard_digests = {}
+    for shard, rec in sorted(committed.items()):
+        shard_counts[shard] = SeverityCounts(
+            **{k: int(v) for k, v in rec.get("severity_counts", {}).items()}
+        )
+        rows_scanned += rec["rows_scanned"]
+        spath = os.path.join(lineage.dir, shard.replace("/", "_") + ".stats.pkl")
+        if os.path.exists(spath):
+            st = _sk_loads(open(spath, "rb").read())
+            per_shard_digests[shard] = st.tdigest
+            stats_all.merge(st)
+
+    # ---- global conversation merge over every committed pass's segments ----
+    seg_files = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
+    seg_all = (
+        pd.concat([pq.read_table(f).to_pandas() for f in seg_files],
+                  ignore_index=True)
+        if seg_files else pd.DataFrame(columns=SEG_COLS)
+    )
+    res = merge_segments_frame(seg_all)
+    flagged = res.loc[res["needs_exact"], ["conv_id", "shards"]]
+    exact_ids = sorted(flagged["conv_id"])
+    conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))
+    committed_files = [
+        f for f in all_files if os.path.basename(f) in committed
+    ]
+    exact_res, exact_rowdups = (
+        _exact_pass(committed_files, exact_ids, conv_shards)
+        if exact_ids else (None, None)
+    )
+    results = res[~res["needs_exact"]]
+    if exact_res is not None:
+        results = pd.concat([results, exact_res], ignore_index=True)
+    conv_vio = conv_violations(results, registry)
+    rowdup_spec = next(
+        (s for s in registry.group_rules() if s.kind == "row_dup"), None
+    )
+    conv_vio = _append_rowdup_violations(
+        conv_vio, exact_rowdups, results, rowdup_spec
+    )
+
+    # correction: per-pass within-batch DUP_001 detections for flagged convs
+    # are superseded by the exact re-check above — subtract them
+    if exact_ids and rowdup_spec:
+        vio_root = os.path.join(run_dir, "violations")
+        vfiles = glob.glob(os.path.join(vio_root, "group-*", "*.parquet"))
+        if vfiles:
+            dset = pads.dataset(vfiles)
+            prior = dset.to_table(
+                columns=["shard", "conv_id", "rule_id", "severity"],
+                filter=(
+                    (pads.field("rule_id") == rowdup_spec.rule_id)
+                    & pads.field("conv_id").isin(exact_ids)
+                ),
+            ).to_pandas()
+            for shard, grp in prior.groupby("shard"):
+                sub = SeverityCounts(
+                    **{rowdup_spec.severity.lower(): len(grp)}
+                )
+                c = shard_counts.get(shard, SeverityCounts())
+                shard_counts[shard] = SeverityCounts(
+                    critical=c.critical - sub.critical,
+                    error=c.error - sub.error,
+                    warning=c.warning - sub.warning,
+                    info=c.info - sub.info,
+                )
+
+    # attribute global conversation violations to shards
+    sev_key = {"CRITICAL": "critical", "ERROR": "error",
+               "WARNING": "warning", "INFO": "info"}
+    for (shard, sev), grp in conv_vio.groupby(["shard", "severity"]):
+        c = shard_counts.get(shard, SeverityCounts())
+        kw2 = vars(c).copy()
+        kw2[sev_key[sev]] += len(grp)
+        shard_counts[shard] = SeverityCounts(**kw2)
+    if len(conv_vio) and run_dir:
+        fdir = os.path.join(run_dir, "violations", "conv-final")
+        os.makedirs(fdir, exist_ok=True)
+        pq.write_table(
+            vio_frame_to_table(conv_vio), os.path.join(fdir, "part-0.parquet")
+        )
+
+    # ---- dataset-level rules + drift, exactly once ----
+    total = SeverityCounts()
+    for c in shard_counts.values():
+        total = total + c
+    agg_extra = (
+        agg_violations({"__all__": stats_all}, registry)
+        if stats_all.content_rows else pd.DataFrame(columns=VIO_COLS)
+    )
+    for _, row in agg_extra.iterrows():
+        kw2 = vars(total).copy()
+        kw2[sev_key[row["severity"]]] += 1
+        total = SeverityCounts(**kw2)
+    drift_report = {}
+    if baseline_json and per_shard_digests:
+        spec = next((s for s in registry.agg_rules() if s.kind == "drift"), None)
+        baseline = drift_mod.baseline_from_json(baseline_json)["text_len"]
+        drift_report = drift_mod.score_partitions(
+            per_shard_digests, baseline,
+            ks_threshold=spec.params["ks_threshold"] if spec else 0.2,
+            psi_threshold=spec.params["psi_threshold"] if spec else 0.2,
+        )
+        if spec:
+            n_drifted = sum(1 for v in drift_report.values() if v["drifted"])
+            kw2 = vars(total).copy()
+            kw2[sev_key[spec.severity]] += n_drifted
+            total = SeverityCounts(**kw2)
+
+    per_shard = {
+        s: {
+            "severity_counts": vars(c),
+            "decision": decide(c),
+            "passed": passed(c),
+            "rows_scanned": committed[s]["rows_scanned"],
+        }
+        for s, c in sorted(shard_counts.items())
+    }
+    report = {
+        "validation_id": uuid.uuid4().hex,
+        "mode": "resumable",
+        "input_dir": input_dir,
+        "ruleset_metadata": registry.metadata(),
+        "shards_total": len(all_files),
+        "shards_committed": len(committed),
+        "passes_this_run": n_pass,
+        "complete": complete,
+        "per_shard": per_shard,
+        "severity_counts": vars(total),
+        "rows_scanned": rows_scanned,
+        "exact_fallback_convs": len(exact_ids),
+        "drift": drift_report,
+        "aggregate_violations": agg_extra.to_dict("records"),
+        "stats_summary": stats_all.summary() if stats_all.content_rows else {},
+        "execution_time_s": round(time.time() - t0, 3),
+    }
+    if complete:
+        report["final_decision"] = decide(total)
+        report["passed"] = passed(total)
+        report["requires_review"] = needs_review(total)
+        report["rationale"] = _rationale(report["final_decision"], total)
+    else:
+        report["final_decision"] = "incomplete"
+    _write_summary(run_dir, report)
+    return report

@@ -198,3 +198,55 @@ class TestDrift:
                            baseline_json=baseline_json, concurrency=2)
         assert rep["drift"], "per-shard drift scores present"
         assert not any(v["drifted"] for v in rep["drift"].values())
+
+
+class TestResumable:
+    def test_chunked_passes_match_single_shot(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import (
+            validate_dir,
+            validate_resumable,
+        )
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        single = validate_dir(d, run_dir=str(tmp_path / "single"),
+                              resume=False, concurrency=2)
+        chunked = validate_resumable(d, run_dir=str(tmp_path / "chunked"),
+                                     files_per_pass=3, concurrency=2)
+        assert chunked["complete"]
+        assert chunked["final_decision"] == single["final_decision"]
+        # row+group severity counts match exactly (aggregate rules are the
+        # same dataset-level extras in both modes)
+        assert chunked["severity_counts"] == single["severity_counts"]
+        assert chunked["rows_scanned"] == single["rows_scanned"]
+
+    def test_crash_after_one_pass_then_resume(self, ray_session, tmp_path):
+        import glob as g
+        import json as j
+        import os as o
+
+        from bio_data_validation_ray.pipelines.validate import validate_resumable
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        run = str(tmp_path / "r")
+        # "crash": only one pass of 3 files commits
+        partial = validate_resumable(d, run_dir=run, files_per_pass=3,
+                                     max_passes=1, concurrency=2)
+        assert partial["final_decision"] == "incomplete"
+        assert partial["shards_committed"] == 3
+        committed_at = {
+            j.load(open(p))["partition_id"]: j.load(open(p))["committed_at"]
+            for p in g.glob(o.path.join(run, "lineage", "*.json"))
+        }
+        # restart: finishes the rest, does NOT reprocess the first pass
+        full = validate_resumable(d, run_dir=run, files_per_pass=3, concurrency=2)
+        assert full["complete"] and full["shards_committed"] == full["shards_total"]
+        for p in g.glob(o.path.join(run, "lineage", "*.json")):
+            rec = j.load(open(p))
+            if rec["partition_id"] in committed_at:
+                assert rec["committed_at"] == committed_at[rec["partition_id"]]
+        assert full["final_decision"] == "rejected"
+        # sketches persisted for every shard -> global stats were exact
+        assert len(g.glob(o.path.join(run, "lineage", "*.stats.pkl"))) == \
+            full["shards_total"]
