@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--baseline", default=None, help="baseline digests JSON path")
     v.add_argument("--format", choices=["text", "json"], default="text")
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--resumable", action="store_true",
+                   help="chunked per-pass commits (crash-resumable); "
+                        "requires --run-dir")
+    v.add_argument("--files-per-pass", type=int, default=64)
     v.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -93,13 +97,27 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.baseline) as fh:
             baseline_json = fh.read()
 
-    report = validate_dir(
-        args.input_dir,
-        registry=registry,
-        run_dir=args.run_dir,
-        baseline_json=baseline_json,
-        resume=not args.no_resume,
-    )
+    if args.resumable:
+        if not args.run_dir:
+            print("error: --resumable requires --run-dir", file=sys.stderr)
+            return 2
+        from .pipelines.validate import validate_resumable
+
+        report = validate_resumable(
+            args.input_dir,
+            registry=registry,
+            run_dir=args.run_dir,
+            baseline_json=baseline_json,
+            files_per_pass=args.files_per_pass,
+        )
+    else:
+        report = validate_dir(
+            args.input_dir,
+            registry=registry,
+            run_dir=args.run_dir,
+            baseline_json=baseline_json,
+            resume=not args.no_resume,
+        )
     if args.format == "json":
         print(json.dumps(report, indent=2, default=str))
     else:
