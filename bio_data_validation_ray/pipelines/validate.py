@@ -102,6 +102,7 @@ def validate_dir(
     conv_stage: bool = True,
     agg_stage: bool = True,
     segments_out: str | None = None,
+    driver_cap: int = 5_000_000,
 ) -> dict:
     """Run the full validation suite over ``input_dir``'s Parquet shards and
     return the run report (JSON-serializable). For crash-resumable
@@ -200,7 +201,6 @@ def validate_dir(
     # common case) collect it ONCE and do everything else in pandas — every
     # extra Ray execution costs ~0.5-1s of launch latency, which is pure
     # serial time. The distributed branches below are the 100 TB path.
-    driver_cap = 5_000_000
     driver_mode = out.count() <= driver_cap
     out_df = out.to_pandas() if driver_mode else None
 

@@ -250,3 +250,37 @@ class TestResumable:
         # sketches persisted for every shard -> global stats were exact
         assert len(g.glob(o.path.join(run, "lineage", "*.stats.pkl"))) == \
             full["shards_total"]
+
+
+class TestDistributedPath:
+    """The distributed conversation branch (sort + MergeSegments + boundary
+    stitch) is the 100 TB path; force it with driver_cap=0 and require
+    byte-identical results to the driver branch."""
+
+    def test_distributed_equals_driver_path(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        a = validate_dir(d, run_dir=str(tmp_path / "driver"), resume=False,
+                         concurrency=2)
+        b = validate_dir(d, run_dir=str(tmp_path / "dist"), resume=False,
+                         concurrency=2, driver_cap=0)
+        assert b["severity_counts"] == a["severity_counts"]
+        assert b["final_decision"] == a["final_decision"]
+        va = pd.read_parquet(os.path.join(str(tmp_path / "driver"), "violations"))
+        vb = pd.read_parquet(os.path.join(str(tmp_path / "dist"), "violations"))
+        key = ["shard", "conv_id", "turn_idx", "rule_id", "offending_value"]
+        sa = va[key].fillna("~").sort_values(key).reset_index(drop=True)
+        sb = vb[key].fillna("~").sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(sa, sb)
+
+    def test_distributed_clean_accepts(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF, clean=True)
+        rep = validate_dir(d, run_dir=str(tmp_path / "r"), resume=False,
+                          concurrency=2, driver_cap=0)
+        assert rep["final_decision"] == "accepted"
+        assert rep["stages"]["violations"]["total"] == 0
