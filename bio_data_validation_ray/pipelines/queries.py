@@ -75,6 +75,12 @@ def _vio_rows(sf_dir: str, rule_id: str, cols: dict[str, str]) -> pd.DataFrame:
     _, vio = run_validation(sf_dir)
     sub = vio[vio["rule_id"] == rule_id]
     out = pd.DataFrame({name: sub[src].to_numpy() for name, src in cols.items()})
+    # The violations store declares turn_idx as int32-with-nulls (conv-level
+    # rows carry no turn), so pandas' read_parquet upcasts the column to
+    # float64. Row-level rule subsets never have nulls here; cast back to
+    # int64 so the driver's value hash matches the oracle's BIGINT.
+    if "turn_idx" in out.columns:
+        out["turn_idx"] = out["turn_idx"].astype(np.int64)
     return out.reset_index(drop=True)
 
 
@@ -719,16 +725,21 @@ counts(rule_id, severity, n) AS (
 SELECT rule_id, severity, CAST(n AS BIGINT) AS n FROM counts WHERE n > 0 ORDER BY rule_id"""
 
     return {
-        "t_role_vocab": f"{tq} SELECT conv_id, turn_idx, role FROM t "
-                        f"WHERE role NOT IN {ROLE_SET_SQL}",
-        "t_tool_pattern": f"{tq} SELECT conv_id, turn_idx, tool FROM t WHERE "
+        "t_role_vocab": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, "
+                        f"role FROM t WHERE role NOT IN {ROLE_SET_SQL}",
+        "t_tool_pattern": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, "
+                          f"tool FROM t WHERE "
                           f"tool IS NOT NULL AND NOT regexp_matches(tool,{TOOL_RE_SQL})",
-        "t_tool_role": f"{tq} SELECT conv_id, turn_idx, tool FROM t "
-                       f"WHERE tool IS NOT NULL AND role <> 'tool'",
-        "t_text_empty": f"{tq} SELECT conv_id, turn_idx FROM t WHERE length(text)=0",
-        "t_text_null": f"{tq} SELECT conv_id, turn_idx FROM t WHERE text IS NULL",
-        "t_turn_range": f"{tq} SELECT conv_id, turn_idx FROM t WHERE turn_idx < 0",
-        "t_ts_window": f"{tq} SELECT conv_id, turn_idx FROM t WHERE "
+        "t_tool_role": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, "
+                       f"tool FROM t WHERE tool IS NOT NULL AND role <> 'tool'",
+        "t_text_empty": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx "
+                        f"FROM t WHERE length(text)=0",
+        "t_text_null": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx "
+                       f"FROM t WHERE text IS NULL",
+        "t_turn_range": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx "
+                        f"FROM t WHERE turn_idx < 0",
+        "t_ts_window": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx "
+                       f"FROM t WHERE "
                        f"ts < TIMESTAMP '2000-01-01' OR ts > TIMESTAMP '2035-01-01'",
         "t_dup_turn_key": f"{tq} SELECT conv_id, CAST(sum(c-1) AS BIGINT) AS dup_turns "
                           f"FROM (SELECT conv_id, count(*) AS c FROM t "
@@ -736,8 +747,14 @@ SELECT rule_id, severity, CAST(n AS BIGINT) AS n FROM counts WHERE n > 0 ORDER B
         "t_contig": f"{tq} {contig_sub}",
         "t_ts_mono": f"{tq} {mono_sub}",
         "t_conv_span_shards": f"{tq} {span_sub}",
-        "t_row_dup": f"{tq} SELECT conv_id, turn_idx FROM t GROUP BY conv_id, "
-                     f"turn_idx, role, text, tool, ts HAVING count(*)>1",
+        # one oracle row per EXTRA copy (count-1 per duplicate group), matching
+        # the engine's per-extra-violation semantics even for >=3-copy groups
+        "t_row_dup": f"{tq} SELECT conv_id, turn_idx FROM ("
+                     f"SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, "
+                     f"unnest(generate_series(1, CAST(c-1 AS BIGINT))) AS i "
+                     f"FROM (SELECT conv_id, turn_idx, count(*) AS c FROM t "
+                     f"GROUP BY conv_id, turn_idx, role, text, tool, ts "
+                     f"HAVING count(*)>1) g)",
         "t_rule_counts": rule_counts,
         "t_conv_stats": f"{tq} SELECT conv_id, count(*) AS n_turns, "
                         f"CAST(min(turn_idx) AS BIGINT) AS turn_min, "

@@ -208,10 +208,19 @@ class ValidateBatch:
                 sub_hash = self._row_hash(sub, tsv[rows_in_runs])
                 # runs = maximal consecutive positions sharing (conv,turn,ts);
                 # a row is a duplicate copy if its hash already appeared in
-                # its run (exact for any run length / interleaving)
-                run_ids = np.concatenate(
-                    [[0], np.cumsum(np.diff(rows_in_runs) != 1)]
+                # its run (exact for any run length / interleaving). Runs must
+                # break on KEY change too, not just position gaps — adjacent
+                # equal-content rows of different (conv,turn,ts) keys are
+                # distinct runs (else cross-conversation identical content
+                # yields false DUP_001 hits).
+                rr = rows_in_runs
+                run_break = (
+                    (np.diff(rr) != 1)
+                    | (cs[rr][1:] != cs[rr][:-1])
+                    | (ti[rr][1:] != ti[rr][:-1])
+                    | (tsv[rr][1:] != tsv[rr][:-1])
                 )
+                run_ids = np.concatenate([[0], np.cumsum(run_break)])
                 rdf = pd.DataFrame(
                     {"run": run_ids, "h": sub_hash, "pos": rows_in_runs}
                 )
