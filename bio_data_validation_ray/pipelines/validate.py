@@ -695,6 +695,43 @@ def content_hash_of_dir(d: str) -> tuple[int, int]:
     return total, rows
 
 
+def _prune_uncommitted_group_artifacts(
+    run_dir: str, seg_dir: str, committed: set[str]
+) -> None:
+    """Drop rows belonging to shards with no committed lineage record from
+    every per-pass group artifact (atomic rewrite; corrupt/partial files from
+    a mid-write crash are deleted — their shards are uncommitted by the
+    write-before-commit ordering)."""
+
+    def _filter_file(path: str) -> None:
+        try:
+            t = pq.read_table(path)
+        except Exception:
+            os.remove(path)
+            return
+        if "shard" not in t.column_names:
+            return
+        import pyarrow.compute as _pc
+
+        mask = _pc.is_in(
+            t["shard"], value_set=pa.array(sorted(committed), type=pa.string())
+        )
+        kept = t.filter(_pc.fill_null(mask, False))
+        if kept.num_rows == t.num_rows:
+            return
+        if kept.num_rows == 0:
+            os.remove(path)
+            return
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(kept, tmp)
+        os.replace(tmp, path)
+
+    for f in glob.glob(os.path.join(seg_dir, "group-*.parquet")):
+        _filter_file(f)
+    for f in glob.glob(os.path.join(run_dir, "violations", "group-*", "*.parquet")):
+        _filter_file(f)
+
+
 def validate_resumable(
     input_dir: str,
     *,
@@ -737,6 +774,14 @@ def validate_resumable(
     pending = [f for f in all_files if os.path.basename(f) not in committed]
     seg_dir = os.path.join(run_dir, "segments")
     os.makedirs(seg_dir, exist_ok=True)
+    # Resume hygiene: a crash during a pass's per-shard commit loop leaves
+    # that pass's group artifacts (violations/group-*/, segments/group-*.pq)
+    # on disk while some of its shards have NO lineage record. Those shards
+    # reprocess under a NEW group id, so any stale rows they left behind
+    # would exist twice — double-counting violations and double-subtracting
+    # in the DUP_001 correction. Artifacts are written BEFORE lineage
+    # commits, so committed shards always keep theirs; prune the rest.
+    _prune_uncommitted_group_artifacts(run_dir, seg_dir, set(committed))
 
     n_pass = 0
     while pending:
@@ -855,7 +900,27 @@ def validate_resumable(
             vio_frame_to_table(conv_vio), os.path.join(fdir, "part-0.parquet")
         )
 
-    # ---- dataset-level rules + drift, exactly once ----
+    # ---- drift vs baseline: attributed to the drifted SHARD's counts (and
+    # hence its per-shard decision), matching validate_dir's violation-row
+    # attribution — not just the global total ----
+    drift_report = {}
+    if baseline_json and per_shard_digests:
+        spec = next((s for s in registry.agg_rules() if s.kind == "drift"), None)
+        baseline = drift_mod.baseline_from_json(baseline_json)["text_len"]
+        drift_report = drift_mod.score_partitions(
+            per_shard_digests, baseline,
+            ks_threshold=spec.params["ks_threshold"] if spec else 0.2,
+            psi_threshold=spec.params["psi_threshold"] if spec else 0.2,
+        )
+        if spec:
+            for s, v in drift_report.items():
+                if v["drifted"]:
+                    c = shard_counts.get(s, SeverityCounts())
+                    kw2 = vars(c).copy()
+                    kw2[sev_key[spec.severity]] += 1
+                    shard_counts[s] = SeverityCounts(**kw2)
+
+    # ---- dataset-level rules, exactly once ----
     total = SeverityCounts()
     for c in shard_counts.values():
         total = total + c
@@ -867,20 +932,6 @@ def validate_resumable(
         kw2 = vars(total).copy()
         kw2[sev_key[row["severity"]]] += 1
         total = SeverityCounts(**kw2)
-    drift_report = {}
-    if baseline_json and per_shard_digests:
-        spec = next((s for s in registry.agg_rules() if s.kind == "drift"), None)
-        baseline = drift_mod.baseline_from_json(baseline_json)["text_len"]
-        drift_report = drift_mod.score_partitions(
-            per_shard_digests, baseline,
-            ks_threshold=spec.params["ks_threshold"] if spec else 0.2,
-            psi_threshold=spec.params["psi_threshold"] if spec else 0.2,
-        )
-        if spec:
-            n_drifted = sum(1 for v in drift_report.values() if v["drifted"])
-            kw2 = vars(total).copy()
-            kw2[sev_key[spec.severity]] += n_drifted
-            total = SeverityCounts(**kw2)
 
     per_shard = {
         s: {

@@ -252,6 +252,99 @@ class TestResumable:
             full["shards_total"]
 
 
+    def test_crash_mid_commit_loop_is_exact(self, ray_session, tmp_path):
+        """A crash DURING the per-shard commit loop leaves the pass's group
+        artifacts on disk with some shards uncommitted; the resumed run must
+        prune those stale rows (else DUP_001 double-subtracts and violations
+        duplicate) and still match an uninterrupted run exactly."""
+        import glob as g
+        import os as o
+
+        from bio_data_validation_ray.pipelines.validate import validate_resumable
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        ref = validate_resumable(d, run_dir=str(tmp_path / "ref"),
+                                 files_per_pass=3, concurrency=2)
+        run = str(tmp_path / "r")
+        validate_resumable(d, run_dir=run, files_per_pass=3,
+                           max_passes=1, concurrency=2)
+        # crash mid-commit: one shard of the pass loses its lineage record
+        # (and stats) while the pass's group violations/segments stay on disk
+        recs = sorted(g.glob(o.path.join(run, "lineage", "*.json")))
+        victim = json.load(open(recs[0]))["partition_id"]
+        o.remove(recs[0])
+        spath = o.path.join(run, "lineage", victim.replace("/", "_") + ".stats.pkl")
+        if o.path.exists(spath):
+            o.remove(spath)
+        full = validate_resumable(d, run_dir=run, files_per_pass=3, concurrency=2)
+        assert full["complete"]
+        assert full["severity_counts"] == ref["severity_counts"]
+        assert full["final_decision"] == ref["final_decision"]
+        # no duplicated violation rows across group dirs
+        import pyarrow.dataset as pads
+
+        vfiles = g.glob(o.path.join(run, "violations", "group-*", "*.parquet"))
+        vio = pads.dataset(vfiles).to_table().to_pandas()
+        ref_vio = pads.dataset(
+            g.glob(o.path.join(str(tmp_path / "ref"), "violations",
+                               "group-*", "*.parquet"))
+        ).to_table().to_pandas()
+        key = ["shard", "conv_id", "turn_idx", "rule_id"]
+        assert (
+            vio.groupby(key, dropna=False).size().sort_index().to_dict()
+            == ref_vio.groupby(key, dropna=False).size().sort_index().to_dict()
+        )
+
+    def test_resumable_drift_attributed_to_shard(self, ray_session, tmp_path):
+        """Drift violations must land in the drifted shard's per-shard counts
+        (and decision) in resumable mode, same as validate_dir."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray import drift
+        from bio_data_validation_ray.pipelines.validate import (
+            validate_dir,
+            validate_resumable,
+        )
+        from bio_data_validation_ray.sketches import TDigest
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        clean = ensure_transcripts(SF, clean=True)
+        base = TDigest()
+        shards = sorted(glob.glob(clean + "/*.parquet"))
+        for f in shards:
+            t = pq.read_table(f, columns=["text"])
+            base.add_array(
+                pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(float)
+            )
+        baseline_json = drift.baseline_to_json({"text_len": base})
+        # copy clean shards; blow up text length in ONE shard -> drift there
+        din = tmp_path / "drifted_in"
+        din.mkdir()
+        for f in shards:
+            shutil.copy(f, din / os.path.basename(f))
+        victim = os.path.basename(shards[0])
+        t = pq.read_table(din / victim)
+        big = pc.binary_repeat(t["text"], 20)
+        pq.write_table(t.set_column(t.schema.get_field_index("text"),
+                                    "text", big), din / victim)
+        single = validate_dir(str(din), run_dir=str(tmp_path / "s"),
+                              baseline_json=baseline_json, concurrency=2)
+        chunked = validate_resumable(str(din), run_dir=str(tmp_path / "c"),
+                                     files_per_pass=2,
+                                     baseline_json=baseline_json, concurrency=2)
+        assert single["drift"][victim]["drifted"]
+        assert chunked["drift"][victim]["drifted"]
+        for rep in (single, chunked):
+            assert rep["per_shard"][victim]["severity_counts"]["warning"] >= 1
+        assert (chunked["per_shard"][victim]["severity_counts"]
+                == single["per_shard"][victim]["severity_counts"])
+        assert (chunked["per_shard"][victim]["decision"]
+                == single["per_shard"][victim]["decision"])
+        assert chunked["severity_counts"] == single["severity_counts"]
+
+
 class TestDistributedPath:
     """The distributed conversation branch (sort + MergeSegments + boundary
     stitch) is the 100 TB path; force it with driver_cap=0 and require
