@@ -724,7 +724,75 @@ counts(rule_id, severity, n) AS (
 )
 SELECT rule_id, severity, CAST(n AS BIGINT) AS n FROM counts WHERE n > 0 ORDER BY rule_id"""
 
+    # Per-shard verdicts: row-level rules attribute to the row's shard;
+    # conversation-level rules to the conversation's MAIN shard (argmax row
+    # count, ties to the lexicographically smaller shard — convstage.py
+    # merge_segments_frame / exact_conv_frame). DUP_001 extras follow the
+    # engine's two paths: within one shard -> that shard, unless the conv is
+    # flagged for the exact fallback (overlapping per-shard turn ranges), in
+    # which case -> main shard. Decision matrix = policy.py DEFAULT_THRESHOLDS.
+    verdicts = f"""{tq},
+ranges AS (SELECT conv_id, shard, min(turn_idx) AS lo, max(turn_idx) AS hi,
+                  count(*) AS n FROM t GROUP BY conv_id, shard),
+main AS (SELECT conv_id, shard AS main_shard FROM (
+  SELECT conv_id, shard, row_number() OVER (
+    PARTITION BY conv_id ORDER BY n DESC, shard ASC) AS rn FROM ranges)
+  WHERE rn = 1),
+flagged AS (SELECT DISTINCT conv_id FROM (
+  SELECT conv_id, lo, lag(hi) OVER (
+    PARTITION BY conv_id ORDER BY lo, hi) AS prev_hi FROM ranges)
+  WHERE lo <= prev_hi),
+dupg AS (SELECT conv_id, min(shard) AS dshard, count(*) AS c FROM t
+  GROUP BY conv_id, turn_idx, role, text, tool, ts HAVING count(*)>1),
+dupx AS (SELECT CASE WHEN f.conv_id IS NOT NULL THEN m.main_shard
+                     ELSE g.dshard END AS shard,
+                unnest(generate_series(1, CAST(g.c-1 AS BIGINT))) AS i
+  FROM dupg g JOIN main m ON g.conv_id = m.conv_id
+  LEFT JOIN flagged f ON g.conv_id = f.conv_id),
+vio(shard, sev) AS (
+ SELECT shard,'ERROR' FROM t WHERE role NOT IN {ROLE_SET_SQL}
+ UNION ALL SELECT shard,'ERROR' FROM t WHERE tool IS NOT NULL AND NOT regexp_matches(tool,{TOOL_RE_SQL})
+ UNION ALL SELECT shard,'ERROR' FROM t WHERE tool IS NOT NULL AND role <> 'tool'
+ UNION ALL SELECT shard,'ERROR' FROM t WHERE tool IS NULL AND role = 'tool'
+ UNION ALL SELECT shard,'ERROR' FROM t WHERE length(text)=0
+ UNION ALL SELECT shard,'ERROR' FROM t WHERE text IS NULL
+ UNION ALL SELECT shard,'ERROR' FROM t WHERE turn_idx < 0
+ UNION ALL SELECT shard,'ERROR' FROM t WHERE ts < TIMESTAMP '2000-01-01' OR ts > TIMESTAMP '2035-01-01'
+ UNION ALL SELECT shard,'WARNING' FROM t WHERE length(text) > 1000000
+ UNION ALL SELECT shard,'WARNING' FROM dupx
+ UNION ALL SELECT m.main_shard,'ERROR' FROM (SELECT DISTINCT conv_id FROM (
+   SELECT conv_id FROM t GROUP BY conv_id, turn_idx HAVING count(*)>1)) d
+   JOIN main m ON d.conv_id = m.conv_id
+ UNION ALL SELECT m.main_shard,'ERROR' FROM ({contig_sub}) c
+   JOIN main m ON c.conv_id = m.conv_id
+ UNION ALL SELECT m.main_shard,'WARNING' FROM ({mono_sub}) c
+   JOIN main m ON c.conv_id = m.conv_id
+ UNION ALL SELECT m.main_shard,'CRITICAL' FROM ({span_sub}) c
+   JOIN main m ON c.conv_id = m.conv_id
+),
+counts AS (SELECT shard,
+  sum(CASE WHEN sev='CRITICAL' THEN 1 ELSE 0 END) AS n_critical,
+  sum(CASE WHEN sev='ERROR' THEN 1 ELSE 0 END) AS n_error,
+  sum(CASE WHEN sev='WARNING' THEN 1 ELSE 0 END) AS n_warning,
+  sum(CASE WHEN sev='INFO' THEN 1 ELSE 0 END) AS n_info
+  FROM vio GROUP BY shard),
+shards AS (SELECT shard, count(*) AS rows_scanned FROM t GROUP BY shard)
+SELECT s.shard,
+  CASE WHEN coalesce(n_critical,0) >= 1 THEN 'rejected'
+       WHEN coalesce(n_error,0) >= 5 THEN 'rejected'
+       WHEN coalesce(n_error,0) >= 1 THEN 'conditional_accept'
+       WHEN coalesce(n_warning,0) >= 5 THEN 'conditional_accept'
+       ELSE 'accepted' END AS decision,
+  (coalesce(n_critical,0)=0 AND coalesce(n_error,0)=0) AS passed,
+  CAST(rows_scanned AS BIGINT) AS rows_scanned,
+  CAST(coalesce(n_critical,0) AS BIGINT) AS n_critical,
+  CAST(coalesce(n_error,0) AS BIGINT) AS n_error,
+  CAST(coalesce(n_warning,0) AS BIGINT) AS n_warning,
+  CAST(coalesce(n_info,0) AS BIGINT) AS n_info
+FROM shards s LEFT JOIN counts c ON s.shard = c.shard"""
+
     return {
+        "t_verdicts": verdicts,
         "t_role_vocab": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, "
                         f"role FROM t WHERE role NOT IN {ROLE_SET_SQL}",
         "t_tool_pattern": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, "
