@@ -127,20 +127,203 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return inter / union if union else 1.0
 
 
+class _BucketPairEmitter:
+    """map_batches stage over the bucket-SORTED (id, bucket) stream.
+
+    Emits, per batch:
+      kind=0 rows — candidate pairs (id_a < id_b) for every interior bucket
+        run, membership capped at ``bucket_cap`` (smallest ids kept);
+      kind=1 rows — passthrough members of the batch's FIRST and LAST runs
+        (a bucket can straddle two sorted blocks; those runs are stitched on
+        the driver), capped at ``bucket_cap`` per run;
+      kind=2 rows — (bucket, size) stats for runs that exceeded the cap, so
+        the driver can log the truncation instead of silently sampling.
+
+    All run detection is vectorized; per-run Python touches only multi-member
+    runs (rare — buckets are hashes of minhash bands)."""
+
+    def __init__(self, id_col: str, bucket_cap: int):
+        self.id_col, self.cap = id_col, bucket_cap
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"id_a": np.int64, "id_b": np.int64,
+                "bucket": np.int64, "kind": np.int8}
+        empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        n = len(df)
+        if n == 0:
+            return empty
+        b = df["bucket"].to_numpy()
+        ids = df[self.id_col].to_numpy().astype(np.int64)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(b)) + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        out = [empty]
+        for r in range(starts.size):
+            s, e = int(starts[r]), int(ends[r])
+            boundary = r == 0 or r == starts.size - 1
+            u = np.unique(ids[s:e])
+            over = u.size > self.cap
+            if over:
+                out.append(pd.DataFrame(
+                    {"id_a": [0], "id_b": [int(u.size)],
+                     "bucket": [b[s]], "kind": np.int8(2)}))
+                u = u[: self.cap]
+            if boundary:
+                out.append(pd.DataFrame(
+                    {"id_a": u, "id_b": 0, "bucket": b[s], "kind": np.int8(1)}))
+            elif u.size > 1:
+                iu, jv = np.triu_indices(u.size, 1)
+                out.append(pd.DataFrame(
+                    {"id_a": u[iu], "id_b": u[jv], "bucket": 0,
+                     "kind": np.int8(0)}))
+        res = pd.concat(out, ignore_index=True)
+        return res.astype(cols)
+
+
+def _shingle_frame(t: pa.Table, id_col: str, col: str, k: int,
+                   out_id: str, out_sh: str, ids_ref) -> pa.Table:
+    """Filtered projection: keep candidate docs, replace text with the
+    (sorted, unique) shingle-hash set. Shingles travel as BINARY (raw uint64
+    bytes): Arrow's hash join rejects list payload columns, and bytes
+    round-trip zero-copy. Schema is explicit so empty batches don't decay to
+    null-typed columns (which break the downstream join)."""
+    import pyarrow.compute as pc
+    import ray
+
+    need = ray.get(ids_ref)
+    mask = pc.is_in(t[id_col], value_set=pa.array(need, type=t[id_col].type))
+    sub = t.filter(mask)
+    texts = sub[col].to_pylist()
+    return pa.table({
+        out_id: sub[id_col].cast(pa.int64()),
+        out_sh: pa.array([char_shingles(s, k).tobytes() for s in texts],
+                         type=pa.binary()),
+    })
+
+
+def _verify_pairs(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    a_out, b_out, j_out = [], [], []
+    for a, b, sa, sb in zip(df["id_a"], df["id_b"], df["sh_a"], df["sh_b"]):
+        sa = np.frombuffer(sa, dtype=np.uint64)
+        sb = np.frombuffer(sb, dtype=np.uint64)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        jac = inter / union if union else 1.0
+        if jac >= threshold:
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(round(jac, 6))
+    return pd.DataFrame({
+        "id_a": pd.Series(a_out, dtype=np.int64),
+        "id_b": pd.Series(b_out, dtype=np.int64),
+        "jaccard": pd.Series(j_out, dtype=np.float64),
+    })
+
+
+def _candidate_pairs(banded, id_col: str, bucket_cap: int, log_tag: str):
+    """(id, bucket) Dataset -> deduped candidate-pair Dataset[(id_a, id_b)],
+    or None when no bucket has two members. Sort-by-bucket + vectorized
+    per-run pair emission; block-boundary runs stitch on the driver (<= 2
+    runs per block of compact ids — never member text/vector data);
+    per-bucket membership capped at ``bucket_cap`` with the truncation
+    logged (no silent sampling)."""
+    import logging
+
+    import ray.data as rd
+
+    emitted = banded.sort("bucket").map_batches(
+        _BucketPairEmitter(id_col, bucket_cap), batch_format="pandas"
+    ).materialize()
+
+    meta = emitted.map_batches(
+        lambda df: df[df["kind"] != 0], batch_format="pandas"
+    ).to_pandas()
+    over = meta[meta["kind"] == 2] if len(meta) else meta
+    if len(over):
+        logging.getLogger(__name__).warning(
+            "%s: %d bucket runs exceeded bucket_cap=%d (max size %d); "
+            "membership truncated to the smallest ids",
+            log_tag, len(over), bucket_cap, int(over["id_b"].max()),
+        )
+    extra_frames = []
+    if len(meta):
+        bnd = meta[meta["kind"] == 1]
+        for _, grp in bnd.groupby("bucket"):
+            u = np.unique(grp["id_a"].to_numpy())[:bucket_cap]
+            if u.size > 1:
+                iu, jv = np.triu_indices(u.size, 1)
+                extra_frames.append(pd.DataFrame(
+                    {"id_a": u[iu].astype(np.int64),
+                     "id_b": u[jv].astype(np.int64)}))
+
+    pairs = emitted.map_batches(
+        lambda df: df[df["kind"] == 0][["id_a", "id_b"]], batch_format="pandas"
+    )
+    if extra_frames:
+        pairs = pairs.union(rd.from_pandas(pd.concat(extra_frames,
+                                                     ignore_index=True)))
+    # dedup pairs (bucket collisions): sort brings copies adjacent; in-batch
+    # dedup removes all but block-boundary stragglers, which merely get
+    # verified twice and drop out in the final output dedup
+    pairs = pairs.sort(["id_a", "id_b"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    ).materialize()
+    return pairs if pairs.count() else None
+
+
+def _pair_ids(pairs) -> np.ndarray:
+    """Unique candidate ids of a pair Dataset (compact int64s)."""
+    idp = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": np.unique(np.concatenate([df["id_a"].to_numpy(),
+                                             df["id_b"].to_numpy()]))}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    return np.unique(idp["id"].to_numpy())
+
+
+def _join_payloads(pairs, payload_a, payload_b, nparts: int):
+    """Hash-join per-id payload datasets onto both sides of the pairs.
+    .repartition() before every join input: Ray 2.49's hash join aggregator
+    mangles the schema of EMPTY blocks ("No match or multiple matches for
+    key field reference" in Acero), and filtered map_batches outputs (and
+    join outputs themselves) routinely contain empty blocks. All inputs are
+    candidate-scale, so the extra exchange is cheap."""
+    return (
+        pairs.repartition(nparts)
+        .join(payload_a.repartition(nparts), "inner", nparts, on=("id_a",))
+        .repartition(nparts)
+        .join(payload_b.repartition(nparts), "inner", nparts, on=("id_b",))
+    )
+
+
 def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, k: int = 5,
                       n_perm: int = 128, bands: int = 16,
-                      concurrency: int = 4) -> pd.DataFrame:
+                      concurrency: int = 4,
+                      bucket_cap: int = 512) -> pd.DataFrame:
     """Full MinHash+LSH near-dup pipeline -> DataFrame[(id_a, id_b, jaccard)]
-    with id_a < id_b and exact shingle-Jaccard >= threshold.
+    with id_a < id_b and exact shingle-Jaccard >= threshold. The scale
+    re-expression of DUP_004 (rule_validator.py:307-322, all-pairs capped at
+    5000 uniques) — LSH banding replaces the cap; a per-bucket membership cap
+    (``bucket_cap``, smallest ids kept, truncation logged) bounds degenerate
+    buckets instead of degenerate inputs.
 
-    Candidate generation is fully distributed; verification re-reads only the
-    candidate documents (at 100 TB: a filtered, pushdown-friendly re-read,
-    same pattern as the conversation exact fallback)."""
-    import ray.data as rd
-    from ray.data.aggregate import AggregateFn
+    Every stage is distributed; the driver only ever touches compact
+    metadata (block-boundary bucket runs, truncation stats, unique candidate
+    ids) — never member lists, texts, or the pair loop:
+      1. doc -> minhash bands -> (id, bucket) rows            [map_batches]
+      2. sort by bucket -> vectorized per-run pair emission   [sort + map]
+         with a 2-runs-per-block boundary stitch (same pattern as
+         convstage.MergeSegments / keyed_reduce._InteriorReduce)
+      3. pair dedup (a pair can collide in several bands)     [sort + map]
+      4. candidate docs -> shingle sets, filtered re-read     [map_batches]
+      5. hash-join shingles onto pairs (both sides candidate-
+         scale, never the corpus) and verify exact Jaccard    [join + map]
+    """
+    import ray
 
-    from ..stages.keyed_reduce import keyed_reduce_pandas
+    empty = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
 
     def fuse(df: pd.DataFrame) -> pd.DataFrame:
         df["bucket"] = (
@@ -152,49 +335,31 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
     banded = ds.map_batches(
         MinHashBands(col=col, id_col=id_col, k=k, n_perm=n_perm, bands=bands),
         batch_format="pandas",
-    ).map_batches(fuse, batch_format="pandas").materialize()
-    # buckets with >1 doc -> candidate pairs. Bucket sizes via the vectorized
-    # keyed reduce; hot-bucket keys broadcast back as a filter — no per-group
-    # Python anywhere.
-    counts = keyed_reduce_pandas(
-        banded, ["bucket"], {"c": (id_col, "count")}
+    ).map_batches(fuse, batch_format="pandas")
+
+    pairs = _candidate_pairs(banded, id_col, bucket_cap, "minhash_near_dups")
+    if pairs is None:
+        return empty
+
+    # unique candidate ids (compact int64s) -> broadcast filter for the
+    # shingle re-read; both join sides below are candidate-scale
+    ids_ref = ray.put(_pair_ids(pairs))
+    nparts = max(2, int(concurrency))
+    sh_a = ds.map_batches(
+        lambda t: _shingle_frame(t, id_col, col, k, "id_a", "sh_a", ids_ref),
+        batch_format="pyarrow",
     )
-    hot = counts[counts["c"] > 1]
-    if len(hot) == 0:
-        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
-    hot_keys = set(hot["bucket"])
-    members = banded.map_batches(
-        lambda df: df[df["bucket"].isin(hot_keys)], batch_format="pandas"
+    sh_b = ds.map_batches(
+        lambda t: _shingle_frame(t, id_col, col, k, "id_b", "sh_b", ids_ref),
+        batch_format="pyarrow",
+    )
+    joined = _join_payloads(pairs, sh_a, sh_b, nparts)
+    out = joined.map_batches(
+        lambda df: _verify_pairs(df, threshold), batch_format="pandas"
     ).to_pandas()
-    members = members.drop_duplicates()
-    # vectorized pair generation: self-join on bucket
-    j = members.merge(members, on="bucket", suffixes=("_a", "_b"))
-    cand = j[j[f"{id_col}_a"] < j[f"{id_col}_b"]][
-        [f"{id_col}_a", f"{id_col}_b"]
-    ].rename(columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"})
-    cand = cand.drop_duplicates().reset_index(drop=True)
-    if len(cand) == 0:
-        return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
-    need = set(cand["id_a"]) | set(cand["id_b"])
-    texts = (
-        ds.map_batches(
-            lambda b: b[b[id_col].isin(need)][[id_col, col]], batch_format="pandas"
-        )
-        .to_pandas()
-        .set_index(id_col)[col]
-        .to_dict()
-    )
-    shingle_cache = {i: char_shingles(texts[i], k) for i in need}
-
-    def fast_jaccard(a, b):
-        sa, sb = shingle_cache[a], shingle_cache[b]
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        return inter / union if union else 1.0
-
-    jac = [fast_jaccard(a, b) for a, b in zip(cand["id_a"], cand["id_b"])]
-    cand["jaccard"] = np.round(jac, 6)
-    out = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+    if "id_a" not in out.columns or len(out) == 0:
+        return empty
+    out = out.drop_duplicates(["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -212,8 +377,30 @@ def simhash64(s: str, k: int = 5) -> np.uint64:
     return out
 
 
-def add_simhash(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
-    batch["simhash"] = [np.int64(simhash64(s).astype(np.int64)) for s in batch[col]]
+def add_simhash(batch: pd.DataFrame, col: str = "text", k: int = 5) -> pd.DataFrame:
+    """Batch-vectorized SimHash: concatenate every doc's shingle set and
+    vote per (doc, bit) with np.add.reduceat — no per-row Python beyond the
+    shingling itself (same trick as MinHashBands). Bit-exact with
+    ``simhash64``."""
+    n = len(batch)
+    if n == 0:
+        batch["simhash"] = pd.Series(dtype=np.int64)
+        return batch
+    shingle_sets = [char_shingles(s, k) for s in batch[col]]
+    lens = np.array([s.size for s in shingle_sets], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    allsh = np.concatenate(shingle_sets)
+    votes = np.empty((n, 64), dtype=np.int64)
+    for b0 in range(0, 64, 16):  # chunk bit planes to bound temporaries
+        bits = (
+            (allsh[:, None] >> np.arange(b0, b0 + 16, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        votes[:, b0:b0 + 16] = np.add.reduceat(bits, offsets, axis=0)
+    sign = (votes * 2) > lens[:, None]
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = (sign.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    batch["simhash"] = out.astype(np.int64)
     return batch
 
 
@@ -226,36 +413,136 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
-def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
-                        threshold: float = 0.95) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs via blocked matmul: each batch's
-    normalized vectors are scored against the full normalized matrix
-    (broadcast once via ray.put). O(n·n/B) flops distributed over batches;
-    for >10^7 vectors swap the broadcast matrix for the IVF index in
-    similarity.py."""
+class HyperplaneBands:
+    """map_batches stage: embedding -> one row per random-hyperplane LSH band
+    (SimHash-for-cosine, the public random-projection scheme): ``band_bits``
+    sign bits per band packed into an integer band hash. Two vectors at
+    cosine c collide in a band with p = (1 - arccos(c)/pi)^band_bits; with
+    the defaults (16 bands x 8 bits) recall at c>=0.95 is > 0.999.
+    The hyperplane matrix is deterministic (seeded) and lives in the actor —
+    one allocation per worker, a single matmul per batch."""
+
+    def __init__(self, vec_col: str = "embedding", id_col: str = "vec_id",
+                 bands: int = 16, band_bits: int = 8, dim: int | None = None,
+                 seed: int = 0x5EED):
+        self.vec_col, self.id_col = vec_col, id_col
+        self.bands, self.band_bits = bands, band_bits
+        self.seed = seed
+        self._h = None
+
+    def _planes(self, dim: int) -> np.ndarray:
+        if self._h is None or self._h.shape[1] != dim:
+            rng = np.random.default_rng(self.seed)
+            self._h = rng.standard_normal((self.bands * self.band_bits, dim))
+        return self._h
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({self.id_col: pd.Series(dtype=np.int64),
+                                 "band": pd.Series(dtype=np.int64),
+                                 "band_hash": pd.Series(dtype=np.int64)})
+        m = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
+        bits = (m @ self._planes(m.shape[1]).T) > 0  # (n, bands*bits)
+        bb = bits.reshape(n, self.bands, self.band_bits)
+        weights = (np.uint64(1) << np.arange(self.band_bits, dtype=np.uint64))
+        bh = (bb.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        # mix the band index into the hash so bands share one bucket space
+        bh = bh * np.uint64(0x100000001B3) + np.arange(
+            self.bands, dtype=np.uint64)[None, :]
+        return pd.DataFrame({
+            self.id_col: np.repeat(
+                batch[self.id_col].to_numpy().astype(np.int64), self.bands),
+            "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
+            "band_hash": bh.reshape(-1).astype(np.int64),
+        })
+
+
+def _vec_frame(t: pa.Table, id_col: str, vec_col: str, out_id: str,
+               out_v: str, ids_ref) -> pa.Table:
+    """Filtered projection: candidate ids -> normalized vector as BINARY
+    (raw float64 bytes; Arrow's hash join rejects list payload columns)."""
+    import pyarrow.compute as pc
     import ray
 
-    full = ds.to_pandas()
-    ids = full[id_col].to_numpy()
-    m = np.stack(full[vec_col].to_numpy())
-    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, m))
+    need = ray.get(ids_ref)
+    mask = pc.is_in(t[id_col], value_set=pa.array(need, type=t[id_col].type))
+    sub = t.filter(mask)
+    vecs = sub[vec_col].to_pylist()
+    out = []
+    for v in vecs:
+        a = np.asarray(v, dtype=np.float64)
+        a = a / max(np.linalg.norm(a), 1e-12)
+        out.append(a.tobytes())
+    return pa.table({
+        out_id: sub[id_col].cast(pa.int64()),
+        out_v: pa.array(out, type=pa.binary()),
+    })
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, mat = ray.get(ref)
-        q = np.stack(batch[vec_col].to_numpy())
-        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = q @ mat.T
-        qa, qb = np.nonzero(sims >= threshold)
-        a = batch[id_col].to_numpy()[qa]
-        b = all_ids[qb]
-        keep = a < b
-        return pd.DataFrame(
-            {"id_a": a[keep], "id_b": b[keep],
-             "cosine": np.round(sims[qa, qb][keep], 6)}
+
+def _verify_cosine(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    cols = {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    va = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["v_a"]])
+    vb = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["v_b"]])
+    sims = np.round(np.einsum("ij,ij->i", va, vb), 6)
+    keep = sims >= threshold
+    return pd.DataFrame({
+        "id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
+        "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
+        "cosine": sims[keep],
+    })
+
+
+def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.95, bands: int = 16,
+                        band_bits: int = 8, concurrency: int = 4,
+                        bucket_cap: int = 1024) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs -> DataFrame[(id_a, id_b,
+    cosine)] with id_a < id_b and exact cosine >= threshold.
+
+    Same distributed skeleton as ``minhash_near_dups`` (candidate buckets ->
+    sorted pair emission with boundary stitch and capped hot buckets ->
+    hash-join payloads -> exact verify), with random-hyperplane LSH as the
+    bucketing function instead of minhash bands. Nothing materializes the
+    dataset on the driver; the verify is one vectorized einsum per batch.
+    Chosen over IVF-probe bucketing for near-dup detection: hyperplane
+    buckets give a tunable per-pair recall guarantee, while IVF centroid
+    buckets miss boundary-crossing pairs unless probes are replicated."""
+    import ray
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (
+            (df["band"].to_numpy().astype(np.int64) * np.int64(0x9E3779B9))
+            ^ df["band_hash"].to_numpy()
         )
+        return df[[id_col, "bucket"]]
 
-    out = ds.map_batches(score, batch_format="pandas", batch_size=1024).to_pandas()
-    if "id_a" not in out.columns:
-        return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+    empty = pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+    banded = ds.map_batches(
+        HyperplaneBands(vec_col=vec_col, id_col=id_col, bands=bands,
+                        band_bits=band_bits),
+        batch_format="pandas",
+    ).map_batches(fuse, batch_format="pandas")
+    pairs = _candidate_pairs(banded, id_col, bucket_cap, "embedding_near_dups")
+    if pairs is None:
+        return empty
+    ids_ref = ray.put(_pair_ids(pairs))
+    nparts = max(2, int(concurrency))
+    v_a = ds.map_batches(
+        lambda t: _vec_frame(t, id_col, vec_col, "id_a", "v_a", ids_ref),
+        batch_format="pyarrow",
+    )
+    v_b = ds.map_batches(
+        lambda t: _vec_frame(t, id_col, vec_col, "id_b", "v_b", ids_ref),
+        batch_format="pyarrow",
+    )
+    joined = _join_payloads(pairs, v_a, v_b, nparts)
+    out = joined.map_batches(
+        lambda df: _verify_cosine(df, threshold), batch_format="pandas"
+    ).to_pandas()
+    if "id_a" not in out.columns or len(out) == 0:
+        return empty
+    out = out.drop_duplicates(["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -412,14 +412,14 @@ def cust_orders_join(sf_dir):
 
     cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_mktsegment"])
-    seg_of = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    seg_of = ray.put(cust)
     ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                          columns=["o_custkey", "o_totalprice"])
 
     def joined(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(seg_of)
-        df["c_mktsegment"] = df["o_custkey"].map(m)
+        m = ray.get(seg_of)  # vectorized hash merge, not per-row .map
         df["cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        df = df.merge(m, left_on="o_custkey", right_on="c_custkey", how="left")
         return df[["c_mktsegment", "cents"]]
 
     out = combine_low_card(
@@ -433,13 +433,15 @@ def cust_orders_join(sf_dir):
 
 
 def li_orders_join(sf_dir):
-    """lineitem x orders join keyed on orderkey: pre-aggregate the fact side
-    per key inside map_batches, then broadcast-join the (much smaller)
-    per-order partials against the orders dimension."""
-    import ray
+    """lineitem x orders join keyed on orderkey, fully distributed: the fact
+    side pre-aggregates per order inside map_batches + the sorted interior
+    reduce (per-order partials stay a Dataset — neither side is collected),
+    then a hash join attaches o_orderstatus and a zero-shuffle low-card
+    combine produces the 3-row result. Orders is NOT a small side, so no
+    broadcast anywhere."""
     import ray.data as rd
 
-    from ..stages.keyed_reduce import combine_low_card, keyed_reduce_pandas
+    from ..stages.keyed_reduce import combine_low_card, keyed_reduce
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_quantity"])
@@ -448,18 +450,27 @@ def li_orders_join(sf_dir):
         df["qty"] = np.round(df["l_quantity"]).astype(np.int64)
         return df[["l_orderkey", "qty"]]
 
-    per_order = keyed_reduce_pandas(
+    interior, boundary = keyed_reduce(
         li.map_batches(prep, batch_format="pandas"),
         ["l_orderkey"],
         {"n_items": ("qty", "count"), "sum_qty": ("qty", "sum")},
     )
-    orders = pd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    per_order = interior
+    if len(boundary):
+        per_order = per_order.union(rd.from_pandas(boundary))
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_orderstatus"])
-    j = per_order.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
-    out = j.groupby("o_orderstatus", as_index=False).agg(
-        n_orders=("l_orderkey", "nunique"),
-        n_items=("n_items", "sum"),
-        sum_qty=("sum_qty", "sum"),
+    nparts = 8
+    # repartition: Ray 2.49 hash join breaks on empty input blocks (see
+    # functions/dedup._join_payloads)
+    j = per_order.repartition(nparts).join(
+        orders.repartition(nparts), "inner", nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = combine_low_card(
+        j, ["o_orderstatus"],
+        {"n_orders": ("n_items", "count"), "n_items": ("n_items", "sum"),
+         "sum_qty": ("sum_qty", "sum")},
     )
     for c in ("n_orders", "n_items", "sum_qty"):
         out[c] = out[c].astype(np.int64)
@@ -603,12 +614,32 @@ def emb_ivf_topk(sf_dir):
 
 
 def emb_near_dups(sf_dir):
+    """LSH-bucketed embedding near-dup pairs, DuckDB-oracle-checked: the
+    fixture has no natural pairs above 0.9, so the query plants exact
+    duplicates by unioning an id-shifted copy of the table (the same
+    construction the oracle SQL states) and returns ID-only pairs at
+    threshold 0.999 — every (i, i+100000) pair must surface."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from ..functions.dedup import embedding_near_dups
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dups(ds, threshold=0.9)
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.add(t["vec_id"].cast(pa.int64()), 100000),
+            "embedding": t["embedding"],
+        })
+
+    both = ds.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
+                            "embedding": t["embedding"]}),
+        batch_format="pyarrow",
+    ).union(ds.map_batches(shift, batch_format="pyarrow"))
+    out = embedding_near_dups(both, threshold=0.999)
+    return out[["id_a", "id_b"]]
 
 
 def li_pricing(sf_dir):
@@ -883,6 +914,14 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "emb_near_dups": """
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT CAST(vec_id AS BIGINT)+100000, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+ORDER BY 1, 2""",
         "emb_topk_ids": """
 SELECT vec_id FROM embeddings
 ORDER BY list_cosine_similarity(embedding,

@@ -76,12 +76,16 @@ class _InteriorReduce:
             out = df[cols].copy() if set(cols) <= set(df.columns) else pd.DataFrame(columns=cols)
             out["__boundary"] = pd.Series([], dtype=bool)
             return out
-        first = tuple(df.iloc[0][k] for k in self.keys)
-        last = tuple(df.iloc[-1][k] for k in self.keys)
-        keytuples = list(map(tuple, df[self.keys].to_numpy()))
-        is_boundary = pd.Series(
-            [t == first or t == last for t in keytuples], index=df.index
-        )
+        # vectorized boundary mask: a row is boundary iff ALL its key columns
+        # equal the batch's first row's keys or ALL equal the last row's —
+        # no per-row Python tuples (O(#partial-rows) at conv_id cardinality)
+        is_first = np.ones(len(df), dtype=bool)
+        is_last = np.ones(len(df), dtype=bool)
+        for k in self.keys:
+            col = df[k].to_numpy()
+            is_first &= col == col[0]
+            is_last &= col == col[-1]
+        is_boundary = pd.Series(is_first | is_last, index=df.index)
         interior = _merge_frame(df.loc[~is_boundary], self.keys, self.spec)
         interior["__boundary"] = False
         passthrough = df.loc[is_boundary, self.keys + list(self.spec)].copy()

@@ -39,6 +39,55 @@ class TestDedup:
         assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 40)).any()
         assert (pairs["jaccard"] >= 0.6).all()
 
+    def test_minhash_hot_bucket_capped_no_driver_blowup(self, ray_session):
+        """Skew: 10k identical docs collapse every band into one 10k-member
+        bucket. The per-bucket cap must bound pair emission (C(cap,2), not
+        C(10k,2) ~ 5*10^7) and the run must complete quickly."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import minhash_near_dups
+
+        n, cap = 10_000, 64
+        df = pd.DataFrame({"doc_id": range(n),
+                           "text": ["the same document text " * 8] * n})
+        pairs = minhash_near_dups(
+            rd.from_pandas(df), threshold=0.9, concurrency=2, bucket_cap=cap
+        )
+        assert len(pairs) == cap * (cap - 1) // 2
+        assert (pairs["jaccard"] == 1.0).all()
+        # cap keeps the smallest ids
+        assert pairs["id_b"].max() < cap
+
+    def test_minhash_cross_block_bucket_stitched(self, ray_session):
+        """A planted near-dup pair must survive even when the input arrives
+        as many tiny blocks (bucket members can land in different sorted
+        blocks -> the boundary stitch must emit the cross-block pair)."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import minhash_near_dups
+
+        rng = np.random.default_rng(11)
+        words = [f"w{i}" for i in range(400)]
+        docs = [" ".join(rng.choice(words, 50)) for _ in range(30)]
+        near = docs[7].replace("w", "y", 1)
+        frames = [
+            pd.DataFrame({"doc_id": [i], "text": [t]})
+            for i, t in enumerate(docs + [near])
+        ]
+        ds = rd.from_pandas(frames)  # one block per doc
+        pairs = minhash_near_dups(ds, threshold=0.6, concurrency=2)
+        assert ((pairs["id_a"] == 7) & (pairs["id_b"] == 30)).any()
+
+    def test_add_simhash_matches_scalar_reference(self):
+        from bio_data_validation_ray.functions.dedup import add_simhash, simhash64
+
+        rng = np.random.default_rng(21)
+        texts = ["".join(rng.choice(list("abcdef "), 40)) for _ in range(50)]
+        texts += ["", "ab", "x" * 5]
+        df = add_simhash(pd.DataFrame({"text": texts}))
+        ref = [np.int64(simhash64(s).astype(np.int64)) for s in texts]
+        assert (df["simhash"].to_numpy() == np.array(ref)).all()
+
     def test_jaccard_exact(self):
         from bio_data_validation_ray.functions.dedup import jaccard
 
