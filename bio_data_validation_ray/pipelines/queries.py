@@ -432,6 +432,39 @@ def cust_orders_join(sf_dir):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def cust_enrich(sf_dir):
+    """Stateful enrichment stage (stages/enrich.EnrichStage): orders stream
+    through an actor pool whose customer reference index is built once per
+    actor; a third of the customers (custkey % 3 == 0) are withheld so the
+    miss path is exercised. Result: order counts per enriched segment plus
+    the '__miss__' bucket — oracle-stated as a LEFT JOIN against the same
+    filtered reference."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.enrich import EnrichStage
+    from ..stages.keyed_reduce import combine_low_card
+
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(cust[cust["c_custkey"] % 3 != 0])
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey"])
+    enriched = ds.map_batches(
+        EnrichStage,
+        fn_constructor_kwargs=dict(key_col="o_custkey", ref_key="c_custkey",
+                                   add_cols=["c_mktsegment"], ref_data=ref),
+        batch_format="pandas", concurrency=2,
+    )
+    seg = enriched.map_batches(
+        lambda df: pd.DataFrame({"segment": df["c_mktsegment"].fillna("__miss__")}),
+        batch_format="pandas",
+    )
+    out = combine_low_card(seg, ["segment"], {"n": ("segment", "count")})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("segment").reset_index(drop=True)
+
+
 def li_orders_join(sf_dir):
     """lineitem x orders join keyed on orderkey, fully distributed: the fact
     side pre-aggregates per order inside map_batches + the sorted interior
@@ -700,6 +733,7 @@ QUERIES = {
     "events_props_k": events_props_k,
     "events_daily": events_daily,
     "cust_orders_join": cust_orders_join,
+    "cust_enrich": cust_enrich,
     "li_orders_join": li_orders_join,
     "doc_dedup_exact": doc_dedup_exact,
     "doc_token_count": doc_token_count,
@@ -752,6 +786,17 @@ counts(rule_id, severity, n) AS (
  UNION ALL SELECT 'DUP_001_ROW','WARNING',CAST(({dup_extras}) AS BIGINT)
  UNION ALL SELECT 'BIAS_001_ROLE_BALANCE','WARNING',CASE WHEN (SELECT min(c)*1.0/sum(c) FROM (SELECT count(*) AS c FROM t WHERE role IS NOT NULL GROUP BY role)) < 0.02 THEN 1 ELSE 0 END
  UNION ALL SELECT 'BIAS_002_TEXT_MISSING','WARNING',CASE WHEN (SELECT sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)*1.0/count(*) FROM t) > 0.1 THEN 1 ELSE 0 END
+ UNION ALL SELECT 'BIAS_001B_LEN_QUARTILES','WARNING',CASE WHEN (
+   SELECT min(p) FROM (SELECT count(*)*1.0/(SELECT count(*) FROM t WHERE text IS NOT NULL) AS p
+     FROM (SELECT ntile(4) OVER (ORDER BY length(text)) AS b FROM t WHERE text IS NOT NULL) GROUP BY b)
+ ) < 0.05 THEN 1 ELSE 0 END
+ UNION ALL SELECT 'STAT_GLOBAL_OUTLIER','WARNING',CASE WHEN (
+   SELECT 100.0*sum(CASE WHEN abs(len - m) > 5*s THEN 1 ELSE 0 END)/count(*)
+   FROM (SELECT length(text) AS len,
+                (SELECT avg(length(text)) FROM t WHERE text IS NOT NULL) AS m,
+                (SELECT stddev_pop(length(text)) FROM t WHERE text IS NOT NULL) AS s
+         FROM t WHERE text IS NOT NULL)
+ ) > 5.0 THEN 1 ELSE 0 END
 )
 SELECT rule_id, severity, CAST(n AS BIGINT) AS n FROM counts WHERE n > 0 ORDER BY rule_id"""
 
@@ -889,6 +934,12 @@ SELECT c_mktsegment, count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "cust_enrich": """
+SELECT coalesce(c.c_mktsegment, '__miss__') AS segment, count(*) AS n
+FROM orders o LEFT JOIN
+  (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) c
+ON o.o_custkey = c.c_custkey
+GROUP BY 1""",
         "li_orders_join": """
 SELECT o_orderstatus,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

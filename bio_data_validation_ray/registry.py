@@ -120,15 +120,26 @@ def transcript_registry() -> RuleRegistry:
         RuleSpec("BIAS_001_ROLE_BALANCE", "class_balance", "role",
                  {"threshold": 0.02}, "WARNING", "1",
                  "minimum role proportion below threshold (BIAS_001 analog)"),
+        RuleSpec("BIAS_001B_LEN_QUARTILES", "quantile_balance", "text_len",
+                 {"threshold": 0.05, "q": 4}, "WARNING", "1",
+                 "minimum text-length quartile proportion below threshold "
+                 "(BIAS_001B continuous-imbalance analog, "
+                 "rule_validator.py:355-371; bins from t-digest quantiles)"),
+        RuleSpec("STAT_GLOBAL_OUTLIER", "global_outlier", "text_len",
+                 {"sigma": 5.0, "pct_max": 5.0}, "WARNING", "1",
+                 "more than pct_max% of text lengths beyond sigma std devs "
+                 "of the global mean (matrix_validator.py:536-563 analog; "
+                 "moments + t-digest tail mass, single pass)"),
         RuleSpec("DRIFT_TEXT_LEN", "drift", "text_len",
                  {"psi_threshold": 0.2, "ks_threshold": 0.2}, "WARNING", "1",
                  "text-length distribution drift vs baseline (KS + PSI; north_star)"),
     ]
     return RuleRegistry(
-        version="1.0.0",
+        version="1.1.0",
         rules=rules,
         changelog=[
             "1.0.0: initial transcript rule suite (row, conversation, aggregate, drift)",
+            "1.1.0: BIAS_001B quantile imbalance + global outlier aggregate rules",
         ],
     )
 

@@ -56,7 +56,8 @@ GROUP_KINDS = {
     "single_shard_group",
     "row_dup",
 }
-AGG_KINDS = {"missing_rate", "class_balance", "drift", "skewness"}
+AGG_KINDS = {"missing_rate", "class_balance", "drift", "skewness",
+             "quantile_balance", "global_outlier"}
 
 
 @dataclass(frozen=True)

@@ -189,6 +189,30 @@ class TDigest:
         target = q * self.weights.sum()
         return float(np.interp(target, cum, self.means))
 
+    def quantile_step(self, q: float) -> float:
+        """Step-function inverse CDF: the centroid whose cumulative-weight
+        span contains q*total. Unlike the interpolating ``quantile``, a
+        heavily tied value (one fat centroid) is returned EXACTLY for every
+        q inside its span — needed to mirror pandas qcut's duplicate-edge
+        collapse (rule_validator.py:357, duplicates='drop')."""
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights)
+        target = np.clip(q, 0.0, 1.0) * cum[-1]
+        i = int(np.searchsorted(cum, target, side="left"))
+        return float(self.means[min(i, self.means.size - 1)])
+
+    def cdf_leq(self, x: float) -> float:
+        """P(X <= x) with FULL tie mass at centroid values (upper-step
+        convention) — mirrors qcut's (lo, hi] bin assignment for tied data,
+        unlike the interpolated midpoint ``cdf``."""
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        total = self.weights.sum()
+        return float(self.weights[self.means <= x].sum() / total)
+
     def cdf(self, x: float) -> float:
         self._compress()
         if self.means.size == 0:

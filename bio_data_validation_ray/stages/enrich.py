@@ -1,0 +1,126 @@
+"""Stateful external-enrichment stage: the Ray-native re-expression of the
+reference's cache -> NCBI -> Ensembl -> degraded lookup waterfall
+(bio_lookups.py:614-800) and its process-singleton cache
+(cache_manager.py:26-449).
+
+The reference resolves each distinct (gene, organism) key against a local
+cache first, then batched remote APIs, then marks the rest degraded. In a
+no-network engine the "cache" generalizes to a REFERENCE TABLE loaded once
+per worker; the waterfall becomes: primary reference lookup -> optional
+fallback callable -> miss marker. SURVEY.md §2.3 maps this to an actor-pool
+``map_batches`` class: state (the reference index) is built in ``__init__``
+(once per actor, NOT per batch), per-batch work is a vectorized hash merge
+on the deduplicated key set (bio_lookups.py:645 dedupes keys the same way).
+
+Usage::
+
+    stage = EnrichStage  # pass the CLASS to map_batches
+    out = ds.map_batches(
+        EnrichStage,
+        fn_constructor_kwargs=dict(ref_path=..., key_col="o_custkey",
+                                   ref_key="c_custkey",
+                                   add_cols=["c_mktsegment"]),
+        batch_format="pandas", concurrency=(1, 4),
+    )
+
+Output rows carry the requested ``add_cols`` plus ``enrich_status`` in
+{'hit', 'fallback', 'miss'} — the analog of the reference's per-gene
+verified/unverified/degraded verdicts (bio_lookups.py:742-789).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+STATUS_COL = "enrich_status"
+HIT, FALLBACK, MISS = "hit", "fallback", "miss"
+
+
+class EnrichStage:
+    """Actor-pool enrichment: reference table loaded once per actor."""
+
+    def __init__(
+        self,
+        *,
+        key_col: str,
+        ref_key: str,
+        add_cols: list[str],
+        ref_path: str | None = None,
+        ref_data=None,
+        ref_columns: list[str] | None = None,
+        fallback: Callable[[pd.Series], pd.DataFrame] | None = None,
+    ):
+        """``ref_path``: parquet file/dir read ONCE in this constructor (the
+        at-scale pattern for a big shared reference on common storage);
+        ``ref_data``: a ``ray.ObjectRef`` from ``ray.put`` (broadcast once,
+        fetched zero-copy from the local object store) or a plain DataFrame
+        for tests. ``fallback(keys) -> DataFrame[ref_key, *add_cols]`` is
+        consulted for keys the reference missed (the Ensembl-fallback
+        analog); remaining keys are marked ``miss``."""
+        if (ref_path is None) == (ref_data is None):
+            raise ValueError("exactly one of ref_path / ref_data required")
+        if ref_path is not None:
+            ref = pd.read_parquet(ref_path, columns=ref_columns)
+        else:
+            try:
+                import ray
+
+                if isinstance(ref_data, ray.ObjectRef):
+                    ref_data = ray.get(ref_data)
+            except ImportError:
+                pass
+            ref = ref_data
+        self.key_col, self.ref_key, self.add_cols = key_col, ref_key, add_cols
+        self.fallback = fallback
+        # one indexed frame per actor; duplicate reference keys keep the
+        # first occurrence (deterministic)
+        self._index = (
+            ref[[ref_key] + add_cols]
+            .drop_duplicates(ref_key, keep="first")
+            .set_index(ref_key)
+        )
+        self.hits = 0
+        self.misses = 0
+        self.fallback_hits = 0
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = batch.copy()
+            for c in self.add_cols:
+                out[c] = pd.Series(dtype=object)
+            out[STATUS_COL] = pd.Series(dtype=object)
+            return out
+        # dedupe keys before the lookup (bio_lookups.py:645) — repeated keys
+        # in a batch cost one probe
+        keys = pd.Index(batch[self.key_col].unique())
+        found = self._index.reindex(keys)
+        hit_mask = ~found[self.add_cols[0]].isna()
+        status = pd.Series(MISS, index=keys, dtype=object)
+        status[hit_mask] = HIT
+        missing = keys[~hit_mask]
+        if self.fallback is not None and len(missing):
+            fb = self.fallback(pd.Series(missing))
+            if len(fb):
+                fb = (
+                    fb[[self.ref_key] + self.add_cols]
+                    .drop_duplicates(self.ref_key, keep="first")
+                    .set_index(self.ref_key)
+                )
+                fb_keys = fb.index.intersection(missing)
+                found.loc[fb_keys, self.add_cols] = fb.loc[fb_keys, self.add_cols]
+                status[fb_keys] = FALLBACK
+                self.fallback_hits += len(fb_keys)
+        self.hits += int(hit_mask.sum())
+        self.misses += int((status == MISS).sum())
+        out = batch.merge(
+            found.assign(**{STATUS_COL: status}),
+            left_on=self.key_col, right_index=True, how="left",
+        )
+        return out
+
+    def stats(self) -> dict:
+        """Hit/miss counters (cache_manager.py stats analog)."""
+        return {"hits": self.hits, "misses": self.misses,
+                "fallback_hits": self.fallback_hits}

@@ -126,6 +126,45 @@ def agg_violations(
                     rows.append(("__all__", None, None, spec.rule_id, spec.version,
                                  spec.severity, spec.column,
                                  f"min_proportion={mn:.6f}"))
+        elif spec.kind == "quantile_balance":
+            # BIAS_001B (rule_validator.py:355-371): qcut(q=4,
+            # duplicates='drop') proportions, min < threshold -> WARNING.
+            # Single-pass re-expression: quartile edges via the digest's
+            # STEP quantile (exact on fat tie centroids, so duplicate edges
+            # collapse exactly like qcut's duplicates='drop'), bin masses
+            # via the upper-step CDF, leftmost edge inclusive like qcut.
+            td, m = g.tdigest, g.moments
+            if td.total_weight > 0:
+                q = spec.params.get("q", 4)
+                edges = [m.min] + [td.quantile_step(i / q)
+                                   for i in range(1, q)] + [m.max]
+                uniq_edges = sorted(set(edges))
+                props, prev_f = [], 0.0
+                for e in uniq_edges[1:]:
+                    f = td.cdf_leq(e)
+                    props.append(f - prev_f)
+                    prev_f = f
+                props = [p for p in props if p > 1e-12]
+                mn = min(props) if props else 1.0
+                if mn < spec.params["threshold"]:
+                    rows.append(("__all__", None, None, spec.rule_id,
+                                 spec.version, spec.severity, spec.column,
+                                 f"min_quartile_proportion={mn:.6f}"))
+        elif spec.kind == "global_outlier":
+            # matrix_validator.py:536-563: |x - mu| > k*sigma for > pct_max
+            # of values -> WARNING. Single-pass re-expression: mu/sigma from
+            # the merged moments, tail mass from the t-digest CDF (the
+            # two-pass exact count is only needed when the estimate is
+            # borderline; digest tails are tight at these extremes).
+            m, td = g.moments, g.tdigest
+            if m.n > 0 and m.std > 0 and td.total_weight > 0:
+                kk = spec.params.get("sigma", 5.0)
+                lo, hi = m.mean - kk * m.std, m.mean + kk * m.std
+                frac = td.cdf(lo) + (1.0 - td.cdf(hi))
+                if frac * 100.0 > spec.params.get("pct_max", 5.0):
+                    rows.append(("__all__", None, None, spec.rule_id,
+                                 spec.version, spec.severity, spec.column,
+                                 f"outlier_pct={frac * 100.0:.4f}"))
         elif spec.kind == "skewness":
             # |adjusted skew| above threshold -> INFO/WARNING
             # (BIAS_003 analog, rule_validator.py:394-405)
