@@ -68,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="chunked per-pass commits (crash-resumable); "
                         "requires --run-dir")
     v.add_argument("--files-per-pass", type=int, default=64)
+    v.add_argument("--policy", default="default",
+                   choices=["default", "strict", "lenient", "production"],
+                   help="decision-table preset (decision_tables.py:258-298 "
+                        "analog)")
     v.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -109,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
             run_dir=args.run_dir,
             baseline_json=baseline_json,
             files_per_pass=args.files_per_pass,
+            policy=args.policy,
         )
     else:
         report = validate_dir(
@@ -117,6 +122,7 @@ def main(argv: list[str] | None = None) -> int:
             run_dir=args.run_dir,
             baseline_json=baseline_json,
             resume=not args.no_resume,
+            policy=args.policy,
         )
     if args.format == "json":
         print(json.dumps(report, indent=2, default=str))

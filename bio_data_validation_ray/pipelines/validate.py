@@ -103,6 +103,7 @@ def validate_dir(
     agg_stage: bool = True,
     segments_out: str | None = None,
     driver_cap: int = 5_000_000,
+    policy: str | dict | None = None,
 ) -> dict:
     """Run the full validation suite over ``input_dir``'s Parquet shards and
     return the run report (JSON-serializable). For crash-resumable
@@ -110,7 +111,10 @@ def validate_dir(
     ``validate_resumable`` (which drives this in per-pass file groups)."""
     import ray.data as rd
 
+    from ..policy import thresholds_of
+
     t0 = time.time()
+    thresholds = thresholds_of(policy)
     registry = registry or transcript_registry()
     report: dict = {
         "validation_id": uuid.uuid4().hex,
@@ -446,13 +450,13 @@ def validate_dir(
         per_shard[shard] = {
             "severity_counts": vars(c),
             "passed": passed(c),
-            "decision": decide(c),
+            "decision": decide(c, thresholds),
             "rows_scanned": stats[shard].content_rows,
         }
     report["per_shard"] = per_shard
     report["severity_counts"] = vars(global_counts)
-    report["final_decision"] = decide(global_counts)
-    report["requires_review"] = needs_review(global_counts)
+    report["final_decision"] = decide(global_counts, thresholds)
+    report["requires_review"] = needs_review(global_counts, thresholds)
     report["passed"] = passed(global_counts)
     report["rationale"] = _rationale(report["final_decision"], global_counts)
 
@@ -740,6 +744,7 @@ def validate_resumable(
     baseline_json: str | None = None,
     files_per_pass: int = 64,
     max_passes: int | None = None,
+    policy: str | dict | None = None,
     **kw,
 ) -> dict:
     """Crash-resumable chunked execution: pending shards are processed in
@@ -763,10 +768,12 @@ def validate_resumable(
     """
     import pyarrow.dataset as pads
 
+    from ..policy import thresholds_of
     from ..sketches import loads as _sk_loads
     from ..stages.statstage import ShardStats, agg_violations
 
     t0 = time.time()
+    thresholds = thresholds_of(policy)
     registry = registry or transcript_registry()
     lineage = Lineage(run_dir, registry.ruleset_hash)
     all_files = list_shards(input_dir)
@@ -936,7 +943,7 @@ def validate_resumable(
     per_shard = {
         s: {
             "severity_counts": vars(c),
-            "decision": decide(c),
+            "decision": decide(c, thresholds),
             "passed": passed(c),
             "rows_scanned": committed[s]["rows_scanned"],
         }
@@ -961,9 +968,9 @@ def validate_resumable(
         "execution_time_s": round(time.time() - t0, 3),
     }
     if complete:
-        report["final_decision"] = decide(total)
+        report["final_decision"] = decide(total, thresholds)
         report["passed"] = passed(total)
-        report["requires_review"] = needs_review(total)
+        report["requires_review"] = needs_review(total, thresholds)
         report["rationale"] = _rationale(report["final_decision"], total)
     else:
         report["final_decision"] = "incomplete"

@@ -31,6 +31,34 @@ DEFAULT_THRESHOLDS = {
     "review_warnings": 15,
 }
 
+# DecisionTable presets (decision_tables.py:258-298): strict rejects on any
+# error, lenient tolerates up to 9, production mirrors the default reject
+# matrix with the reference's review triggers.
+PRESETS: dict[str, dict] = {
+    "default": DEFAULT_THRESHOLDS,
+    "strict": {**DEFAULT_THRESHOLDS, "reject_errors": 1,
+               "conditional_warnings": 5},
+    "lenient": {**DEFAULT_THRESHOLDS, "reject_errors": 10,
+                "conditional_warnings": 20},
+    "production": {**DEFAULT_THRESHOLDS, "reject_errors": 5,
+                   "conditional_warnings": 10, "review_errors": 3,
+                   "review_warnings": 15},
+}
+
+
+def thresholds_of(policy: str | dict | None) -> dict:
+    """Resolve a preset name (or explicit threshold dict) to thresholds."""
+    if policy is None:
+        return DEFAULT_THRESHOLDS
+    if isinstance(policy, dict):
+        return {**DEFAULT_THRESHOLDS, **policy}
+    try:
+        return PRESETS[policy]
+    except KeyError:
+        raise KeyError(
+            f"unknown policy preset {policy!r}; choose from {sorted(PRESETS)}"
+        ) from None
+
 
 @dataclass(frozen=True)
 class SeverityCounts:

@@ -131,6 +131,37 @@ class TestPolicy:
         assert policy.passed(policy.SeverityCounts(warning=100, info=5))
         assert not policy.passed(policy.SeverityCounts(error=1))
 
+    # DecisionTable presets (decision_tables.py:262-298): strict rejects on
+    # any error, lenient tolerates up to 9 errors / 19 warnings, production
+    # mirrors the default reject matrix with a 10-warning conditional bar
+    @pytest.mark.parametrize(
+        "preset,crit,err,warn,expected",
+        [
+            ("strict", 0, 1, 0, policy.REJECTED),
+            ("strict", 0, 0, 5, policy.CONDITIONAL),
+            ("strict", 0, 0, 4, policy.ACCEPTED),
+            ("strict", 1, 0, 0, policy.REJECTED),
+            ("lenient", 0, 9, 0, policy.CONDITIONAL),
+            ("lenient", 0, 10, 0, policy.REJECTED),
+            ("lenient", 0, 0, 19, policy.ACCEPTED),
+            ("lenient", 0, 0, 20, policy.CONDITIONAL),
+            ("lenient", 1, 0, 0, policy.REJECTED),
+            ("production", 0, 4, 0, policy.CONDITIONAL),
+            ("production", 0, 5, 0, policy.REJECTED),
+            ("production", 0, 0, 9, policy.ACCEPTED),
+            ("production", 0, 0, 10, policy.CONDITIONAL),
+        ],
+    )
+    def test_presets(self, preset, crit, err, warn, expected):
+        c = policy.SeverityCounts(critical=crit, error=err, warning=warn)
+        assert policy.decide(c, policy.thresholds_of(preset)) == expected
+
+    def test_thresholds_of_accepts_dict_and_rejects_unknown(self):
+        t = policy.thresholds_of({"reject_errors": 2})
+        assert t["reject_errors"] == 2 and t["reject_critical"] == 1
+        with pytest.raises(KeyError):
+            policy.thresholds_of("nope")
+
 
 class TestRegistry:
     def test_hash_stable_and_sensitive(self):

@@ -9,6 +9,7 @@ import shutil
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 SF = "sf0.001"
@@ -343,6 +344,37 @@ class TestResumable:
         assert (chunked["per_shard"][victim]["decision"]
                 == single["per_shard"][victim]["decision"])
         assert chunked["severity_counts"] == single["severity_counts"]
+
+
+class TestPolicyPresets:
+    def test_preset_changes_pipeline_decision(self, ray_session, tmp_path):
+        """Two seeded role errors: default policy -> conditional_accept,
+        strict -> rejected, lenient -> conditional_accept (CLI --policy)."""
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        clean = ensure_transcripts(SF, clean=True)
+        din = tmp_path / "two_errors"
+        din.mkdir()
+        shards = sorted(glob.glob(clean + "/*.parquet"))
+        for f in shards:
+            shutil.copy(f, din / os.path.basename(f))
+        t = pq.read_table(din / os.path.basename(shards[0]))
+        role = t["role"].to_pylist()
+        role[0] = role[1] = "narrator"  # 2 x TXT_ROLE_VOCAB (ERROR)
+        t = t.set_column(t.schema.get_field_index("role"), "role",
+                         pa.array(role, type=pa.string()))
+        pq.write_table(t, din / os.path.basename(shards[0]))
+        decisions = {
+            p: validate_dir(str(din), run_dir=str(tmp_path / f"r_{p}"),
+                            policy=p, concurrency=2)["final_decision"]
+            for p in ("default", "strict", "lenient")
+        }
+        assert decisions == {"default": "conditional_accept",
+                             "strict": "rejected",
+                             "lenient": "conditional_accept"}
 
 
 class TestDistributedPath:
