@@ -1,0 +1,161 @@
+"""Generic table-profiling operators: unit extraction / mixed-units,
+grouped-nunique confounding, naming-variant normalization, and per-column
+matrix-style statistics.
+
+Reference ancestors (all single-process pandas in the reference, re-expressed
+as partial-per-batch map_batches + tiny driver combines — the key domains
+here are SMALL (units, group keys, column names), so no shuffle is needed
+beyond the vectorized keyed reduce):
+
+- unit extraction + invalid-unit vocab + mixed units in one column
+  (sample_metadata_validator.py:366-442)
+- batch <-> condition confounding via groupby(batch)[cond].nunique()
+  (sample_metadata_validator.py:486-504)
+- organism naming variants (human / Homo sapiens / HUMAN ...) detected over
+  distinct values (sample_metadata_validator.py:221-268)
+- all-zero / constant / all-NaN / negative column checks
+  (matrix_validator.py:351-440, 567-586, 632-659)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..stages.keyed_reduce import combine_low_card, keyed_reduce_pandas
+
+
+def extract_value_counts(ds, column: str, pattern: str,
+                         out: str = "unit") -> pd.DataFrame:
+    """Vectorized regex extraction + count-by-extracted-value.
+    ``pattern`` must contain one capture group. -> DataFrame[(out, n)],
+    missing/no-match rows counted under None."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def ex(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[column], pattern=pattern.replace(
+            "(", "(?P<u>", 1) if "(?P<" not in pattern else pattern)
+        unit = pc.struct_field(m, "u")
+        return pa.table({out: unit})
+
+    return combine_low_card(
+        ds.map_batches(ex, batch_format="pyarrow"),
+        [out], {"n": (out, "count")},
+    )
+
+
+def mixed_units_check(ds, column: str, pattern: str,
+                      allowed: set[str] | None = None) -> dict:
+    """Mixed-units rule (sample_metadata_validator.py:366-442): extract the
+    unit token from every value; ERROR-worthy when more than one distinct
+    unit appears; also reports units outside ``allowed``."""
+    counts = extract_value_counts(ds, column, pattern)
+    units = sorted(u for u in counts["unit"] if u is not None and u == u)
+    invalid = sorted(set(units) - allowed) if allowed is not None else []
+    return {
+        "units": units,
+        "mixed": len(units) > 1,
+        "invalid_units": invalid,
+        "counts": dict(zip(counts["unit"], counts["n"].astype(int))),
+    }
+
+
+def grouped_nunique(ds, key: str, of: str) -> pd.DataFrame:
+    """Exact per-key distinct-count of ``of`` plus the per-key row count:
+    one keyed reduce over (key, of) pairs (distinct pairs are the partial
+    rows — corpus never collects), then a vectorized combine per key.
+    -> DataFrame[(key, n_rows, nunique)]."""
+    pairs = keyed_reduce_pandas(ds, [key, of], {"c": (of, "count")})
+    out = pairs.groupby(key, as_index=False).agg(
+        n_rows=("c", "sum"), nunique=("c", "size")
+    )
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["nunique"] = out["nunique"].astype(np.int64)
+    return out
+
+
+def confounding_check(ds, batch_col: str, cond_col: str) -> dict:
+    """batch <-> condition confounding (sample_metadata_validator.py:486-504):
+    flag when every multi-row batch carries exactly one condition value
+    (batch perfectly predicts condition)."""
+    g = grouped_nunique(ds, batch_col, cond_col)
+    multi = g[g["n_rows"] >= 2]
+    n_conf = int((multi["nunique"] == 1).sum())
+    return {
+        "n_batches": int(len(g)),
+        "n_multi_row_batches": int(len(multi)),
+        "n_confounded": n_conf,
+        "confounded": len(multi) > 1 and n_conf == len(multi),
+    }
+
+
+def variant_groups(ds, column: str,
+                   synonyms: dict[str, str] | None = None) -> pd.DataFrame:
+    """Naming-variant detection (sample_metadata_validator.py:221-268):
+    distinct raw values grouped by a canonical key (lowercased, stripped,
+    synonym-mapped); groups with more than one raw spelling are
+    normalization candidates. -> DataFrame[(canonical, n_variants, n_rows)]
+    for groups with >= 2 variants."""
+    counts = keyed_reduce_pandas(ds, [column], {"n": (column, "count")})
+    raw = counts[column].astype(str)
+    canon = raw.str.strip().str.lower()
+    if synonyms:
+        canon = canon.map(lambda v: synonyms.get(v, v))
+    counts = counts.assign(canonical=canon)
+    g = counts.groupby("canonical", as_index=False).agg(
+        n_variants=(column, "nunique"), n_rows=("n", "sum")
+    )
+    out = g[g["n_variants"] > 1].reset_index(drop=True)
+    out["n_variants"] = out["n_variants"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out
+
+
+def column_profile(ds, cols: list[str]) -> pd.DataFrame:
+    """Per-column matrix-style checks in ONE pass (matrix_validator.py
+    family): n, nulls, zeros, negatives, infinities, and constancy
+    (min == max). -> DataFrame[(column, n, n_null, n_zero, n_negative,
+    n_inf, constant, all_null)]."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "n_null": [], "n_zero": [],
+                "n_negative": [], "n_inf": [], "vmin": [], "vmax": []}
+        for c in cols:
+            col = t[c]
+            valid = pc.drop_null(col)
+            fv = valid.cast(pa.float64())
+            rows["column"].append(c)
+            rows["n"].append(len(col))
+            rows["n_null"].append(col.null_count)
+            rows["n_zero"].append(
+                int(pc.sum(pc.equal(fv, 0.0)).as_py() or 0))
+            rows["n_negative"].append(
+                int(pc.sum(pc.less(fv, 0.0)).as_py() or 0))
+            rows["n_inf"].append(
+                int(pc.sum(pc.is_inf(fv)).as_py() or 0))
+            mn = pc.min(fv).as_py()
+            mx = pc.max(fv).as_py()
+            rows["vmin"].append(np.inf if mn is None else mn)
+            rows["vmax"].append(-np.inf if mx is None else mx)
+        return pa.table(rows)
+
+    parts = combine_low_card(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["column"],
+        {"n": ("n", "sum"), "n_null": ("n_null", "sum"),
+         "n_zero": ("n_zero", "sum"), "n_negative": ("n_negative", "sum"),
+         "n_inf": ("n_inf", "sum"),
+         "vmin": ("vmin", "min"), "vmax": ("vmax", "max")},
+    )
+    parts["all_null"] = parts["n_null"] == parts["n"]
+    parts["constant"] = (~parts["all_null"]) & (parts["vmin"] == parts["vmax"])
+    for c in ("n", "n_null", "n_zero", "n_negative", "n_inf"):
+        parts[c] = parts[c].astype(np.int64)
+    return (
+        parts.drop(columns=["vmin", "vmax"])
+        .sort_values("column")
+        .reset_index(drop=True)
+    )

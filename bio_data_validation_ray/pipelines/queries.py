@@ -432,6 +432,73 @@ def cust_orders_join(sf_dir):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def part_units(sf_dir):
+    """Unit-extraction + distinct-units counting (mixed-units rule family,
+    sample_metadata_validator.py:366-442): trailing token of p_name as the
+    'unit' vocabulary, counted with a zero-shuffle low-card combine."""
+    import ray.data as rd
+
+    from ..functions.profile import extract_value_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_name"])
+    out = extract_value_counts(ds, "p_name", r"(\w+)$")
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("unit").reset_index(drop=True)
+
+
+def cust_status_confound(sf_dir):
+    """batch <-> condition confounding analog
+    (sample_metadata_validator.py:486-504): per-customer distinct order
+    status via one keyed reduce over (custkey, status) pairs."""
+    import ray.data as rd
+
+    from ..functions.profile import grouped_nunique
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey", "o_orderstatus"])
+    g = grouped_nunique(ds, "o_custkey", "o_orderstatus")
+    multi = g[g["n_rows"] >= 2]
+    return pd.DataFrame({
+        "n_multi_order_custs": pd.array([len(multi)], dtype=np.int64),
+        "n_confounded": pd.array([int((multi["nunique"] == 1).sum())],
+                                 dtype=np.int64),
+    })
+
+
+def role_variants(sf_dir):
+    """Naming-variant normalization (organism-naming analog,
+    sample_metadata_validator.py:221-268): spelling variants are planted by
+    unioning an upper-cased copy of role — the oracle states the identical
+    construction."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.profile import variant_groups
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir), columns=["role"])
+    upper = ds.map_batches(
+        lambda t: pa.table({"role": pc.utf8_upper(t["role"])}),
+        batch_format="pyarrow",
+    )
+    return variant_groups(ds.union(upper), "role")
+
+
+def li_col_profile(sf_dir):
+    """Per-column matrix-style checks in one pass (all-zero / constant /
+    all-null / negative / infinite value counts; matrix_validator.py
+    family) over lineitem's numeric columns."""
+    import ray.data as rd
+
+    from ..functions.profile import column_profile
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=cols)
+    return column_profile(ds, cols)
+
+
 def cust_enrich(sf_dir):
     """Stateful enrichment stage (stages/enrich.EnrichStage): orders stream
     through an actor pool whose customer reference index is built once per
@@ -734,6 +801,10 @@ QUERIES = {
     "events_daily": events_daily,
     "cust_orders_join": cust_orders_join,
     "cust_enrich": cust_enrich,
+    "part_units": part_units,
+    "cust_status_confound": cust_status_confound,
+    "role_variants": role_variants,
+    "li_col_profile": li_col_profile,
     "li_orders_join": li_orders_join,
     "doc_dedup_exact": doc_dedup_exact,
     "doc_token_count": doc_token_count,
@@ -786,6 +857,11 @@ counts(rule_id, severity, n) AS (
  UNION ALL SELECT 'DUP_001_ROW','WARNING',CAST(({dup_extras}) AS BIGINT)
  UNION ALL SELECT 'BIAS_001_ROLE_BALANCE','WARNING',CASE WHEN (SELECT min(c)*1.0/sum(c) FROM (SELECT count(*) AS c FROM t WHERE role IS NOT NULL GROUP BY role)) < 0.02 THEN 1 ELSE 0 END
  UNION ALL SELECT 'BIAS_002_TEXT_MISSING','WARNING',CASE WHEN (SELECT sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)*1.0/count(*) FROM t) > 0.1 THEN 1 ELSE 0 END
+ UNION ALL SELECT 'BIAS_004_TOOL_MISSING_BY_SHARD','ERROR',CASE WHEN (
+   SELECT stddev_pop(f) FROM (SELECT shard,
+     sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END)*1.0/count(*) AS f
+     FROM t GROUP BY shard)
+ ) > 0.2 THEN 1 ELSE 0 END
  UNION ALL SELECT 'BIAS_001B_LEN_QUARTILES','WARNING',CASE WHEN (
    SELECT min(p) FROM (SELECT count(*)*1.0/(SELECT count(*) FROM t WHERE text IS NOT NULL) AS p
      FROM (SELECT ntile(4) OVER (ORDER BY length(text)) AS b FROM t WHERE text IS NOT NULL) GROUP BY b)
@@ -934,6 +1010,53 @@ SELECT c_mktsegment, count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "part_units": r"""
+SELECT regexp_extract(p_name, '(\w+)$', 1) AS unit, count(*) AS n
+FROM part GROUP BY 1 ORDER BY 1""",
+        "cust_status_confound": """
+SELECT CAST(count(*) AS BIGINT) AS n_multi_order_custs,
+       CAST(coalesce(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_confounded
+FROM (SELECT o_custkey, count(*) AS c,
+             count(DISTINCT o_orderstatus) AS d
+      FROM orders GROUP BY o_custkey)
+WHERE c >= 2""",
+        "role_variants": f"""{tq},
+unioned AS (SELECT role FROM t UNION ALL SELECT upper(role) FROM t)
+SELECT lower(trim(role)) AS canonical,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_variants,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM unioned WHERE role IS NOT NULL
+GROUP BY 1 HAVING count(DISTINCT role) > 1""",
+        "li_col_profile": """
+WITH p(col, n, n_null, n_zero, n_negative, n_inf, vmin, vmax) AS (
+ SELECT 'l_quantity', count(*), sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+        sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END),
+        sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END),
+        sum(CASE WHEN isinf(l_quantity) THEN 1 ELSE 0 END),
+        min(l_quantity), max(l_quantity) FROM lineitem
+ UNION ALL SELECT 'l_extendedprice', count(*), sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+        sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END),
+        sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END),
+        sum(CASE WHEN isinf(l_extendedprice) THEN 1 ELSE 0 END),
+        min(l_extendedprice), max(l_extendedprice) FROM lineitem
+ UNION ALL SELECT 'l_discount', count(*), sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+        sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END),
+        sum(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END),
+        sum(CASE WHEN isinf(l_discount) THEN 1 ELSE 0 END),
+        min(l_discount), max(l_discount) FROM lineitem
+ UNION ALL SELECT 'l_tax', count(*), sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+        sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END),
+        sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END),
+        sum(CASE WHEN isinf(l_tax) THEN 1 ELSE 0 END),
+        min(l_tax), max(l_tax) FROM lineitem
+)
+SELECT col AS column, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+       CAST(n_zero AS BIGINT) AS n_zero, CAST(n_negative AS BIGINT) AS n_negative,
+       CAST(n_inf AS BIGINT) AS n_inf,
+       (n_null = n) AS all_null,
+       (n_null < n AND vmin = vmax) AS constant
+FROM p ORDER BY col""",
         "cust_enrich": """
 SELECT coalesce(c.c_mktsegment, '__miss__') AS segment, count(*) AS n
 FROM orders o LEFT JOIN

@@ -365,6 +365,42 @@ def validate_dir(
             )
     report["drift"] = drift_report
 
+    # ---- optional DUP_004 near-duplicate rule (rule_validator.py:307-322):
+    # the reference emits a near-dup PAIR COUNT (all-pairs Levenshtein capped
+    # at 5000 uniques); here the registry can carry a `near_dup` spec and the
+    # MinHash+LSH pipeline produces the count distributed, with per-bucket
+    # caps instead of an input-size cap. Not in the default suite (it adds a
+    # scan); ids are content hashes, so exact copies collapse (those are
+    # DUP_001's job) and only genuine near-duplicates pair up. ----
+    nd_spec = next((s for s in registry.agg_rules() if s.kind == "near_dup"),
+                   None)
+    if nd_spec is not None and agg_stage:
+        from ..functions.dedup import content_hash_batch, minhash_near_dups
+
+        col = nd_spec.column or "text"
+        nd_ds = rd.read_parquet(pending, columns=[col]).map_batches(
+            lambda b: content_hash_batch(b.dropna(subset=[col]), col=col)
+            .rename(columns={"content_hash": "doc_id"})[["doc_id", col]],
+            batch_format="pandas",
+        )
+        nd_pairs = minhash_near_dups(
+            nd_ds, col=col, id_col="doc_id",
+            threshold=nd_spec.params.get("threshold", 0.9),
+            bucket_cap=nd_spec.params.get("bucket_cap", 512),
+        )
+        if len(nd_pairs):
+            agg_vio = pd.concat(
+                [agg_vio, pd.DataFrame({
+                    "shard": ["__all__"], "conv_id": [None],
+                    "turn_idx": pd.array([None], dtype="Int32"),
+                    "rule_id": [nd_spec.rule_id],
+                    "rule_version": [nd_spec.version],
+                    "severity": [nd_spec.severity], "column": [col],
+                    "offending_value": [f"near_dup_pairs={len(nd_pairs)}"],
+                })],
+                ignore_index=True,
+            )
+
     # ---- violations sink + severity counts ----
     t_vio = time.time()
     extras_all = pd.concat([extras, agg_vio], ignore_index=True)
@@ -826,6 +862,7 @@ def validate_resumable(
     rows_scanned = 0
     stats_all = ShardStats()
     per_shard_digests = {}
+    per_shard_stats: dict[str, ShardStats] = {}
     for shard, rec in sorted(committed.items()):
         shard_counts[shard] = SeverityCounts(
             **{k: int(v) for k, v in rec.get("severity_counts", {}).items()}
@@ -835,6 +872,7 @@ def validate_resumable(
         if os.path.exists(spath):
             st = _sk_loads(open(spath, "rb").read())
             per_shard_digests[shard] = st.tdigest
+            per_shard_stats[shard] = st
             stats_all.merge(st)
 
     # ---- global conversation merge over every committed pass's segments ----
@@ -932,7 +970,7 @@ def validate_resumable(
     for c in shard_counts.values():
         total = total + c
     agg_extra = (
-        agg_violations({"__all__": stats_all}, registry)
+        agg_violations({**per_shard_stats, "__all__": stats_all}, registry)
         if stats_all.content_rows else pd.DataFrame(columns=VIO_COLS)
     )
     for _, row in agg_extra.iterrows():

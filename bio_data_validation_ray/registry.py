@@ -130,16 +130,22 @@ def transcript_registry() -> RuleRegistry:
                  "more than pct_max% of text lengths beyond sigma std devs "
                  "of the global mean (matrix_validator.py:536-563 analog; "
                  "moments + t-digest tail mass, single pass)"),
+        RuleSpec("BIAS_004_TOOL_MISSING_BY_SHARD", "missing_rate_by_group",
+                 "tool", {"threshold": 0.2}, "ERROR", "1",
+                 "per-shard tool-null-fraction dispersion above threshold "
+                 "(missing-rate-by-batch std analog, "
+                 "sample_metadata_validator.py:544-585)"),
         RuleSpec("DRIFT_TEXT_LEN", "drift", "text_len",
                  {"psi_threshold": 0.2, "ks_threshold": 0.2}, "WARNING", "1",
                  "text-length distribution drift vs baseline (KS + PSI; north_star)"),
     ]
     return RuleRegistry(
-        version="1.1.0",
+        version="1.2.0",
         rules=rules,
         changelog=[
             "1.0.0: initial transcript rule suite (row, conversation, aggregate, drift)",
             "1.1.0: BIAS_001B quantile imbalance + global outlier aggregate rules",
+            "1.2.0: per-shard missing-rate dispersion rule (BIAS_004)",
         ],
     )
 

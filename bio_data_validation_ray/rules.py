@@ -57,7 +57,8 @@ GROUP_KINDS = {
     "row_dup",
 }
 AGG_KINDS = {"missing_rate", "class_balance", "drift", "skewness",
-             "quantile_balance", "global_outlier"}
+             "quantile_balance", "global_outlier", "missing_rate_by_group",
+             "near_dup"}
 
 
 @dataclass(frozen=True)

@@ -126,6 +126,27 @@ def agg_violations(
                     rows.append(("__all__", None, None, spec.rule_id, spec.version,
                                  spec.severity, spec.column,
                                  f"min_proportion={mn:.6f}"))
+        elif spec.kind == "missing_rate_by_group":
+            # missing-rate-by-batch dispersion
+            # (sample_metadata_validator.py:544-585): population std of the
+            # per-shard null fraction of a column above threshold -> one
+            # dataset-level violation. Uses the per-shard sketch stats that
+            # the single scan already produced — no extra pass.
+            import numpy as np
+
+            fracs = []
+            for shard, st in stats.items():
+                if shard == "__all__":
+                    continue
+                nulls, total = st.null_counts.get(spec.column, (0, 0))
+                if total:
+                    fracs.append(nulls / total)
+            if len(fracs) >= 2:
+                std = float(np.std(fracs))
+                if std > spec.params["threshold"]:
+                    rows.append(("__all__", None, None, spec.rule_id,
+                                 spec.version, spec.severity, spec.column,
+                                 f"missing_rate_std={std:.6f}"))
         elif spec.kind == "quantile_balance":
             # BIAS_001B (rule_validator.py:355-371): qcut(q=4,
             # duplicates='drop') proportions, min < threshold -> WARNING.

@@ -80,10 +80,80 @@ class TestGlobalOutlier:
         assert len(out) == 0
 
 
+class TestMissingRateByGroup:
+    SPEC = RuleSpec("BIAS_004_T", "missing_rate_by_group", "tool",
+                    {"threshold": 0.2}, "ERROR", "1", "t")
+
+    def shard(self, nulls, total):
+        s = ShardStats()
+        s.null_counts["tool"] = [nulls, total]
+        s.content_rows = total
+        return s
+
+    def test_fires_on_divergent_shards(self):
+        stats = {"a": self.shard(0, 100), "b": self.shard(90, 100),
+                 "__all__": self.shard(90, 200)}
+        out = agg_violations(stats, reg_with(self.SPEC))
+        assert list(out["rule_id"]) == ["BIAS_004_T"]
+        # np.std([0.0, 0.9]) = 0.45 > 0.2
+        assert "missing_rate_std=0.45" in out["offending_value"].iloc[0]
+
+    def test_silent_on_uniform_shards(self):
+        stats = {"a": self.shard(30, 100), "b": self.shard(32, 100),
+                 "__all__": self.shard(62, 200)}
+        assert len(agg_violations(stats, reg_with(self.SPEC))) == 0
+
+    def test_silent_on_single_shard(self):
+        stats = {"a": self.shard(90, 100), "__all__": self.shard(90, 100)}
+        assert len(agg_violations(stats, reg_with(self.SPEC))) == 0
+
+
+class TestNearDupRule:
+    def test_dup004_emits_pair_count(self, ray_session, tmp_path):
+        """A registry carrying a near_dup spec makes validate_dir run the
+        MinHash pipeline and emit one DUP_004 count violation
+        (rule_validator.py:307-322 semantics: a count, not pair rows)."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.registry import transcript_registry
+
+        rng = np.random.default_rng(13)
+        words = [f"tok{i}" for i in range(300)]
+        texts = [" ".join(rng.choice(words, 40)) for _ in range(30)]
+        texts.append(texts[0].replace("tok", "xok", 1))  # one near-dup pair
+        n = len(texts)
+        t = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(n)]),
+            "turn_idx": pa.array([0] * n, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array([dt.datetime(2025, 1, 1)] * n,
+                           type=pa.timestamp("us")),
+        })
+        din = tmp_path / "in"
+        din.mkdir()
+        pq.write_table(t, din / "shard-0.parquet")
+        reg = transcript_registry()
+        reg.rules.append(RuleSpec("DUP_004_NEAR", "near_dup", "text",
+                                  {"threshold": 0.6}, "WARNING", "1",
+                                  "near-duplicate text pair count"))
+        rep = validate_dir(str(din), run_dir=str(tmp_path / "r"),
+                           registry=reg, concurrency=2)
+        vio = pd.read_parquet(tmp_path / "r" / "violations")
+        nd = vio[vio["rule_id"] == "DUP_004_NEAR"]
+        assert len(nd) == 1
+        assert nd["offending_value"].iloc[0] == "near_dup_pairs=1"
+
+
 def test_registry_includes_new_rules_and_hash_changed():
     from bio_data_validation_ray.registry import transcript_registry
 
     reg = transcript_registry()
     kinds = {r.kind for r in reg.agg_rules()}
     assert {"quantile_balance", "global_outlier"} <= kinds
-    assert reg.version == "1.1.0"
+    assert reg.version == "1.2.0"
