@@ -44,9 +44,40 @@ def warm_page_cache(paths):
                 pass
 
 
+def _quiet_worker_logging():
+    """Route Ray Data's WORKER-side loggers through a config that only
+    surfaces ERRORs (driver-side setLevel doesn't reach workers): the
+    'Failed to hash the schemas (for deduplication)' warning is benign noise
+    from mixed pandas/arrow block schemas. Must run BEFORE ray.init so the
+    raylet-spawned workers inherit the env var."""
+    import tempfile
+
+    cfg = """
+version: 1
+disable_existing_loggers: false
+formatters:
+  ray: {format: "%(levelname)s %(name)s: %(message)s"}
+handlers:
+  console:
+    class: logging.StreamHandler
+    formatter: ray
+    level: ERROR
+loggers:
+  ray.data:
+    level: ERROR
+    handlers: [console]
+    propagate: false
+"""
+    path = os.path.join(tempfile.gettempdir(), "bdvr_ray_data_logging.yaml")
+    with open(path, "w") as fh:
+        fh.write(cfg)
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+
+
 def run_bench() -> dict:
     import ray
 
+    _quiet_worker_logging()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,

@@ -304,20 +304,32 @@ def events_registry():
     )
 
 
+def _events_row_rules():
+    """Zero-arg actor class: constructor args in the object store trip Ray's
+    actor-restart warning (ray#53727), so the registry binds via a module-
+    level factory instead of fn_constructor_kwargs."""
+    from ..stages.rowstage import RowRulesOnly
+
+    class EventsRowRules(RowRulesOnly):
+        def __init__(self):
+            super().__init__(registry_factory=events_registry,
+                             key_cols=["event_id"])
+
+    return EventsRowRules
+
+
 def events_validate(sf_dir):
     """Generic-table surface: the same row-rule compiler applied to the
     events table, keyed by event_id."""
     import ray.data as rd
 
-    from ..stages.rowstage import RowRulesOnly
-
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
     vio = ds.map_batches(
-        RowRulesOnly,
-        fn_constructor_kwargs={"registry": events_registry(),
-                               "key_cols": ["event_id"]},
+        _events_row_rules(),
         batch_format="pyarrow",
         concurrency=2,
+        max_restarts=0,  # pool respawns actors itself; restarts with
+        # object-store ctor args would fail anyway (ray#53727)
     ).to_pandas()
     if "event_id" not in vio.columns:
         return pd.DataFrame(columns=["event_id", "rule_id", "severity"])
@@ -521,7 +533,7 @@ def cust_enrich(sf_dir):
         EnrichStage,
         fn_constructor_kwargs=dict(key_col="o_custkey", ref_key="c_custkey",
                                    add_cols=["c_mktsegment"], ref_data=ref),
-        batch_format="pandas", concurrency=2,
+        batch_format="pandas", concurrency=2, max_restarts=0,
     )
     seg = enriched.map_batches(
         lambda df: pd.DataFrame({"segment": df["c_mktsegment"].fillna("__miss__")}),
@@ -642,7 +654,7 @@ def doc_langid(sf_dir):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text", "lang"])
     out = ds.map_batches(
-        LangId, batch_format="pandas", concurrency=2
+        LangId, batch_format="pandas", concurrency=2, max_restarts=0
     ).to_pandas()[["doc_id", "lang", "lang_pred"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 

@@ -82,6 +82,25 @@ def vio_frame_to_table(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=VIO_SCHEMA)
 
 
+def _concat_vio_frames(frames) -> pd.DataFrame:
+    """Concat violation frames without pandas' empty/all-NA dtype
+    FutureWarning: skip empty frames and normalize the nullable turn_idx
+    dtype up front so no column needs dtype exclusion logic."""
+    norm = []
+    for f in frames:
+        if not len(f):
+            continue
+        f = f.copy()
+        if "turn_idx" in f.columns:
+            f["turn_idx"] = pd.array(f["turn_idx"], dtype="Int32")
+        norm.append(f)
+    if not norm:
+        return pd.DataFrame(columns=VIO_COLS)
+    if len(norm) == 1:
+        return norm[0].reset_index(drop=True)
+    return pd.concat(norm, ignore_index=True)
+
+
 def list_shards(input_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
@@ -267,7 +286,8 @@ def validate_dir(
         seg = pick("segment", SEG_COLS)
         merged = (
             seg.sort(["conv_id", "seg_turn_lo"])
-            .map_batches(MergeSegments, batch_format="pandas", concurrency=2)
+            .map_batches(MergeSegments, batch_format="pandas", concurrency=2,
+                         max_restarts=0)
             .materialize()
         )
         from ..stages.convstage import RESULT_COLUMNS
@@ -403,7 +423,7 @@ def validate_dir(
 
     # ---- violations sink + severity counts ----
     t_vio = time.time()
-    extras_all = pd.concat([extras, agg_vio], ignore_index=True)
+    extras_all = _concat_vio_frames([extras, agg_vio])
     if driver_mode:
         vio_rows = out_df.loc[out_df["kind"] == "violation", VIO_COLS]
         if exact_ids and rowdup_spec:
@@ -414,7 +434,7 @@ def validate_dir(
                 "conv_id"
             ].isin(eset)
             vio_rows = vio_rows[~drop]
-        all_vio = pd.concat([vio_rows, extras_all], ignore_index=True)
+        all_vio = _concat_vio_frames([vio_rows, extras_all])
         if write_violations and run_dir:
             vdir = os.path.join(run_dir, violations_subdir)
             os.makedirs(vdir, exist_ok=True)

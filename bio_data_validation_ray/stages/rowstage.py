@@ -368,9 +368,19 @@ class RowRulesOnly:
     batch_format="pyarrow", concurrency=N)``.
     """
 
-    def __init__(self, registry: RuleRegistry, key_cols: list[str]):
+    def __init__(self, registry: RuleRegistry | None = None,
+                 key_cols: list[str] | None = None,
+                 registry_factory=None):
+        """Prefer ``registry_factory`` (a zero-arg callable) when running as
+        an actor pool: a module-level factory pickles by reference, keeping
+        constructor args inline instead of in the object store (Ray warns
+        that object-store ctor args break actor restarts, ray#53727)."""
+        if registry is None:
+            registry = registry_factory() if registry_factory else None
+        if registry is None:
+            raise ValueError("registry or registry_factory required")
         self.compiled = compile_row_rules(registry.row_rules())
-        self.key_cols = list(key_cols)
+        self.key_cols = list(key_cols or [])
 
     def __call__(self, t: pa.Table) -> pa.Table:
         keys: dict[str, list] = {k: [] for k in self.key_cols}
