@@ -219,16 +219,66 @@ def _verify_pairs(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
     })
 
 
-def _candidate_pairs(banded, id_col: str, bucket_cap: int, log_tag: str):
-    """(id, bucket) Dataset -> deduped candidate-pair Dataset[(id_a, id_b)],
-    or None when no bucket has two members. Sort-by-bucket + vectorized
-    per-run pair emission; block-boundary runs stitch on the driver (<= 2
-    runs per block of compact ids — never member text/vector data);
-    per-bucket membership capped at ``bucket_cap`` with the truncation
-    logged (no silent sampling)."""
+def _log_overflow(log_tag: str, n_over: int, max_size: int,
+                  bucket_cap: int) -> None:
     import logging
 
+    if n_over:
+        logging.getLogger(__name__).warning(
+            "%s: %d bucket runs exceeded bucket_cap=%d (max size %d); "
+            "membership truncated to the smallest ids",
+            log_tag, n_over, bucket_cap, max_size,
+        )
+
+
+def _pairs_from_member_frame(bdf: pd.DataFrame, id_col: str, bucket_cap: int,
+                             log_tag: str) -> pd.DataFrame | None:
+    """Vectorized pair emission over a collected (id, bucket) frame."""
+    b = bdf["bucket"].to_numpy()
+    order = np.argsort(b, kind="stable")
+    b = b[order]
+    ids = bdf[id_col].to_numpy().astype(np.int64)[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(b)) + 1])
+    ends = np.concatenate([starts[1:], [b.size]])
+    sizes = ends - starts
+    frames, n_over, max_over = [], 0, 0
+    for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
+        u = np.unique(ids[s:e])
+        if u.size > bucket_cap:
+            n_over += 1
+            max_over = max(max_over, int(u.size))
+            u = u[:bucket_cap]
+        if u.size > 1:
+            iu, jv = np.triu_indices(u.size, 1)
+            frames.append(pd.DataFrame({"id_a": u[iu], "id_b": u[jv]}))
+    _log_overflow(log_tag, n_over, max_over, bucket_cap)
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+
+def _candidate_pairs(banded, id_col: str, bucket_cap: int, log_tag: str,
+                     driver_cap: int = 5_000_000):
+    """(id, bucket) Dataset -> deduped candidate-pair Dataset[(id_a, id_b)],
+    or None when no bucket has two members.
+
+    Two paths with identical semantics (the validate_dir driver_cap
+    pattern): when the DERIVED member stream is small (compact int pairs,
+    never text/vector data), it collects once and pair-emits vectorized on
+    the driver — avoiding two Ray sort exchanges whose fixed cost dominates
+    at small candidate volume. Above the cap: distributed sort-by-bucket +
+    per-run pair emission, block-boundary runs stitched from <= 2 runs per
+    block, and a sort-based distributed pair dedup. Per-bucket membership
+    is capped at ``bucket_cap`` either way, with truncation logged (no
+    silent sampling)."""
     import ray.data as rd
+
+    banded = banded.materialize()
+    if banded.count() <= driver_cap:
+        out = _pairs_from_member_frame(
+            banded.to_pandas(), id_col, bucket_cap, log_tag
+        )
+        return None if out is None else rd.from_pandas(out)
 
     emitted = banded.sort("bucket").map_batches(
         _BucketPairEmitter(id_col, bucket_cap), batch_format="pandas"
@@ -239,11 +289,7 @@ def _candidate_pairs(banded, id_col: str, bucket_cap: int, log_tag: str):
     ).to_pandas()
     over = meta[meta["kind"] == 2] if len(meta) else meta
     if len(over):
-        logging.getLogger(__name__).warning(
-            "%s: %d bucket runs exceeded bucket_cap=%d (max size %d); "
-            "membership truncated to the smallest ids",
-            log_tag, len(over), bucket_cap, int(over["id_b"].max()),
-        )
+        _log_overflow(log_tag, len(over), int(over["id_b"].max()), bucket_cap)
     extra_frames = []
     if len(meta):
         bnd = meta[meta["kind"] == 1]
@@ -301,7 +347,8 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, k: int = 5,
                       n_perm: int = 128, bands: int = 16,
                       concurrency: int = 4,
-                      bucket_cap: int = 512) -> pd.DataFrame:
+                      bucket_cap: int = 512,
+                      driver_cap: int = 5_000_000) -> pd.DataFrame:
     """Full MinHash+LSH near-dup pipeline -> DataFrame[(id_a, id_b, jaccard)]
     with id_a < id_b and exact shingle-Jaccard >= threshold. The scale
     re-expression of DUP_004 (rule_validator.py:307-322, all-pairs capped at
@@ -337,7 +384,8 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
         batch_format="pandas",
     ).map_batches(fuse, batch_format="pandas")
 
-    pairs = _candidate_pairs(banded, id_col, bucket_cap, "minhash_near_dups")
+    pairs = _candidate_pairs(banded, id_col, bucket_cap, "minhash_near_dups",
+                             driver_cap=driver_cap)
     if pairs is None:
         return empty
 
@@ -345,13 +393,14 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
     # shingle re-read; both join sides below are candidate-scale
     ids_ref = ray.put(_pair_ids(pairs))
     nparts = max(2, int(concurrency))
+    # shingle the candidate docs ONCE (materialized); the b-side is a
+    # zero-copy column rename of the same blocks
     sh_a = ds.map_batches(
         lambda t: _shingle_frame(t, id_col, col, k, "id_a", "sh_a", ids_ref),
         batch_format="pyarrow",
-    )
-    sh_b = ds.map_batches(
-        lambda t: _shingle_frame(t, id_col, col, k, "id_b", "sh_b", ids_ref),
-        batch_format="pyarrow",
+    ).materialize()
+    sh_b = sh_a.map_batches(
+        lambda t: t.rename_columns(["id_b", "sh_b"]), batch_format="pyarrow"
     )
     joined = _join_payloads(pairs, sh_a, sh_b, nparts)
     out = joined.map_batches(
@@ -498,7 +547,8 @@ def _verify_cosine(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
 def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.95, bands: int = 16,
                         band_bits: int = 8, concurrency: int = 4,
-                        bucket_cap: int = 1024) -> pd.DataFrame:
+                        bucket_cap: int = 1024,
+                        driver_cap: int = 5_000_000) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs -> DataFrame[(id_a, id_b,
     cosine)] with id_a < id_b and exact cosine >= threshold.
 
@@ -525,7 +575,8 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
                         band_bits=band_bits),
         batch_format="pandas",
     ).map_batches(fuse, batch_format="pandas")
-    pairs = _candidate_pairs(banded, id_col, bucket_cap, "embedding_near_dups")
+    pairs = _candidate_pairs(banded, id_col, bucket_cap,
+                             "embedding_near_dups", driver_cap=driver_cap)
     if pairs is None:
         return empty
     ids_ref = ray.put(_pair_ids(pairs))
@@ -533,10 +584,9 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
     v_a = ds.map_batches(
         lambda t: _vec_frame(t, id_col, vec_col, "id_a", "v_a", ids_ref),
         batch_format="pyarrow",
-    )
-    v_b = ds.map_batches(
-        lambda t: _vec_frame(t, id_col, vec_col, "id_b", "v_b", ids_ref),
-        batch_format="pyarrow",
+    ).materialize()
+    v_b = v_a.map_batches(
+        lambda t: t.rename_columns(["id_b", "v_b"]), batch_format="pyarrow"
     )
     joined = _join_payloads(pairs, v_a, v_b, nparts)
     out = joined.map_batches(

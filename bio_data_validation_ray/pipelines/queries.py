@@ -32,6 +32,16 @@ TOOL_RE_SQL = "'^[a-z][a-z0-9_]{0,63}$'"
 ORACLE_SF = "sf0.01"  # the driver compares at sf=0.01
 
 
+def _nblocks() -> int:
+    """Single-file tables arrive as ONE block, serializing every per-batch
+    kernel; split the read across the session's CPUs."""
+    import ray
+
+    if ray.is_initialized():
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    return 8
+
+
 def transcripts_dir(sf_dir: str) -> str:
     return ensure_transcripts(sf_name_of(sf_dir))
 
@@ -595,6 +605,7 @@ def doc_dedup_exact(sf_dir):
     from ..functions.dedup import exact_dedup_groups
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
                          columns=["doc_id", "text"])
     out = exact_dedup_groups(ds)
     out["doc_id"] = out["doc_id"].astype(np.int64)
@@ -608,6 +619,7 @@ def doc_token_count(sf_dir):
     from ..functions.textstats import add_token_count
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
                          columns=["doc_id", "text"])
     out = (
         ds.map_batches(add_token_count, batch_format="pyarrow")
@@ -623,6 +635,7 @@ def doc_quality(sf_dir):
     from ..functions.textstats import add_quality_metrics
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
                          columns=["doc_id", "text"])
     out = (
         ds.map_batches(add_quality_metrics, batch_format="pyarrow")
@@ -638,6 +651,7 @@ def doc_fingerprint(sf_dir):
     from ..functions.textstats import add_fingerprint
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
                          columns=["doc_id", "text"])
     out = (
         ds.map_batches(add_fingerprint, batch_format="pandas")
@@ -652,6 +666,7 @@ def doc_langid(sf_dir):
     from ..functions.textstats import LangId
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
                          columns=["doc_id", "text", "lang"])
     out = ds.map_batches(
         LangId, batch_format="pandas", concurrency=2, max_restarts=0
@@ -665,6 +680,7 @@ def doc_minhash_pairs(sf_dir):
     from ..functions.dedup import minhash_near_dups
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
                          columns=["doc_id", "text"])
     return minhash_near_dups(ds, threshold=0.8)
 
@@ -675,6 +691,7 @@ def doc_simhash(sf_dir):
     from ..functions.dedup import add_simhash
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
                          columns=["doc_id", "text"])
     out = ds.map_batches(add_simhash, batch_format="pandas").to_pandas()[
         ["doc_id", "simhash"]
@@ -697,7 +714,8 @@ def emb_topk(sf_dir):
 
     from ..functions.similarity import topk_cosine
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         override_num_blocks=_nblocks())
     out = topk_cosine(ds, _query_vec(sf_dir), k=10)
     out["vec_id"] = out["vec_id"].astype(np.int64)
     return out
@@ -719,7 +737,8 @@ def emb_ivf_topk(sf_dir):
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     sample = np.stack(t["embedding"].to_pylist()[:512])
     index = IVFIndex.train(sample, n_lists=8)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         override_num_blocks=_nblocks())
     out = ivf_topk(ds, _query_vec(sf_dir), k=10, index=index, nprobe=3)
     out["vec_id"] = out["vec_id"].astype(np.int64)
     return out
@@ -737,7 +756,8 @@ def emb_near_dups(sf_dir):
 
     from ..functions.dedup import embedding_near_dups
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         override_num_blocks=_nblocks())
 
     def shift(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -50,13 +50,15 @@ class TestDedup:
         n, cap = 10_000, 64
         df = pd.DataFrame({"doc_id": range(n),
                            "text": ["the same document text " * 8] * n})
-        pairs = minhash_near_dups(
-            rd.from_pandas(df), threshold=0.9, concurrency=2, bucket_cap=cap
-        )
-        assert len(pairs) == cap * (cap - 1) // 2
-        assert (pairs["jaccard"] == 1.0).all()
-        # cap keeps the smallest ids
-        assert pairs["id_b"].max() < cap
+        for dcap in (5_000_000, 0):  # driver path AND distributed path
+            pairs = minhash_near_dups(
+                rd.from_pandas(df), threshold=0.9, concurrency=2,
+                bucket_cap=cap, driver_cap=dcap,
+            )
+            assert len(pairs) == cap * (cap - 1) // 2
+            assert (pairs["jaccard"] == 1.0).all()
+            # cap keeps the smallest ids
+            assert pairs["id_b"].max() < cap
 
     def test_minhash_cross_block_bucket_stitched(self, ray_session):
         """A planted near-dup pair must survive even when the input arrives
@@ -75,8 +77,13 @@ class TestDedup:
             for i, t in enumerate(docs + [near])
         ]
         ds = rd.from_pandas(frames)  # one block per doc
-        pairs = minhash_near_dups(ds, threshold=0.6, concurrency=2)
+        # driver_cap=0 forces the distributed sort + boundary-stitch path
+        pairs = minhash_near_dups(ds, threshold=0.6, concurrency=2,
+                                  driver_cap=0)
         assert ((pairs["id_a"] == 7) & (pairs["id_b"] == 30)).any()
+        # and the two paths agree exactly
+        driver = minhash_near_dups(ds, threshold=0.6, concurrency=2)
+        pd.testing.assert_frame_equal(pairs, driver)
 
     def test_add_simhash_matches_scalar_reference(self):
         from bio_data_validation_ray.functions.dedup import add_simhash, simhash64
