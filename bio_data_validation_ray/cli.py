@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="chunked per-pass commits (crash-resumable); "
                         "requires --run-dir")
     v.add_argument("--files-per-pass", type=int, default=64)
+    v.add_argument("--strict", action="store_true",
+                   help="reject immediately on CRITICAL row violations "
+                        "(reference rules-stage short-circuit)")
     v.add_argument("--policy", default="default",
                    choices=["default", "strict", "lenient", "production"],
                    help="decision-table preset (decision_tables.py:258-298 "
@@ -123,6 +126,7 @@ def main(argv: list[str] | None = None) -> int:
             baseline_json=baseline_json,
             resume=not args.no_resume,
             policy=args.policy,
+            strict=args.strict,
         )
     if args.format == "json":
         print(json.dumps(report, indent=2, default=str))

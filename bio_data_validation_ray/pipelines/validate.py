@@ -123,6 +123,7 @@ def validate_dir(
     segments_out: str | None = None,
     driver_cap: int = 5_000_000,
     policy: str | dict | None = None,
+    strict: bool = False,
 ) -> dict:
     """Run the full validation suite over ``input_dir``'s Parquet shards and
     return the run report (JSON-serializable). For crash-resumable
@@ -226,6 +227,27 @@ def validate_dir(
     # serial time. The distributed branches below are the 100 TB path.
     driver_mode = out.count() <= driver_cap
     out_df = out.to_pandas() if driver_mode else None
+
+    # strict mode (orchestrator.py:376-381): a CRITICAL row-rule violation
+    # rejects immediately — the expensive conversation/aggregate stages are
+    # skipped, mirroring the reference's rules-stage short-circuit
+    if strict:
+        if driver_mode:
+            crit = out_df[(out_df["kind"] == "violation")
+                          & (out_df["severity"] == "CRITICAL")]
+            n_crit = len(crit)
+        else:
+            n_crit = pick("violation", VIO_COLS).filter(
+                lambda r: r["severity"] == "CRITICAL"
+            ).count()
+        if n_crit:
+            report["final_decision"] = "rejected"
+            report["rejection_reason"] = "critical_rule_violations"
+            report["critical_violations"] = int(n_crit)
+            report["passed"] = False
+            report["execution_time_s"] = round(time.time() - t0, 3)
+            _write_summary(run_dir, report)
+            return report
 
     # ---- stage D (first: sketches are needed for drift + shard row counts) --
     t_stats = time.time()

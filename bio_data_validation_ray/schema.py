@@ -135,6 +135,31 @@ def check_schema(
     return SchemaCheckResult(passed=passed, issues=issues)
 
 
+def check_structure(n_rows: int, n_cols: int, *, min_rows: int = 2,
+                    min_cols: int = 1) -> SchemaCheckResult:
+    """Structural DRV check (matrix_validator.py:225-253 /
+    schema_validator.py:132-208): empty input is CRITICAL; fewer than
+    ``min_rows`` rows or ``min_cols`` columns is an ERROR. Driver-side
+    metadata only — ``n_rows`` comes from ``ds.count()`` or Parquet footer
+    row counts, never a scan."""
+    issues: list[SchemaIssue] = []
+    if n_rows == 0:
+        issues.append(SchemaIssue(
+            "STRUCT_001", None, "input has no rows", "CRITICAL"))
+    elif n_rows < min_rows:
+        issues.append(SchemaIssue(
+            "STRUCT_002", None,
+            f"only {n_rows} rows (< required {min_rows})"))
+    if n_cols < min_cols:
+        issues.append(SchemaIssue(
+            "STRUCT_003", None,
+            f"only {n_cols} columns (< required {min_cols})"))
+    passed = not any(
+        SEVERITY_RANK[i.severity] >= SEVERITY_RANK["ERROR"] for i in issues
+    )
+    return SchemaCheckResult(passed=passed, issues=issues)
+
+
 def violation_schema(key_fields: list[tuple[str, pa.DataType]]) -> pa.Schema:
     """Violation-row schema for a table keyed by ``key_fields``."""
     return pa.schema(

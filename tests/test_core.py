@@ -48,6 +48,25 @@ class TestSchema:
         assert not schema.check_schema(t.schema, strict_types=True).passed
 
 
+class TestStructure:
+    def test_empty_is_critical(self):
+        res = schema.check_structure(0, 6)
+        assert not res.passed
+        assert res.issues[0].rule_id == "STRUCT_001"
+        assert res.issues[0].severity == "CRITICAL"
+
+    def test_min_rows_error(self):
+        res = schema.check_structure(1, 6, min_rows=2)
+        assert not res.passed and res.issues[0].rule_id == "STRUCT_002"
+
+    def test_min_cols_error(self):
+        res = schema.check_structure(10, 0)
+        assert not res.passed and res.issues[0].rule_id == "STRUCT_003"
+
+    def test_ok(self):
+        assert schema.check_structure(10, 6).passed
+
+
 class TestRowRules:
     def reg(self):
         return registry.transcript_registry()

@@ -377,6 +377,40 @@ class TestPolicyPresets:
                              "lenient": "conditional_accept"}
 
 
+class TestStrictMode:
+    def test_strict_short_circuits_on_critical(self, ray_session, tmp_path):
+        """strict=True: CRITICAL row violations reject before the
+        conversation/aggregate stages run (orchestrator.py:376-381)."""
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.registry import transcript_registry
+        from bio_data_validation_ray.rules import RuleSpec
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        reg = transcript_registry()
+        # promote empty-text to CRITICAL so the seeded fixture trips it
+        for i, r in enumerate(reg.rules):
+            if r.rule_id == "TXT_TEXT_EMPTY":
+                reg.rules[i] = RuleSpec(r.rule_id, r.kind, r.column,
+                                        r.params, "CRITICAL", r.version,
+                                        r.description)
+        rep = validate_dir(d, run_dir=str(tmp_path / "r"), registry=reg,
+                           strict=True, concurrency=2)
+        assert rep["final_decision"] == "rejected"
+        assert rep["rejection_reason"] == "critical_rule_violations"
+        assert rep["critical_violations"] > 0
+        assert "conversation" not in rep["stages"]
+
+    def test_strict_clean_data_runs_fully(self, ray_session, tmp_path):
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF, clean=True)
+        rep = validate_dir(d, run_dir=str(tmp_path / "r"), strict=True,
+                           concurrency=2)
+        assert rep["final_decision"] == "accepted"
+
+
 class TestDistributedPath:
     """The distributed conversation branch (sort + MergeSegments + boundary
     stitch) is the 100 TB path; force it with driver_cap=0 and require
