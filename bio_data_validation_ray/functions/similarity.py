@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -84,9 +86,10 @@ class IVFIndex:
 def ivf_topk(ds, query: np.ndarray, k: int = 10, *, index: IVFIndex,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding") -> pd.DataFrame:
-    """ANN top-k: scan only the nprobe nearest inverted lists. At scale the
-    ``ivf_list`` column is a Parquet partition key, so the probe becomes a
-    partition-pruned read instead of a filter."""
+    """One-shot ANN top-k: assign + filter + scan in a single pass. For
+    repeated queries build an ``IVFStore`` instead — it materializes the
+    assignment once as ivf_list-partitioned Parquet, turning every probe
+    into a partition-pruned read."""
     import ray
 
     lists = set(int(x) for x in index.probe_lists(query, nprobe))
@@ -100,3 +103,46 @@ def ivf_topk(ds, query: np.ndarray, k: int = 10, *, index: IVFIndex,
         batch_format="pandas",
     )
     return topk_cosine(pruned, query, k, id_col=id_col, vec_col=vec_col)
+
+
+class IVFStore:
+    """Materialized IVF index: vectors written ONCE as Parquet partitioned
+    by ``ivf_list`` (hive layout), so each query reads only its ``nprobe``
+    probed partitions — a partition-pruned read, not a full scan + filter.
+    This is the at-scale layout (the partition key IS the inverted list);
+    rebuilding is only needed when the corpus or centroids change."""
+
+    def __init__(self, index: IVFIndex, path: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.index, self.path = index, path
+        self.id_col, self.vec_col = id_col, vec_col
+
+    @classmethod
+    def build(cls, ds, index: IVFIndex, path: str, *,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFStore":
+        import ray
+
+        iref = ray.put(index)
+        assigned = ds.map_batches(
+            lambda b: ray.get(iref).assign_batch(b, vec_col),
+            batch_format="pandas",
+        )
+        assigned.write_parquet(path, partition_cols=["ivf_list"], mode="overwrite")
+        return cls(index, path, id_col=id_col, vec_col=vec_col)
+
+    def topk(self, query: np.ndarray, k: int = 10,
+             nprobe: int = 4) -> pd.DataFrame:
+        import ray.data as rd
+
+        import glob
+
+        lists = [int(x) for x in self.index.probe_lists(query, nprobe)]
+        files = []
+        for li in lists:
+            files += sorted(glob.glob(
+                os.path.join(self.path, f"ivf_list={li}", "*.parquet")))
+        if not files:
+            return pd.DataFrame(columns=[self.id_col, "cosine"])
+        pruned = rd.read_parquet(files)
+        return topk_cosine(pruned, query, k, id_col=self.id_col,
+                           vec_col=self.vec_col)

