@@ -20,12 +20,28 @@ import pyarrow.compute as pc
 
 TOKEN_RE = r"\S+"
 
-# tiny, deterministic stopword tables for the n-gram/stopword language heuristic
+# deterministic stopword tables (top function words per language, public
+# stopword lists) for the stopword-vote language heuristic
 STOPWORDS = {
-    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
-    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
-    "fr": {"le", "la", "les", "et", "est", "une", "un", "pas", "pour", "que"},
-    "es": {"el", "la", "los", "y", "es", "una", "un", "no", "con", "para"},
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+           "was", "on", "are", "with", "as", "be", "at", "by", "this", "have"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit",
+           "zu", "den", "von", "sich", "des", "auf", "für", "im", "dem",
+           "sie", "werden"},
+    "fr": {"le", "la", "les", "et", "est", "une", "un", "pas", "pour", "que",
+           "des", "dans", "qui", "au", "plus", "par", "sur", "se", "ne",
+           "sont"},
+    "es": {"el", "la", "los", "y", "es", "una", "un", "no", "con", "para",
+           "del", "las", "por", "se", "su", "más", "como", "pero", "sus",
+           "al"},
+    "it": {"il", "di", "che", "e", "la", "per", "un", "una", "non", "sono",
+           "del", "le", "si", "con", "gli", "della", "nel", "anche", "come",
+           "dei"},
+    "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para", "com",
+           "não", "uma", "os", "no", "se", "na", "por", "mais", "dos"},
+    "nl": {"de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "voor", "met", "die", "niet", "aan", "er", "om", "ook",
+           "als"},
 }
 
 
@@ -61,26 +77,47 @@ def add_quality_metrics(t: pa.Table, col: str = "text") -> pa.Table:
 
 
 class LangId:
-    """Stopword-vote language heuristic (actor-pool stage; tables built once
-    per actor). Returns 'und' when no stopword hits."""
+    """Stopword-vote language heuristic (actor-pool stage). The vocabulary
+    index and the vocab x language vote matrix are built ONCE per actor in
+    __init__; per batch, classification is fully vectorized: one pandas
+    regex tokenize, one hash-map lookup of every token, and one np.add.at
+    scatter into the (row, language) score matrix — no per-row Python.
+    Returns 'und' when no stopword hits; ties break in table order
+    (en first), matching the scalar reference implementation."""
 
     def __init__(self):
-        import re
-
-        self.word = re.compile(r"[a-zà-ÿäöüß]+")
-        self.tables = {k: frozenset(v) for k, v in STOPWORDS.items()}
+        self.word = r"[a-zà-ÿäöüß]+"
+        self.langs = list(STOPWORDS)
+        vocab: dict[str, int] = {}
+        for tab in STOPWORDS.values():
+            for w in sorted(tab):
+                vocab.setdefault(w, len(vocab))
+        self.vocab = vocab
+        self.votes = np.zeros((len(vocab), len(self.langs)))
+        for j, lang in enumerate(self.langs):
+            for w in STOPWORDS[lang]:
+                self.votes[vocab[w], j] = 1.0
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def classify(s: str) -> str:
-            words = self.word.findall(s.lower()[:2000])
-            best, best_n = "und", 0
-            for lang, tab in self.tables.items():
-                hits = sum(1 for w in words if w in tab)
-                if hits > best_n:
-                    best, best_n = lang, hits
-            return best
-
-        batch["lang_pred"] = batch["text"].map(classify)
+        n = len(batch)
+        if n == 0:
+            batch["lang_pred"] = pd.Series(dtype=object)
+            return batch
+        toks = (
+            batch["text"].str.slice(0, 2000).str.lower()
+            .str.findall(self.word).explode()
+        )
+        ids = toks.map(self.vocab)
+        hit = ids.notna()
+        scores = np.zeros((n, len(self.langs)))
+        if hit.any():
+            pos = batch.index.get_indexer(ids.index[hit])
+            np.add.at(scores, pos, self.votes[ids[hit].astype(int)])
+        best = np.argmax(scores, axis=1)
+        any_hit = scores.max(axis=1) > 0
+        langs = np.asarray(self.langs, dtype=object)
+        out = np.where(any_hit, langs[best], "und")
+        batch["lang_pred"] = out
         return batch
 
 

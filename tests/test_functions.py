@@ -230,6 +230,24 @@ class TestTextStats:
         out = li(df)
         assert list(out["lang_pred"]) == ["en", "de", "fr", "und"]
 
+    def test_langid_seven_languages_and_index_robustness(self):
+        from bio_data_validation_ray.functions.textstats import LangId
+
+        li = LangId()
+        df = pd.DataFrame({"text": [
+            "the cat sat on the mat and it was happy that day",
+            "der Hund ist nicht mit der Katze zu sehen und sie werden",
+            "le chat est dans la maison et les enfants sont pour une",
+            "el perro es una mascota y no come con los gatos para",
+            "il cane è un animale che non sono per la casa",
+            "o cachorro é um animal que não está em casa para o dono",
+            "de hond is een dier dat niet in het huis van de buurman",
+        ]})
+        assert list(li(df)["lang_pred"]) == ["en", "de", "fr", "es", "it",
+                                             "pt", "nl"]
+        sub = df.iloc[2:5].copy()  # non-default index must not misalign
+        assert list(li(sub)["lang_pred"]) == ["fr", "es", "it"]
+
     def test_rolling_hash_shift_invariance(self):
         from bio_data_validation_ray.functions.textstats import rolling_hashes
 
