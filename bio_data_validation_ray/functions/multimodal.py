@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode kernels themselves are STUBS (the image/audio codec libraries are
-not available in this environment — see ``decode_image``): they either raise
-``NotImplementedError`` or produce a deterministic fake feature vector so the
-Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and testable. Swap ``_decode_payload`` for a real codec (PIL,
-torchaudio, pyav) to productionize; nothing else changes.
+Decode is REAL for the codec-free formats — binary PPM (P6), uncompressed
+24-bit BMP, and PCM-16 WAV are parsed with pure numpy, with real
+nearest-neighbor resize and deterministic image/audio feature extraction on
+top. Compressed formats (PNG/JPEG/MP4) need codec libraries that are not in
+this container: those payloads raise ``NotImplementedError`` (or take the
+clearly-labelled deterministic fake-feature path with
+``fake_decode=True``), so the Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — stays fully testable. Swap ``decode_image``
+for a real codec (PIL, torchaudio, pyav) to productionize; nothing else
+changes.
 
 Scale notes: binary payloads are large, so stages here default to SMALL
 ``batch_size`` (payload bytes x batch_size x concurrency must fit worker
@@ -66,12 +70,154 @@ def synthesize_media_table(n: int, *, seed: int = 42, payload_bytes: int = 4096)
     )
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6) — pure numpy, no codec library.
+    -> (H, W, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    w, h, maxval = parts
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Inverse of decode_ppm (test fixture writer)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bit BMP — pure numpy.
+    -> (H, W, 3) uint8 in RGB order (BMP stores BGR bottom-up)."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * abs(h),
+                         offset=off).reshape(abs(h), stride)
+    img = rows[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h > 0:
+        img = img[::-1]  # bottom-up -> top-down
+    return img.copy()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for PCM-16 WAV (RIFF) — pure numpy.
+    -> (samples[n, channels] int16, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if bits != 16:
+        raise NotImplementedError("only PCM-16 supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels).copy(), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Inverse of decode_wav (test fixture writer; PCM-16)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def resize_image(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """REAL nearest-neighbor resize — pure numpy index gather."""
+    h, w = img.shape[:2]
+    oh, ow = size
+    ri = (np.arange(oh) * h // oh).clip(0, h - 1)
+    ci = (np.arange(ow) * w // ow).clip(0, w - 1)
+    return img[ri[:, None], ci[None, :]]
+
+
+def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL deterministic image features: per-channel mean/std + a 16-bin
+    grayscale histogram of the 8x8 nearest-neighbor thumbnail, padded/
+    truncated to ``dim`` and L2-normalized."""
+    small = resize_image(img, (8, 8)).astype(np.float64)
+    gray = small.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=16, range=(0, 255))
+    stats = np.concatenate([
+        img.mean(axis=(0, 1)), img.std(axis=(0, 1)),
+        hist.astype(np.float64), gray.reshape(-1),
+    ])
+    v = np.zeros(dim)
+    v[: min(dim, stats.size)] = stats[:dim]
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
+
+
+def audio_features(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL deterministic audio features: per-frame RMS energy over ``dim``
+    equal frames, L2-normalized."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    n = mono.size
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    edges = np.linspace(0, n, dim + 1).astype(np.int64)
+    sq = np.concatenate([[0.0], np.cumsum(mono * mono)])
+    frame = np.sqrt(np.maximum(
+        (sq[edges[1:]] - sq[edges[:-1]])
+        / np.maximum(np.diff(edges), 1), 0.0))
+    nn = np.linalg.norm(frame)
+    return (frame / nn if nn else frame).astype(np.float32)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """STUB: real implementation would be PIL.Image.open(BytesIO(payload)).
-    The codec libraries are not in this container."""
+    """Decode an image payload. REAL for the container-friendly uncompressed
+    formats (P6 PPM, 24-bit BMP — pure numpy); compressed formats (PNG/JPEG)
+    require a codec library that is not in this container and raise."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires a codec library (e.g. PIL); "
-        "use MediaFeaturizer(fake_decode=True) for plumbing tests"
+        "compressed image decoding requires a codec library (e.g. PIL); "
+        "PPM/BMP decode natively, or use MediaFeaturizer(fake_decode=True) "
+        "for plumbing tests"
     )
 
 
@@ -104,9 +250,23 @@ class MediaFeaturizer:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
-        if not self.fake:
-            decode_image(payloads[0] if payloads else b"")  # raises
-        feats = [_fake_feature(p, self.dim) for p in payloads]
+        feats = []
+        for p in payloads:
+            f = None
+            try:
+                if p.startswith((b"P6", b"BM")):
+                    f = image_features(decode_image(p), self.dim)
+                elif p[:4] == b"RIFF":
+                    f = audio_features(decode_wav(p)[0], self.dim)
+            except (ValueError, NotImplementedError):
+                f = None
+            if f is None:
+                if not self.fake:
+                    # compressed formats need a codec library -> raise with
+                    # the actionable message
+                    decode_image(p)
+                f = _fake_feature(p, self.dim)
+            feats.append(f)
         sizes = [len(p) for p in payloads]
         out = t.drop_columns(["payload"])  # features replace heavy bytes
         out = out.append_column(
