@@ -67,18 +67,17 @@ SEG_COLS = ["shard", "conv_id", "seg_turn_lo", "seg_turn_hi", "seg_n",
 
 
 def vio_frame_to_table(df: pd.DataFrame) -> pa.Table:
+    """Violation frame -> Arrow table with the declared schema, vectorized
+    (from_pandas handles NaN/pd.NA -> null and integral-float -> int casts
+    without a per-row Python loop)."""
     if len(df) == 0:
         return pa.Table.from_pydict({f.name: [] for f in VIO_SCHEMA}, schema=VIO_SCHEMA)
     arrays = []
     for f in VIO_SCHEMA:
-        col = df[f.name] if f.name in df.columns else pd.Series([None] * len(df))
-        vals = [
-            None
-            if v is None or v is pd.NA or (isinstance(v, float) and v != v)
-            else (int(v) if pa.types.is_integer(f.type) else v)
-            for v in col.tolist()
-        ]
-        arrays.append(pa.array(vals, type=f.type))
+        if f.name in df.columns:
+            arrays.append(pa.array(df[f.name], type=f.type, from_pandas=True))
+        else:
+            arrays.append(pa.nulls(len(df), f.type))
     return pa.Table.from_arrays(arrays, schema=VIO_SCHEMA)
 
 
