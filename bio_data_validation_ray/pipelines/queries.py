@@ -754,6 +754,31 @@ def emb_ivf_topk(sf_dir):
     return out
 
 
+def emb_ivf_topk_full(sf_dir):
+    """IVF with nprobe == n_lists: probing every partition makes the ANN
+    exact, so the partition-pruned read path itself gets a DuckDB oracle
+    (ID-only to dodge float32 cosine rounding)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.similarity import IVFIndex, IVFStore
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    sample = np.stack(t["embedding"].to_pylist()[:512])
+    index = IVFIndex.train(sample, n_lists=8)
+    store_path = os.path.join(
+        "/tmp/bdvr_ivf", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if not os.path.isdir(store_path):
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             override_num_blocks=_nblocks())
+        store = IVFStore.build(ds, index, store_path)
+    else:
+        store = IVFStore(index, store_path)
+    out = store.topk(_query_vec(sf_dir), k=10, nprobe=8)
+    return pd.DataFrame({"vec_id": out["vec_id"].astype(np.int64)})
+
+
 def emb_near_dups(sf_dir):
     """LSH-bucketed embedding near-dup pairs, DuckDB-oracle-checked: the
     fixture has no natural pairs above 0.9, so the query plants exact
@@ -858,6 +883,7 @@ QUERIES = {
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
+    "emb_ivf_topk_full": emb_ivf_topk_full,
     "emb_near_dups": emb_near_dups,
     "li_pricing": li_pricing,
 }
@@ -1138,6 +1164,11 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
 ORDER BY 1, 2""",
+        "emb_ivf_topk_full": """
+SELECT vec_id FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10""",
         "emb_topk_ids": """
 SELECT vec_id FROM embeddings
 ORDER BY list_cosine_similarity(embedding,
