@@ -112,17 +112,24 @@ def variant_groups(ds, column: str,
     return out
 
 
-def column_profile(ds, cols: list[str]) -> pd.DataFrame:
+def column_profile(ds, cols: list[str], *,
+                   low_var_threshold: float = 0.01,
+                   mean_outlier_sigma: float = 3.0) -> pd.DataFrame:
     """Per-column matrix-style checks in ONE pass (matrix_validator.py
-    family): n, nulls, zeros, negatives, infinities, and constancy
-    (min == max). -> DataFrame[(column, n, n_null, n_zero, n_negative,
-    n_inf, constant, all_null)]."""
+    family: all-zero :410-424, constant :426-440, low-variance :567-586,
+    sample-mean outliers :632-659, all-NaN/negative/infinite :351-408):
+    counts plus constancy (min == max), low-variance (population var below
+    threshold), and mean-outlier (column mean beyond ``sigma`` std devs of
+    the across-column means, computed only when >= 3 columns report a mean).
+    -> DataFrame[(column, n, n_null, n_zero, n_negative, n_inf, constant,
+    all_null, low_variance, mean_outlier)]."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
         rows = {"column": [], "n": [], "n_null": [], "n_zero": [],
-                "n_negative": [], "n_inf": [], "vmin": [], "vmax": []}
+                "n_negative": [], "n_inf": [], "vmin": [], "vmax": [],
+                "vsum": [], "vsumsq": []}
         for c in cols:
             col = t[c]
             valid = pc.drop_null(col)
@@ -140,6 +147,9 @@ def column_profile(ds, cols: list[str]) -> pd.DataFrame:
             mx = pc.max(fv).as_py()
             rows["vmin"].append(np.inf if mn is None else mn)
             rows["vmax"].append(-np.inf if mx is None else mx)
+            rows["vsum"].append(float(pc.sum(fv).as_py() or 0.0))
+            npv = fv.to_numpy(zero_copy_only=False)
+            rows["vsumsq"].append(float(np.dot(npv, npv)))
         return pa.table(rows)
 
     parts = combine_low_card(
@@ -148,14 +158,25 @@ def column_profile(ds, cols: list[str]) -> pd.DataFrame:
         {"n": ("n", "sum"), "n_null": ("n_null", "sum"),
          "n_zero": ("n_zero", "sum"), "n_negative": ("n_negative", "sum"),
          "n_inf": ("n_inf", "sum"),
-         "vmin": ("vmin", "min"), "vmax": ("vmax", "max")},
+         "vmin": ("vmin", "min"), "vmax": ("vmax", "max"),
+         "vsum": ("vsum", "sum"), "vsumsq": ("vsumsq", "sum")},
     )
     parts["all_null"] = parts["n_null"] == parts["n"]
     parts["constant"] = (~parts["all_null"]) & (parts["vmin"] == parts["vmax"])
+    nv = (parts["n"] - parts["n_null"]).clip(lower=1)
+    mean = parts["vsum"] / nv
+    var = (parts["vsumsq"] / nv - mean**2).clip(lower=0.0)
+    parts["low_variance"] = (~parts["all_null"]) & (var < low_var_threshold)
+    means = mean[~parts["all_null"]]
+    if len(means) >= 3 and means.std() > 0:
+        z = (mean - means.mean()).abs() / means.std()
+        parts["mean_outlier"] = (~parts["all_null"]) & (z > mean_outlier_sigma)
+    else:
+        parts["mean_outlier"] = False
     for c in ("n", "n_null", "n_zero", "n_negative", "n_inf"):
         parts[c] = parts[c].astype(np.int64)
     return (
-        parts.drop(columns=["vmin", "vmax"])
+        parts.drop(columns=["vmin", "vmax", "vsum", "vsumsq"])
         .sort_values("column")
         .reset_index(drop=True)
     )

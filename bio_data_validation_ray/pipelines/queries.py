@@ -1097,34 +1097,40 @@ SELECT lower(trim(role)) AS canonical,
 FROM unioned WHERE role IS NOT NULL
 GROUP BY 1 HAVING count(DISTINCT role) > 1""",
         "li_col_profile": """
-WITH p(col, n, n_null, n_zero, n_negative, n_inf, vmin, vmax) AS (
+WITH p(col, n, n_null, n_zero, n_negative, n_inf, vmin, vmax, m, v) AS (
  SELECT 'l_quantity', count(*), sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
         sum(CASE WHEN l_quantity = 0 THEN 1 ELSE 0 END),
         sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END),
         sum(CASE WHEN isinf(l_quantity) THEN 1 ELSE 0 END),
-        min(l_quantity), max(l_quantity) FROM lineitem
- UNION ALL SELECT 'l_extendedprice', count(*), sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+        min(l_quantity), max(l_quantity), avg(l_quantity), var_pop(l_quantity) FROM lineitem
+ UNION ALL
+ SELECT 'l_extendedprice', count(*), sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
         sum(CASE WHEN l_extendedprice = 0 THEN 1 ELSE 0 END),
         sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END),
         sum(CASE WHEN isinf(l_extendedprice) THEN 1 ELSE 0 END),
-        min(l_extendedprice), max(l_extendedprice) FROM lineitem
- UNION ALL SELECT 'l_discount', count(*), sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+        min(l_extendedprice), max(l_extendedprice), avg(l_extendedprice), var_pop(l_extendedprice) FROM lineitem
+ UNION ALL
+ SELECT 'l_discount', count(*), sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
         sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END),
         sum(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END),
         sum(CASE WHEN isinf(l_discount) THEN 1 ELSE 0 END),
-        min(l_discount), max(l_discount) FROM lineitem
- UNION ALL SELECT 'l_tax', count(*), sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
+        min(l_discount), max(l_discount), avg(l_discount), var_pop(l_discount) FROM lineitem
+ UNION ALL
+ SELECT 'l_tax', count(*), sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END),
         sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END),
         sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END),
         sum(CASE WHEN isinf(l_tax) THEN 1 ELSE 0 END),
-        min(l_tax), max(l_tax) FROM lineitem
-)
+        min(l_tax), max(l_tax), avg(l_tax), var_pop(l_tax) FROM lineitem
+),
+g AS (SELECT avg(m) AS mm, stddev_samp(m) AS ms FROM p WHERE n_null < n)
 SELECT col AS column, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
        CAST(n_zero AS BIGINT) AS n_zero, CAST(n_negative AS BIGINT) AS n_negative,
        CAST(n_inf AS BIGINT) AS n_inf,
        (n_null = n) AS all_null,
-       (n_null < n AND vmin = vmax) AS constant
-FROM p ORDER BY col""",
+       (n_null < n AND vmin = vmax) AS constant,
+       (n_null < n AND v < 0.01) AS low_variance,
+       (n_null < n AND ms > 0 AND abs(m - mm) / ms > 3) AS mean_outlier
+FROM p, g ORDER BY col""",
         "cust_enrich": """
 SELECT coalesce(c.c_mktsegment, '__miss__') AS segment, count(*) AS n
 FROM orders o LEFT JOIN

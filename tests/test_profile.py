@@ -1,0 +1,89 @@
+"""Unit tests for the generic profiling operators (functions/profile.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bio_data_validation_ray.functions.profile import (
+    column_profile,
+    confounding_check,
+    grouped_nunique,
+    mixed_units_check,
+    variant_groups,
+)
+
+
+def test_column_profile_flags(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(2)
+    n = 1000
+    cols = {
+        "tiny_var": np.full(n, 3.0) + rng.normal(0, 0.01, n),
+        "constant": np.full(n, 7.0),
+        "zeros": np.zeros(n),
+        "huge_mean": rng.normal(1e6, 1.0, n),
+        "allnull": pd.array([None] * n, dtype="Float64"),
+    }
+    # mean-outlier detection (like the reference's >=10-samples rule,
+    # matrix_validator.py:632-659) needs enough columns for a z-score of 3
+    # to be reachable: one outlier among k means caps at (k-1)/sqrt(k)
+    for i in range(11):
+        cols[f"normal{i:02d}"] = rng.normal(10, 5, n)
+    df = pd.DataFrame(cols)
+    out = column_profile(
+        rd.from_pandas(df), list(df.columns)
+    ).set_index("column")
+    assert out.loc["constant", "constant"]
+    assert out.loc["tiny_var", "low_variance"]
+    assert not out.loc["normal00", "low_variance"]
+    assert out.loc["zeros", "n_zero"] == 1000
+    assert out.loc["allnull", "all_null"]
+    assert out.loc["huge_mean", "mean_outlier"]
+    assert not out.loc["normal00", "mean_outlier"]
+
+
+def test_mixed_units_check(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"dose": ["5 mg", "10 mg", "3 ml", "7 mg"]})
+    res = mixed_units_check(rd.from_pandas(df), "dose", r"([a-z]+)$",
+                            allowed={"mg"})
+    assert res["mixed"] and res["units"] == ["mg", "ml"]
+    assert res["invalid_units"] == ["ml"]
+    assert res["counts"]["mg"] == 3
+
+
+def test_grouped_nunique_and_confounding(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "batch": ["a", "a", "b", "b", "c"],
+        "cond": ["x", "x", "y", "y", "x"],
+    })
+    g = grouped_nunique(rd.from_pandas(df), "batch", "cond").set_index("batch")
+    assert g.loc["a", "nunique"] == 1 and g.loc["a", "n_rows"] == 2
+    res = confounding_check(rd.from_pandas(df), "batch", "cond")
+    # both multi-row batches carry exactly one condition -> confounded
+    assert res["confounded"] and res["n_confounded"] == 2
+
+    df2 = pd.DataFrame({
+        "batch": ["a", "a", "b", "b"],
+        "cond": ["x", "y", "x", "y"],
+    })
+    assert not confounding_check(rd.from_pandas(df2), "batch", "cond")["confounded"]
+
+
+def test_variant_groups(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"organism": [
+        "human", "Human", "HUMAN", "mouse", "yeast", "Homo sapiens",
+    ]})
+    out = variant_groups(
+        rd.from_pandas(df), "organism",
+        synonyms={"homo sapiens": "human"},
+    ).set_index("canonical")
+    assert out.loc["human", "n_variants"] == 4
+    assert out.loc["human", "n_rows"] == 4
+    assert "mouse" not in out.index
