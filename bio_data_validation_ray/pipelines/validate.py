@@ -224,17 +224,37 @@ def validate_dir(
     # common case) collect it ONCE and do everything else in pandas — every
     # extra Ray execution costs ~0.5-1s of launch latency, which is pure
     # serial time. The distributed branches below are the 100 TB path.
+    t_collect = time.time()
     driver_mode = out.count() <= driver_cap
-    out_df = out.to_pandas() if driver_mode else None
+    # Collect as ARROW (zero-copy-ish concat of the materialized blocks) and
+    # convert to pandas PER KIND/projection: the full-frame to_pandas paid
+    # for payload-bytes and string-object conversion on every row of every
+    # column, most of which each consumer never touches.
+    out_tbl = None
+    if driver_mode:
+        import ray as _ray2
+
+        out_tbl = pa.concat_tables(_ray2.get(out.to_arrow_refs()))
+
+    def kind_df(kind: str, cols: list[str]) -> pd.DataFrame:
+        return (
+            out_tbl.filter(pc.equal(out_tbl["kind"], kind))
+            .select(cols)
+            .to_pandas()
+        )
+
+    report["stages"]["collect"] = {"time_s": round(time.time() - t_collect, 3),
+                                   "driver_mode": driver_mode}
 
     # strict mode (orchestrator.py:376-381): a CRITICAL row-rule violation
     # rejects immediately — the expensive conversation/aggregate stages are
     # skipped, mirroring the reference's rules-stage short-circuit
     if strict:
         if driver_mode:
-            crit = out_df[(out_df["kind"] == "violation")
-                          & (out_df["severity"] == "CRITICAL")]
-            n_crit = len(crit)
+            n_crit = int(pc.sum(pc.and_(
+                pc.equal(out_tbl["kind"], "violation"),
+                pc.equal(out_tbl["severity"], "CRITICAL"),
+            )).as_py() or 0)
         else:
             n_crit = pick("violation", VIO_COLS).filter(
                 lambda r: r["severity"] == "CRITICAL"
@@ -251,8 +271,7 @@ def validate_dir(
     # ---- stage D (first: sketches are needed for drift + shard row counts) --
     t_stats = time.time()
     if driver_mode:
-        sk = out_df.loc[out_df["kind"] == "sketch",
-                        ["shard", "sketch_name", "payload"]]
+        sk = kind_df("sketch", ["shard", "sketch_name", "payload"])
     else:
         sk = pick("sketch", ["shard", "sketch_name", "payload"]).to_pandas()
     stats = reduce_sketches(sk)
@@ -277,10 +296,10 @@ def validate_dir(
         # committed pass's segments — see validate_resumable)
         os.makedirs(os.path.dirname(segments_out) or ".", exist_ok=True)
         if driver_mode:
-            seg_persist = out_df.loc[out_df["kind"] == "segment", SEG_COLS]
             tmp = segments_out + f".tmp{os.getpid()}"
             pq.write_table(
-                pa.Table.from_pandas(seg_persist, preserve_index=False), tmp
+                out_tbl.filter(pc.equal(out_tbl["kind"], "segment"))
+                .select(SEG_COLS), tmp
             )
             os.replace(tmp, segments_out)
         else:
@@ -293,7 +312,7 @@ def validate_dir(
         )
         report["stages"]["conversation"] = {"deferred_to_final_merge": True}
     elif driver_mode:
-        seg_df = out_df.loc[out_df["kind"] == "segment", SEG_COLS]
+        seg_df = kind_df("segment", SEG_COLS)
         all_res = merge_segments_frame(seg_df)
         flagged = all_res.loc[all_res["needs_exact"], ["conv_id", "shards"]]
         exact_ids = sorted(flagged["conv_id"])
@@ -446,7 +465,7 @@ def validate_dir(
     t_vio = time.time()
     extras_all = _concat_vio_frames([extras, agg_vio])
     if driver_mode:
-        vio_rows = out_df.loc[out_df["kind"] == "violation", VIO_COLS]
+        vio_rows = kind_df("violation", VIO_COLS)
         if exact_ids and rowdup_spec:
             # within-batch DUP_001 detections for exact-fallback convs are
             # superseded by the exact pass (it sees the whole conversation)
@@ -568,15 +587,20 @@ def validate_dir(
         )
 
         from ..sketches import dumps as _sk_dumps
+        from ..state.checkpoint import write_stats_bundle
+
+        # persist every shard's mergeable sketches in ONE atomic bundle
+        # BEFORE any lineage commit (committed shard => sketches durable),
+        # so a resumed run can still evaluate dataset-level (aggregate/
+        # drift) rules EXACTLY over all shards
+        write_stats_bundle(
+            lineage.dir,
+            {shard.replace("/", "_"): _sk_dumps(stats[shard])
+             for shard in shard_names},
+        )
 
         def _commit(shard: str):
             st = stats[shard]
-            safe = shard.replace("/", "_")
-            # persist the shard's mergeable sketches next to its lineage
-            # record so a resumed run can still evaluate dataset-level
-            # (aggregate/drift) rules EXACTLY over all shards
-            with open(os.path.join(lineage.dir, f"{safe}.stats.pkl"), "wb") as fh:
-                fh.write(_sk_dumps(st))
             lineage.commit(
                 shard,
                 rows_scanned=st.content_rows,
@@ -899,19 +923,22 @@ def validate_resumable(
     # ---- per-shard row-local counts + merged sketches from lineage ----
     from ..policy import SeverityCounts, decide, needs_review, passed
 
+    from ..state.checkpoint import load_stats_blobs
+
     shard_counts: dict[str, SeverityCounts] = {}
     rows_scanned = 0
     stats_all = ShardStats()
     per_shard_digests = {}
     per_shard_stats: dict[str, ShardStats] = {}
+    stats_blobs = load_stats_blobs(lineage.dir)
     for shard, rec in sorted(committed.items()):
         shard_counts[shard] = SeverityCounts(
             **{k: int(v) for k, v in rec.get("severity_counts", {}).items()}
         )
         rows_scanned += rec["rows_scanned"]
-        spath = os.path.join(lineage.dir, shard.replace("/", "_") + ".stats.pkl")
-        if os.path.exists(spath):
-            st = _sk_loads(open(spath, "rb").read())
+        blob = stats_blobs.get(shard.replace("/", "_"))
+        if blob is not None:
+            st = _sk_loads(blob)
             per_shard_digests[shard] = st.tdigest
             per_shard_stats[shard] = st
             stats_all.merge(st)

@@ -335,6 +335,10 @@ def dumps(obj) -> bytes:
     if isinstance(obj, TDigest):
         obj._compress()
         obj._buf_m, obj._buf_w = [], []
+    td = getattr(obj, "tdigest", None)  # ShardStats and friends: compress
+    if isinstance(td, TDigest):        # the digest, not its raw buffers
+        td._compress()
+        td._buf_m, td._buf_w = [], []
     return pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
 
 

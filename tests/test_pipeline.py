@@ -249,8 +249,10 @@ class TestResumable:
                 assert rec["committed_at"] == committed_at[rec["partition_id"]]
         assert full["final_decision"] == "rejected"
         # sketches persisted for every shard -> global stats were exact
-        assert len(g.glob(o.path.join(run, "lineage", "*.stats.pkl"))) == \
-            full["shards_total"]
+        from bio_data_validation_ray.state.checkpoint import load_stats_blobs
+
+        blobs = load_stats_blobs(o.path.join(run, "lineage"))
+        assert len(blobs) == full["shards_total"]
 
 
     def test_crash_mid_commit_loop_is_exact(self, ray_session, tmp_path):
@@ -275,9 +277,9 @@ class TestResumable:
         recs = sorted(g.glob(o.path.join(run, "lineage", "*.json")))
         victim = json.load(open(recs[0]))["partition_id"]
         o.remove(recs[0])
-        spath = o.path.join(run, "lineage", victim.replace("/", "_") + ".stats.pkl")
-        if o.path.exists(spath):
-            o.remove(spath)
+        # (the victim's sketch blob may remain in the run's stats bundle —
+        # harmless: uncommitted shards are excluded by the lineage filter
+        # and the shard reprocesses into a new bundle)
         full = validate_resumable(d, run_dir=run, files_per_pass=3, concurrency=2)
         assert full["complete"]
         assert full["severity_counts"] == ref["severity_counts"]
