@@ -14,6 +14,7 @@ Owns its Ray session (scripts own sessions; library code never does).
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 
@@ -62,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--run-dir", default=None)
     v.add_argument("--rules", default=None, help="YAML ruleset path")
     v.add_argument("--baseline", default=None, help="baseline digests JSON path")
-    v.add_argument("--format", choices=["text", "json"], default="text")
+    v.add_argument("--format", choices=["text", "json", "markdown"], default="text")
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--resumable", action="store_true",
                    help="chunked per-pass commits (crash-resumable); "
@@ -130,6 +131,14 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.format == "json":
         print(json.dumps(report, indent=2, default=str))
+    elif args.format == "markdown":
+        from .report import render_markdown
+
+        md = render_markdown(report)
+        print(md)
+        if args.run_dir:
+            with open(os.path.join(args.run_dir, "report.md"), "w") as fh:
+                fh.write(md)
     else:
         print(_fmt_text(report))
     ray.shutdown()

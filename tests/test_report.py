@@ -1,0 +1,85 @@
+"""Markdown run-report renderer tests (report_generator.py analog)."""
+
+from bio_data_validation_ray.report import render_markdown
+
+
+def rep(decision="rejected", **over):
+    base = {
+        "validation_id": "abc123",
+        "input_dir": "/data/in",
+        "final_decision": decision,
+        "ruleset_metadata": {"rules_version": "1.2.0",
+                             "rules_hash": "deadbeef", "n_rules": 18},
+        "rows_scanned": 12345,
+        "shards_total": 8,
+        "execution_time_s": 1.23,
+        "severity_counts": {"critical": 1, "error": 6, "warning": 2,
+                            "info": 0},
+        "rationale": "Dataset rejected due to: 1 critical issue(s)",
+        "per_shard": {
+            "s0.parquet": {"decision": "rejected", "rows_scanned": 100,
+                           "severity_counts": {"critical": 1, "error": 6,
+                                               "warning": 2, "info": 0}},
+        },
+        "top_issues": [
+            {"rule_id": "TXT_TEXT_EMPTY", "severity": "ERROR",
+             "conv_id": "c1", "turn_idx": 3, "offending_value": ""},
+        ],
+        "requires_review": True,
+        "exact_fallback_convs": 2,
+        "drift": {"s0.parquet": {"drifted": True, "ks": 0.5, "psi": 1.0}},
+    }
+    base.update(over)
+    return base
+
+
+def test_rejected_report_sections():
+    md = render_markdown(rep())
+    assert md.startswith("# ❌ Validation Failed")
+    assert "| critical | 1 |" in md
+    assert "| s0.parquet | rejected | 1 | 6 | 2 | 100 |" in md
+    assert "| TXT_TEXT_EMPTY | ERROR | c1:3 |" in md
+    assert "address critical and error-level issues" in md
+    assert "Fix 1 critical issue(s)" in md
+    assert "human-review thresholds" in md
+    assert "Distribution drift detected" in md
+    assert "exact cross-shard re-check" in md
+
+
+def test_accepted_and_conditional_recommendations():
+    md = render_markdown(rep(
+        decision="accepted",
+        severity_counts={"critical": 0, "error": 0, "warning": 0, "info": 0},
+        requires_review=False, drift={}, exact_fallback_convs=0,
+        top_issues=[],
+    ))
+    assert md.startswith("# ✅ Validation Passed")
+    assert "ready for analysis" in md
+    md2 = render_markdown(rep(
+        decision="conditional_accept",
+        severity_counts={"critical": 0, "error": 0, "warning": 7, "info": 0},
+        requires_review=False, drift={}, exact_fallback_convs=0,
+    ))
+    assert "Review 7 warning(s)" in md2
+
+
+def test_cli_markdown_format(tmp_path):
+    # subprocess: cli.main owns (and shuts down) its own Ray session
+    import os
+    import subprocess
+    import sys
+
+    from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+    d = ensure_transcripts("sf0.001")
+    run_dir = str(tmp_path / "r")
+    r = subprocess.run(
+        [sys.executable, "-m", "bio_data_validation_ray.cli", "validate", d,
+         "--run-dir", run_dir, "--format", "markdown", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 1, r.stderr[-500:]  # seeded fixture rejects
+    assert os.path.exists(os.path.join(run_dir, "report.md"))
+    md = open(os.path.join(run_dir, "report.md")).read()
+    assert md.startswith("# ❌ Validation Failed")
+    assert "Per-shard verdicts" in md
