@@ -154,26 +154,39 @@ class _BucketPairEmitter:
             return empty
         b = df["bucket"].to_numpy()
         ids = df[self.id_col].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, b))  # ascending ids within each run
+        b, ids = b[order], ids[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(b)) + 1])
         ends = np.concatenate([starts[1:], [n]])
+        nruns = starts.size
         out = [empty]
-        for r in range(starts.size):
+        # boundary runs (first & last, possibly the same) pass through
+        for r in sorted({0, nruns - 1}):
             s, e = int(starts[r]), int(ends[r])
-            boundary = r == 0 or r == starts.size - 1
             u = np.unique(ids[s:e])
-            over = u.size > self.cap
-            if over:
+            if u.size > self.cap:
                 out.append(pd.DataFrame(
                     {"id_a": [0], "id_b": [int(u.size)],
                      "bucket": [b[s]], "kind": np.int8(2)}))
                 u = u[: self.cap]
-            if boundary:
+            out.append(pd.DataFrame(
+                {"id_a": u, "id_b": 0, "bucket": b[s], "kind": np.int8(1)}))
+        # interior runs: one vectorized equal-size-grouped pair emission
+        if nruns > 2:
+            id_a, id_b, n_over, max_over = _emit_run_pairs(
+                ids, starts[1:-1], (ends - starts)[1:-1], self.cap
+            )
+            keep = id_a < id_b  # drop self-pairs from duplicate input ids
+            id_a, id_b = id_a[keep], id_b[keep]
+            if n_over:
                 out.append(pd.DataFrame(
-                    {"id_a": u, "id_b": 0, "bucket": b[s], "kind": np.int8(1)}))
-            elif u.size > 1:
-                iu, jv = np.triu_indices(u.size, 1)
+                    {"id_a": np.zeros(n_over, np.int64),
+                     "id_b": np.full(n_over, max_over, np.int64),
+                     "bucket": np.zeros(n_over, np.int64),
+                     "kind": np.full(n_over, 2, np.int8)}))
+            if id_a.size:
                 out.append(pd.DataFrame(
-                    {"id_a": u[iu], "id_b": u[jv], "bucket": 0,
+                    {"id_a": id_a, "id_b": id_b, "bucket": 0,
                      "kind": np.int8(0)}))
         res = pd.concat(out, ignore_index=True)
         return res.astype(cols)
@@ -231,30 +244,54 @@ def _log_overflow(log_tag: str, n_over: int, max_size: int,
         )
 
 
+def _emit_run_pairs(ids_sorted: np.ndarray, starts: np.ndarray,
+                    sizes: np.ndarray, bucket_cap: int
+                    ) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """All within-run pairs (id_a < id_b), fully vectorized: runs of EQUAL
+    size are stacked into one (k, m) matrix and pair-indexed with a single
+    triu gather — no per-run Python. ``ids_sorted`` must be ascending within
+    each run (global lexsort by (bucket, id)). Oversized runs are truncated
+    to the smallest ``bucket_cap`` ids. Returns (id_a, id_b, n_over,
+    max_over)."""
+    a_parts, b_parts = [], []
+    n_over, max_over = 0, 0
+    multi = sizes > 1
+    if multi.any():
+        m_sizes = np.minimum(sizes[multi], bucket_cap)
+        m_starts = starts[multi]
+        over = sizes[multi] > bucket_cap
+        n_over = int(over.sum())
+        max_over = int(sizes[multi].max()) if n_over else 0
+        for m in np.unique(m_sizes):
+            rs = m_starts[m_sizes == m]
+            mat = ids_sorted[rs[:, None] + np.arange(int(m))[None, :]]
+            iu, jv = np.triu_indices(int(m), 1)
+            a_parts.append(mat[:, iu].ravel())
+            b_parts.append(mat[:, jv].ravel())
+    if not a_parts:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), n_over,
+                max_over)
+    return (np.concatenate(a_parts), np.concatenate(b_parts), n_over,
+            max_over)
+
+
 def _pairs_from_member_frame(bdf: pd.DataFrame, id_col: str, bucket_cap: int,
                              log_tag: str) -> pd.DataFrame | None:
     """Vectorized pair emission over a collected (id, bucket) frame."""
     b = bdf["bucket"].to_numpy()
-    order = np.argsort(b, kind="stable")
-    b = b[order]
-    ids = bdf[id_col].to_numpy().astype(np.int64)[order]
+    ids = bdf[id_col].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, b))  # ascending ids within each bucket run
+    b, ids = b[order], ids[order]
     starts = np.concatenate([[0], np.flatnonzero(np.diff(b)) + 1])
-    ends = np.concatenate([starts[1:], [b.size]])
-    sizes = ends - starts
-    frames, n_over, max_over = [], 0, 0
-    for s, e in zip(starts[sizes > 1], ends[sizes > 1]):
-        u = np.unique(ids[s:e])
-        if u.size > bucket_cap:
-            n_over += 1
-            max_over = max(max_over, int(u.size))
-            u = u[:bucket_cap]
-        if u.size > 1:
-            iu, jv = np.triu_indices(u.size, 1)
-            frames.append(pd.DataFrame({"id_a": u[iu], "id_b": u[jv]}))
+    sizes = np.diff(np.concatenate([starts, [b.size]]))
+    id_a, id_b, n_over, max_over = _emit_run_pairs(ids, starts, sizes,
+                                                   bucket_cap)
     _log_overflow(log_tag, n_over, max_over, bucket_cap)
-    if not frames:
+    keep = id_a < id_b  # drop self-pairs from duplicate input ids
+    id_a, id_b = id_a[keep], id_b[keep]
+    if id_a.size == 0:
         return None
-    return pd.concat(frames, ignore_index=True).drop_duplicates()
+    return pd.DataFrame({"id_a": id_a, "id_b": id_b}).drop_duplicates()
 
 
 def _candidate_pairs(banded, id_col: str, bucket_cap: int, log_tag: str,
@@ -393,19 +430,36 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
     # shingle re-read; both join sides below are candidate-scale
     ids_ref = ray.put(_pair_ids(pairs))
     nparts = max(2, int(concurrency))
-    # shingle the candidate docs ONCE (materialized); the b-side is a
-    # zero-copy column rename of the same blocks
-    sh_a = ds.map_batches(
-        lambda t: _shingle_frame(t, id_col, col, k, "id_a", "sh_a", ids_ref),
-        batch_format="pyarrow",
-    ).materialize()
-    sh_b = sh_a.map_batches(
-        lambda t: t.rename_columns(["id_b", "sh_b"]), batch_format="pyarrow"
-    )
-    joined = _join_payloads(pairs, sh_a, sh_b, nparts)
-    out = joined.map_batches(
-        lambda df: _verify_pairs(df, threshold), batch_format="pandas"
-    ).to_pandas()
+    if pairs.count() <= max(0, driver_cap // 50):
+        # small candidate volume: one filtered shingle pass + a pandas merge
+        # beats ~6 Ray exchange launches (same driver_cap dual-path pattern;
+        # driver_cap=0 forces the distributed branch in tests)
+        sh = ds.map_batches(
+            lambda t: _shingle_frame(t, id_col, col, k, "id", "sh", ids_ref),
+            batch_format="pyarrow",
+        ).to_pandas()
+        j = (
+            pairs.to_pandas()
+            .merge(sh.rename(columns={"id": "id_a", "sh": "sh_a"}), on="id_a")
+            .merge(sh.rename(columns={"id": "id_b", "sh": "sh_b"}), on="id_b")
+        )
+        out = _verify_pairs(j, threshold)
+    else:
+        # shingle the candidate docs ONCE (materialized); the b-side is a
+        # zero-copy column rename of the same blocks
+        sh_a = ds.map_batches(
+            lambda t: _shingle_frame(t, id_col, col, k, "id_a", "sh_a",
+                                     ids_ref),
+            batch_format="pyarrow",
+        ).materialize()
+        sh_b = sh_a.map_batches(
+            lambda t: t.rename_columns(["id_b", "sh_b"]),
+            batch_format="pyarrow",
+        )
+        joined = _join_payloads(pairs, sh_a, sh_b, nparts)
+        out = joined.map_batches(
+            lambda df: _verify_pairs(df, threshold), batch_format="pandas"
+        ).to_pandas()
     if "id_a" not in out.columns or len(out) == 0:
         return empty
     out = out.drop_duplicates(["id_a", "id_b"])
@@ -466,13 +520,15 @@ class HyperplaneBands:
     """map_batches stage: embedding -> one row per random-hyperplane LSH band
     (SimHash-for-cosine, the public random-projection scheme): ``band_bits``
     sign bits per band packed into an integer band hash. Two vectors at
-    cosine c collide in a band with p = (1 - arccos(c)/pi)^band_bits; with
-    the defaults (16 bands x 8 bits) recall at c>=0.95 is > 0.999.
+    cosine c collide in a band with p = (1 - arccos(c)/pi)^band_bits; the
+    defaults (16 bands x 12 bits) give recall ~0.995 at c>=0.95 while
+    random (c~0) pairs collide in only ~0.4% of cases — fewer bits make the
+    candidate set quadratic-ish in n (8 bits => ~6% of ALL pairs).
     The hyperplane matrix is deterministic (seeded) and lives in the actor —
     one allocation per worker, a single matmul per batch."""
 
     def __init__(self, vec_col: str = "embedding", id_col: str = "vec_id",
-                 bands: int = 16, band_bits: int = 8, dim: int | None = None,
+                 bands: int = 16, band_bits: int = 12, dim: int | None = None,
                  seed: int = 0x5EED):
         self.vec_col, self.id_col = vec_col, id_col
         self.bands, self.band_bits = bands, band_bits
@@ -546,7 +602,7 @@ def _verify_cosine(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.95, bands: int = 16,
-                        band_bits: int = 8, concurrency: int = 4,
+                        band_bits: int = 12, concurrency: int = 4,
                         bucket_cap: int = 1024,
                         driver_cap: int = 5_000_000) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs -> DataFrame[(id_a, id_b,
@@ -581,17 +637,32 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
         return empty
     ids_ref = ray.put(_pair_ids(pairs))
     nparts = max(2, int(concurrency))
-    v_a = ds.map_batches(
-        lambda t: _vec_frame(t, id_col, vec_col, "id_a", "v_a", ids_ref),
-        batch_format="pyarrow",
-    ).materialize()
-    v_b = v_a.map_batches(
-        lambda t: t.rename_columns(["id_b", "v_b"]), batch_format="pyarrow"
-    )
-    joined = _join_payloads(pairs, v_a, v_b, nparts)
-    out = joined.map_batches(
-        lambda df: _verify_cosine(df, threshold), batch_format="pandas"
-    ).to_pandas()
+    if pairs.count() <= max(0, driver_cap // 50):
+        # small candidate volume: one filtered vector pass + a pandas merge
+        # (driver_cap dual path; driver_cap=0 forces the distributed branch)
+        vv = ds.map_batches(
+            lambda t: _vec_frame(t, id_col, vec_col, "id", "v", ids_ref),
+            batch_format="pyarrow",
+        ).to_pandas()
+        j = (
+            pairs.to_pandas()
+            .merge(vv.rename(columns={"id": "id_a", "v": "v_a"}), on="id_a")
+            .merge(vv.rename(columns={"id": "id_b", "v": "v_b"}), on="id_b")
+        )
+        out = _verify_cosine(j, threshold)
+    else:
+        v_a = ds.map_batches(
+            lambda t: _vec_frame(t, id_col, vec_col, "id_a", "v_a", ids_ref),
+            batch_format="pyarrow",
+        ).materialize()
+        v_b = v_a.map_batches(
+            lambda t: t.rename_columns(["id_b", "v_b"]),
+            batch_format="pyarrow",
+        )
+        joined = _join_payloads(pairs, v_a, v_b, nparts)
+        out = joined.map_batches(
+            lambda df: _verify_cosine(df, threshold), batch_format="pandas"
+        ).to_pandas()
     if "id_a" not in out.columns or len(out) == 0:
         return empty
     out = out.drop_duplicates(["id_a", "id_b"])

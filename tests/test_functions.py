@@ -85,6 +85,25 @@ class TestDedup:
         driver = minhash_near_dups(ds, threshold=0.6, concurrency=2)
         pd.testing.assert_frame_equal(pairs, driver)
 
+    def test_embedding_near_dups_paths_agree(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import embedding_near_dups
+
+        rng = np.random.default_rng(9)
+        base = rng.standard_normal((30, 16)).astype(np.float32)
+        base[7] = base[3] + rng.standard_normal(16).astype(np.float32) * 0.01
+        base[20] = base[11] * 2.0  # exact direction dup
+        df = pd.DataFrame(
+            {"vec_id": range(len(base)), "embedding": [list(v) for v in base]}
+        )
+        ds = rd.from_pandas(df)
+        driver = embedding_near_dups(ds, threshold=0.98)
+        dist = embedding_near_dups(ds, threshold=0.98, driver_cap=0)
+        pd.testing.assert_frame_equal(driver, dist)
+        assert ((driver["id_a"] == 3) & (driver["id_b"] == 7)).any()
+        assert ((driver["id_a"] == 11) & (driver["id_b"] == 20)).any()
+
     def test_add_simhash_matches_scalar_reference(self):
         from bio_data_validation_ray.functions.dedup import add_simhash, simhash64
 
