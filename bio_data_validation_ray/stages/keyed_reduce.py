@@ -123,13 +123,34 @@ def keyed_reduce(ds, keys: list[str], spec: dict[str, tuple[str, str]],
 
 
 def keyed_reduce_pandas(ds, keys: list[str], spec: dict[str, tuple[str, str]],
-                        **kw) -> pd.DataFrame:
-    """Collected variant: one pandas frame, exact, sorted by keys."""
-    interior, boundary = keyed_reduce(ds, keys, spec, **kw)
-    idf = interior.to_pandas()
-    if "__boundary" in idf.columns:  # empty-dataset schema quirk
-        idf = idf.drop(columns=["__boundary"])
-    out = pd.concat([idf, boundary], ignore_index=True)
+                        *, partial_applied: bool = False,
+                        batch_format: str = "pandas",
+                        driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Collected variant: one pandas frame, exact, sorted by keys.
+
+    driver_cap dual path: the per-batch PARTIAL stream is one row per
+    (batch, key) — usually orders of magnitude smaller than the input — so
+    when it fits the cap, collecting it once and merging in pandas beats the
+    range-sort exchange (whose fixed launch cost dominates at small key
+    volume). Above the cap (or with driver_cap=0, which tests use to force
+    it) the sort + boundary-stitch path runs unchanged."""
+    partials = (
+        ds if partial_applied
+        else ds.map_batches(make_partial(keys, spec),
+                            batch_format=batch_format)
+    ).materialize()
+    if partials.count() <= driver_cap:
+        df = partials.to_pandas()
+        if "__boundary" in df.columns:
+            df = df.drop(columns=["__boundary"])
+        out = _merge_frame(df, keys, spec) if len(df) else df
+    else:
+        interior, boundary = keyed_reduce(partials, keys, spec,
+                                          partial_applied=True)
+        idf = interior.to_pandas()
+        if "__boundary" in idf.columns:  # empty-dataset schema quirk
+            idf = idf.drop(columns=["__boundary"])
+        out = pd.concat([idf, boundary], ignore_index=True)
     if len(out) == 0:
         return out
     return out.sort_values(keys, kind="stable").reset_index(drop=True)

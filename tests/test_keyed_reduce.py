@@ -34,6 +34,26 @@ class TestKeyedReduce:
         want = want.astype({c: np.int64 for c in ["k", "n", "s", "mn", "mx"]})
         pd.testing.assert_frame_equal(got, want)
 
+    def test_driver_and_sort_paths_agree(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.stages.keyed_reduce import keyed_reduce_pandas
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame(
+            {"k": rng.integers(0, 700, 10_000),
+             "v": rng.integers(0, 50, 10_000)}
+        )
+        spec = {"n": ("v", "count"), "s": ("v", "sum")}
+        ds = rd.from_pandas([df.iloc[i::7].copy() for i in range(7)])
+        drv = keyed_reduce_pandas(ds, ["k"], spec)
+        srt = keyed_reduce_pandas(ds, ["k"], spec, driver_cap=0)
+        pd.testing.assert_frame_equal(drv, srt)
+        pd.testing.assert_frame_equal(
+            drv, expected(df, ["k"], spec).sort_values(["k"], kind="stable")
+            .reset_index(drop=True)
+        )
+
     def test_every_key_unique(self, ray_session):
         import ray.data as rd
 
