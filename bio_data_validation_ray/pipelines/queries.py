@@ -333,13 +333,16 @@ def events_validate(sf_dir):
     events table, keyed by event_id."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    # prune to the columns the rule suite touches; compiled-rule state is
+    # light, so run as ELASTIC STATELESS TASKS (instance pickled once, warm
+    # worker pool reused) — an actor pool here pays its spin-up on every
+    # call and caps read parallelism at the pool size (same reasoning as
+    # ValidateBatch; pass the CLASS + concurrency for heavy-state suites)
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value", "ts"],
+                         override_num_blocks=_nblocks())
     vio = ds.map_batches(
-        _events_row_rules(),
-        batch_format="pyarrow",
-        concurrency=2,
-        max_restarts=0,  # pool respawns actors itself; restarts with
-        # object-store ctor args would fail anyway (ray#53727)
+        _events_row_rules()(), batch_format="pyarrow"
     ).to_pandas()
     if "event_id" not in vio.columns:
         return pd.DataFrame(columns=["event_id", "rule_id", "severity"])
