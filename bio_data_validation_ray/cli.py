@@ -63,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--run-dir", default=None)
     v.add_argument("--rules", default=None, help="YAML ruleset path")
     v.add_argument("--baseline", default=None, help="baseline digests JSON path")
-    v.add_argument("--format", choices=["text", "json", "markdown"], default="text")
+    v.add_argument("--format", choices=["text", "json", "markdown", "html"], default="text")
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--resumable", action="store_true",
                    help="chunked per-pass commits (crash-resumable); "
@@ -139,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.run_dir:
             with open(os.path.join(args.run_dir, "report.md"), "w") as fh:
                 fh.write(md)
+    elif args.format == "html":
+        from .report import render_html
+
+        doc = render_html(report)
+        print(doc)
+        if args.run_dir:
+            with open(os.path.join(args.run_dir, "report.html"), "w") as fh:
+                fh.write(doc)
     else:
         print(_fmt_text(report))
     ray.shutdown()

@@ -124,3 +124,83 @@ def write_markdown(report: dict, path: str) -> str:
     with open(path, "w") as fh:
         fh.write(md)
     return path
+
+
+_HTML_STYLE = """
+body{font-family:system-ui,sans-serif;max-width:60rem;margin:2rem auto;
+     padding:0 1rem;color:#1a1a2e}
+table{border-collapse:collapse;margin:.5rem 0}
+td,th{border:1px solid #ccd;padding:.25rem .6rem;text-align:left}
+th{background:#eef}
+blockquote{border-left:4px solid #88a;margin:0;padding:.2rem .8rem;
+           color:#445}
+code{background:#f0f0f6;padding:0 .2rem}
+"""
+
+
+def render_html(report: dict) -> str:
+    """Dependency-free HTML rendering of the same report (the reference
+    renders HTML via Jinja2, report_generator.py:136-183; this converts the
+    Markdown structure directly — headings, tables, lists, quotes)."""
+    import html as _html
+
+    out = ["<!doctype html><html><head><meta charset='utf-8'>",
+           f"<style>{_HTML_STYLE}</style></head><body>"]
+    in_table = False
+    in_list = False
+
+    def close_blocks():
+        nonlocal in_table, in_list
+        if in_table:
+            out.append("</table>")
+            in_table = False
+        if in_list:
+            out.append("</ul>")
+            in_list = False
+
+    def inline(s: str) -> str:
+        e = _html.escape(s)
+        for mark, tag in (("**", "strong"), ("`", "code")):
+            while e.count(mark) >= 2:
+                e = e.replace(mark, f"<{tag}>", 1).replace(mark, f"</{tag}>", 1)
+        return e
+
+    for line in render_markdown(report).splitlines():
+        if line.startswith("|"):
+            cells = [c.strip() for c in line.strip("|").split("|")]
+            if all(set(c) <= {"-"} for c in cells):
+                continue  # separator row
+            tag = "td" if in_table else "th"
+            if not in_table:
+                out.append("<table>")
+                in_table = True
+            out.append("<tr>" + "".join(
+                f"<{tag}>{inline(c)}</{tag}>" for c in cells) + "</tr>")
+        elif line.startswith("- "):
+            if not in_list:
+                close_blocks()
+                out.append("<ul>")
+                in_list = True
+            out.append(f"<li>{inline(line[2:])}</li>")
+        elif line.startswith("#"):
+            close_blocks()
+            level = len(line) - len(line.lstrip("#"))
+            out.append(f"<h{level}>{inline(line[level:].strip())}</h{level}>")
+        elif line.startswith("> "):
+            close_blocks()
+            out.append(f"<blockquote>{inline(line[2:])}</blockquote>")
+        elif line.strip():
+            close_blocks()
+            out.append(f"<p>{inline(line)}</p>")
+        else:
+            close_blocks()
+    close_blocks()
+    out.append("</body></html>")
+    return "\n".join(out)
+
+
+def write_html(report: dict, path: str) -> str:
+    doc = render_html(report)
+    with open(path, "w") as fh:
+        fh.write(doc)
+    return path

@@ -63,6 +63,22 @@ def test_accepted_and_conditional_recommendations():
     assert "Review 7 warning(s)" in md2
 
 
+def test_html_rendering():
+    from bio_data_validation_ray.report import render_html
+
+    html = render_html(rep())
+    assert html.startswith("<!doctype html>")
+    assert "<h1>❌ Validation Failed</h1>" in html
+    assert "<th>severity</th>" in html and "<td>critical</td>" in html
+    assert "<td>s0.parquet</td>" in html
+    assert "<strong>" in html  # bold recommendation survived
+    assert "<script" not in html
+    # escaping: hostile offending values must not inject markup
+    evil = rep()
+    evil["top_issues"][0]["offending_value"] = "<script>alert(1)</script>"
+    assert "<script>alert" not in render_html(evil)
+
+
 def test_cli_markdown_format(tmp_path):
     # subprocess: cli.main owns (and shuts down) its own Ray session
     import os
