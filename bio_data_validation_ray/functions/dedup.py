@@ -507,6 +507,96 @@ def add_simhash(batch: pd.DataFrame, col: str = "text", k: int = 5) -> pd.DataFr
     return batch
 
 
+def simhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, k: int = 5,
+                      concurrency: int = 4, bucket_cap: int = 512,
+                      driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """SimHash near-duplicate pairs -> DataFrame[(id_a, id_b, hamming)] with
+    id_a < id_b and hamming distance <= ``max_hamming`` between 64-bit
+    simhashes. Candidate generation uses the pigeonhole trick (public
+    simhash-dedup scheme): split the 64 bits into ``max_hamming + 1`` bands —
+    any pair within distance d must agree EXACTLY on at least one band — so
+    candidates come from per-band equality buckets through the same
+    distributed sort/pair-emit/stitch skeleton as MinHash, and the verify is
+    one vectorized XOR-popcount over the joined hash payloads."""
+    import ray
+
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = add_simhash(batch, col=col, k=k)
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        parts = []
+        for bix in range(n_bands):
+            sub = (h >> np.uint64(bix * width)) & np.uint64((1 << width) - 1)
+            bucket = (sub.astype(np.int64) * np.int64(0x9E3779B9)) ^ np.int64(bix)
+            parts.append(pd.DataFrame({id_col: ids, "bucket": bucket}))
+        return pd.concat(parts, ignore_index=True)
+
+    empty = pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+    banded = ds.map_batches(band_rows, batch_format="pandas")
+    pairs = _candidate_pairs(banded, id_col, bucket_cap, "simhash_near_dups",
+                             driver_cap=driver_cap)
+    if pairs is None:
+        return empty
+
+    ids_ref = ray.put(_pair_ids(pairs))
+
+    def hash_frame(t: pa.Table, out_id: str, out_h: str) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray as _r
+
+        need = _r.get(ids_ref)
+        sub = t.filter(pc.is_in(t[id_col],
+                                value_set=pa.array(need, type=t[id_col].type)))
+        df = add_simhash(sub.select([id_col, col]).to_pandas(), col=col, k=k)
+        return pa.table({out_id: pa.array(df[id_col], type=pa.int64()),
+                         out_h: pa.array(df["simhash"], type=pa.int64())})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        d = hamming64(df["h_a"].to_numpy().astype(np.uint64),
+                      df["h_b"].to_numpy().astype(np.uint64))
+        keep = d <= max_hamming
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
+            "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
+            "hamming": d[keep],
+        })
+
+    nparts = max(2, int(concurrency))
+    if pairs.count() <= max(0, driver_cap // 50):
+        hh = ds.map_batches(
+            lambda t: hash_frame(t, "id", "h"), batch_format="pyarrow"
+        ).to_pandas()
+        j = (
+            pairs.to_pandas()
+            .merge(hh.rename(columns={"id": "id_a", "h": "h_a"}), on="id_a")
+            .merge(hh.rename(columns={"id": "id_b", "h": "h_b"}), on="id_b")
+        )
+        out = verify(j)
+    else:
+        h_a = ds.map_batches(
+            lambda t: hash_frame(t, "id_a", "h_a"), batch_format="pyarrow"
+        ).materialize()
+        h_b = h_a.map_batches(
+            lambda t: t.rename_columns(["id_b", "h_b"]),
+            batch_format="pyarrow",
+        )
+        out = _join_payloads(pairs, h_a, h_b, nparts).map_batches(
+            verify, batch_format="pandas"
+        ).to_pandas()
+    if "id_a" not in out.columns or len(out) == 0:
+        return empty
+    out = out.drop_duplicates(["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = (a.astype(np.uint64)) ^ (b.astype(np.uint64))
     cnt = np.zeros(x.shape, dtype=np.int64)

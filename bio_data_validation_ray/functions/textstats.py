@@ -52,6 +52,19 @@ def add_token_count(t: pa.Table, col: str = "text") -> pa.Table:
     return t.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 
+# GPT-2-style pre-tokenizer shape, simplified: letter runs, single digits,
+# and punctuation marks each count as one token (public BPE pre-tok scheme)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def add_token_count_bpe(t: pa.Table, col: str = "text",
+                        out: str = "n_tokens_bpe") -> pa.Table:
+    """BPE-pre-tokenizer-shaped token count (letter runs / digits /
+    punctuation), one vectorized regex count per batch."""
+    n = pc.count_substring_regex(t[col], BPE_TOKEN_RE)
+    return t.append_column(out, pc.cast(n, pa.int64()))
+
+
 def add_quality_metrics(t: pa.Table, col: str = "text") -> pa.Table:
     """Deterministic quality-score components (reference analog: derived
     per-row scalars like GC content, bio_rules.py:216-227/312-319 — here as

@@ -688,6 +688,38 @@ def doc_minhash_pairs(sf_dir):
     return minhash_near_dups(ds, threshold=0.8)
 
 
+def doc_token_bpe(sf_dir):
+    """BPE-pre-tokenizer-shaped token count (letter runs / digits /
+    punctuation), oracle-stated with regexp_extract_all."""
+    import ray.data as rd
+
+    from ..functions.textstats import add_token_count_bpe
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(add_token_count_bpe, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens_bpe"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_simhash_dups(sf_dir):
+    """SimHash near-dup mining over documents via the pigeonhole-banded
+    distributed pipeline (rows-only: hamming thresholds are not
+    SQL-expressible; unit tests pin planted pairs and path equality)."""
+    import ray.data as rd
+
+    from ..functions.dedup import simhash_near_dups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
 def doc_simhash(sf_dir):
     import ray.data as rd
 
@@ -883,6 +915,8 @@ QUERIES = {
     "doc_langid": doc_langid,
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash": doc_simhash,
+    "doc_simhash_dups": doc_simhash_dups,
+    "doc_token_bpe": doc_token_bpe,
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1165,6 +1199,10 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_token_bpe": r"""
+SELECT doc_id, CAST(length(regexp_extract_all(text,
+       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
+FROM documents""",
         "emb_near_dups": """
 WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
            UNION ALL

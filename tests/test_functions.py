@@ -85,6 +85,24 @@ class TestDedup:
         driver = minhash_near_dups(ds, threshold=0.6, concurrency=2)
         pd.testing.assert_frame_equal(pairs, driver)
 
+    def test_simhash_near_dups_pipeline(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import simhash_near_dups
+
+        rng = np.random.default_rng(17)
+        words = [f"w{i}" for i in range(400)]
+        docs = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+        near = docs[5].replace("w", "w", 1)[:-3] + "zzz"  # tiny suffix edit
+        df = pd.DataFrame({"doc_id": range(41), "text": docs + [near]})
+        ds = rd.from_pandas(df)
+        out = simhash_near_dups(ds, max_hamming=6)
+        assert ((out["id_a"] == 5) & (out["id_b"] == 40)).any()
+        assert (out["hamming"] <= 6).all()
+        # distributed path agrees
+        dist = simhash_near_dups(ds, max_hamming=6, driver_cap=0)
+        pd.testing.assert_frame_equal(out, dist)
+
     def test_embedding_near_dups_paths_agree(self, ray_session):
         import ray.data as rd
 
