@@ -155,9 +155,9 @@ class _BucketPairEmitter:
         b = df["bucket"].to_numpy()
         ids = df[self.id_col].to_numpy().astype(np.int64)
         order = np.lexsort((ids, b))  # ascending ids within each run
-        b, ids = b[order], ids[order]
+        b, ids = _dedup_sorted_members(b[order], ids[order])
         starts = np.concatenate([[0], np.flatnonzero(np.diff(b)) + 1])
-        ends = np.concatenate([starts[1:], [n]])
+        ends = np.concatenate([starts[1:], [b.size]])
         nruns = starts.size
         out = [empty]
         # boundary runs (first & last, possibly the same) pass through
@@ -275,13 +275,26 @@ def _emit_run_pairs(ids_sorted: np.ndarray, starts: np.ndarray,
             max_over)
 
 
+def _dedup_sorted_members(b: np.ndarray, ids: np.ndarray
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop duplicate (bucket, id) rows from a (bucket, id)-lexsorted
+    stream — the cap must apply to DISTINCT members, so dedup precedes
+    truncation."""
+    if b.size == 0:
+        return b, ids
+    keep = np.concatenate(
+        [[True], (b[1:] != b[:-1]) | (ids[1:] != ids[:-1])]
+    )
+    return b[keep], ids[keep]
+
+
 def _pairs_from_member_frame(bdf: pd.DataFrame, id_col: str, bucket_cap: int,
                              log_tag: str) -> pd.DataFrame | None:
     """Vectorized pair emission over a collected (id, bucket) frame."""
     b = bdf["bucket"].to_numpy()
     ids = bdf[id_col].to_numpy().astype(np.int64)
     order = np.lexsort((ids, b))  # ascending ids within each bucket run
-    b, ids = b[order], ids[order]
+    b, ids = _dedup_sorted_members(b[order], ids[order])
     starts = np.concatenate([[0], np.flatnonzero(np.diff(b)) + 1])
     sizes = np.diff(np.concatenate([starts, [b.size]]))
     id_a, id_b, n_over, max_over = _emit_run_pairs(ids, starts, sizes,

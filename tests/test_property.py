@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the pure-python cores: LSH pair
+emission vs a brute-force reference, t-digest quantile rank error, Welford
+moment merging, and the simhash vectorization."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bio_data_validation_ray.functions.dedup import (
+    _pairs_from_member_frame,
+    add_simhash,
+    simhash64,
+)
+from bio_data_validation_ray.sketches import Moments, TDigest
+
+settings.register_profile("fast", max_examples=40, deadline=None)
+settings.load_profile("fast")
+
+
+@st.composite
+def member_frames(draw):
+    n = draw(st.integers(1, 200))
+    ids = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
+    buckets = draw(st.lists(st.integers(0, 12), min_size=n, max_size=n))
+    return pd.DataFrame({"doc_id": ids, "bucket": buckets})
+
+
+def brute_force_pairs(df: pd.DataFrame, cap: int) -> set:
+    out = set()
+    for _, grp in df.groupby("bucket"):
+        u = np.unique(grp["doc_id"].to_numpy())[:cap]
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                out.add((int(u[i]), int(u[j])))
+    return out
+
+
+@given(member_frames(), st.integers(2, 40))
+def test_pair_emission_matches_brute_force(df, cap):
+    got = _pairs_from_member_frame(df, "doc_id", cap, "prop")
+    want = brute_force_pairs(df, cap)
+    got_set = (set() if got is None
+               else set(zip(got["id_a"].astype(int), got["id_b"].astype(int))))
+    assert got_set == want
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=10,
+                max_size=3000),
+       st.floats(0.01, 0.99))
+def test_tdigest_quantile_rank_error(values, q):
+    arr = np.asarray(values, dtype=np.float64)
+    td = TDigest().add_array(arr)
+    est = td.quantile(q)
+    # rank error: the estimate's rank INTERVAL (ties span a range of ranks)
+    # must come within a few percent of q (standard t-digest bound at
+    # compression 100)
+    s = np.sort(arr)
+    lo = np.searchsorted(s, est, side="left") / len(s)
+    hi = np.searchsorted(s, est, side="right") / len(s)
+    assert lo - 0.08 <= q <= hi + 0.08
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=2,
+                max_size=500),
+       st.integers(1, 10))
+def test_moments_merge_equals_single_pass(values, n_chunks):
+    arr = np.asarray(values, dtype=np.float64)
+    whole = Moments().add_array(arr)
+    merged = Moments()
+    for chunk in np.array_split(arr, n_chunks):
+        merged.merge(Moments().add_array(chunk))
+    assert merged.n == whole.n
+    assert np.isclose(merged.mean, whole.mean, rtol=1e-9, atol=1e-9)
+    assert np.isclose(merged.variance, whole.variance, rtol=1e-6, atol=1e-6)
+
+
+@given(st.lists(st.text(max_size=40), min_size=1, max_size=30))
+def test_add_simhash_equals_scalar(texts):
+    df = add_simhash(pd.DataFrame({"text": texts}))
+    ref = [np.int64(simhash64(s).astype(np.int64)) for s in texts]
+    assert list(df["simhash"]) == ref
