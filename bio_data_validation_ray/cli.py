@@ -77,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="decision-table preset (decision_tables.py:258-298 "
                         "analog)")
     v.add_argument("--num-cpus", type=int, default=None)
+    b = sub.add_parser("baseline",
+                       help="build drift-baseline digests from a CLEAN "
+                            "reference directory")
+    b.add_argument("input_dir")
+    b.add_argument("-o", "--out", required=True)
+    b.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
     import ray
@@ -92,6 +98,16 @@ def main(argv: list[str] | None = None) -> int:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "baseline":
+        from .drift import build_baseline
+
+        baseline = build_baseline(args.input_dir)
+        with open(args.out, "w") as fh:
+            fh.write(baseline)
+        print(f"baseline digests written to {args.out}")
+        ray.shutdown()
+        return 0
 
     from .pipelines.validate import validate_dir
     from .registry import from_yaml

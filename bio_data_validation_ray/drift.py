@@ -51,6 +51,41 @@ def psi(part: TDigest, base: TDigest, n_bins: int = 10) -> float:
     return float(np.sum((p - b) * np.log(p / b)))
 
 
+def build_baseline(input_dir: str, *, text_col: str = "text") -> str:
+    """Build the drift-baseline digest artifact from a CLEAN reference
+    directory of transcript Parquet shards: distributed per-batch t-digest
+    partials over utf8_length(text), merged driver-side (one partial per
+    batch — no shuffle), serialized with ``baseline_to_json``. Feed the
+    result to ``validate_dir(baseline_json=...)`` / CLI ``--baseline``."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .sketches import dumps as _dumps
+    from .sketches import loads as _loads
+
+    files = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
+
+    def part(t: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(t[text_col]).to_numpy(
+            zero_copy_only=False).astype(float)
+        return pa.table({"payload": pa.array([_dumps(TDigest().add_array(lens))],
+                                             type=pa.binary())})
+
+    payloads = (
+        rd.read_parquet(files, columns=[text_col])
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()["payload"]
+    )
+    merged = TDigest()
+    for p in payloads:
+        merged.merge(_loads(p))
+    return baseline_to_json({"text_len": merged})
+
+
 def baseline_to_json(digests: dict[str, TDigest]) -> str:
     """Serialize named baseline digests (centroid means+weights) to JSON —
     the FIXTURES.md §2 baseline_digests artifact."""

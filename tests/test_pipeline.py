@@ -201,6 +201,52 @@ class TestDrift:
         assert not any(v["drifted"] for v in rep["drift"].values())
 
 
+class TestBaselineBuild:
+    def test_build_baseline_roundtrip_and_use(self, ray_session, tmp_path):
+        """build_baseline's distributed digests must agree with a direct
+        single-pass digest and plug straight into validate_dir."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray import drift
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sketches import TDigest
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        clean = ensure_transcripts(SF, clean=True)
+        bj = drift.build_baseline(clean)
+        base = drift.baseline_from_json(bj)["text_len"]
+        direct = TDigest()
+        for f in sorted(glob.glob(clean + "/*.parquet")):
+            t = pq.read_table(f, columns=["text"])
+            direct.add_array(pc.utf8_length(t["text"]).to_numpy(
+                zero_copy_only=False).astype(float))
+        for q in (0.1, 0.5, 0.9):
+            assert abs(base.quantile(q) - direct.quantile(q)) <= \
+                max(1.0, 0.05 * abs(direct.quantile(q)))
+        # clean data scored against its own baseline: nothing drifts
+        rep = validate_dir(clean, run_dir=str(tmp_path / "r"),
+                           baseline_json=bj, concurrency=2)
+        assert rep["drift"] and not any(
+            v["drifted"] for v in rep["drift"].values())
+
+    def test_cli_baseline_subcommand(self, tmp_path):
+        import subprocess
+        import sys
+
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        clean = ensure_transcripts(SF, clean=True)
+        out = str(tmp_path / "baseline.json")
+        r = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli", "baseline",
+             clean, "-o", out, "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        assert json.load(open(out))["text_len"]["means"]
+
+
 class TestResumable:
     def test_chunked_passes_match_single_shot(self, ray_session, tmp_path):
         from bio_data_validation_ray.pipelines.validate import (
