@@ -86,6 +86,51 @@ def build_baseline(input_dir: str, *, text_col: str = "text") -> str:
     return baseline_to_json({"text_len": merged})
 
 
+def per_shard_digests(input_dir: str, *, text_col: str = "text"
+                      ) -> dict[str, TDigest]:
+    """Distributed per-shard text-length digests: one partial per (shard,
+    batch) emitted from map_batches, merged per shard driver-side (same
+    shape as the flagship sketch stream) — no serial per-file re-read."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .sketches import dumps as _dumps
+    from .sketches import loads as _loads
+
+    files = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
+
+    def part(t: pa.Table) -> pa.Table:
+        enc = t["path"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        shards = [os.path.basename(p) for p in enc.dictionary.to_pylist()]
+        lens = pc.utf8_length(t[text_col]).to_numpy(
+            zero_copy_only=False).astype(float)
+        rows_s, rows_p = [], []
+        import numpy as np
+
+        for c, shard in enumerate(shards):
+            sub = lens[codes == c]
+            if sub.size:
+                rows_s.append(shard)
+                rows_p.append(_dumps(TDigest().add_array(sub)))
+        return pa.table({"shard": pa.array(rows_s, type=pa.string()),
+                         "payload": pa.array(rows_p, type=pa.binary())})
+
+    parts = (
+        rd.read_parquet(files, columns=[text_col], include_paths=True)
+        .map_batches(part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out: dict[str, TDigest] = {}
+    for shard, payload in zip(parts["shard"], parts["payload"]):
+        out.setdefault(shard, TDigest()).merge(_loads(payload))
+    return out
+
+
 def baseline_to_json(digests: dict[str, TDigest]) -> str:
     """Serialize named baseline digests (centroid means+weights) to JSON —
     the FIXTURES.md §2 baseline_digests artifact."""

@@ -255,33 +255,16 @@ def t_distinct_convs(sf_dir):
 
 def t_drift(sf_dir):
     """Per-shard KS/PSI of text length vs the clean baseline digests
-    (sketch-based — rows-only)."""
+    (sketch-based — rows-only). Baseline and per-shard digests are both
+    built DISTRIBUTED (per-batch partials, driver merge), not by serial
+    per-file re-reads."""
     from .. import drift as drift_mod
-    from ..sketches import TDigest
-    from ..stages.statstage import reduce_sketches
 
-    report, _ = run_validation(sf_dir)
     # baseline: digests from the CLEAN generator at the same sf
     clean_dir = ensure_transcripts(sf_name_of(sf_dir), clean=True)
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    base = TDigest()
-    for f in sorted(os.listdir(clean_dir)):
-        t = pq.read_table(os.path.join(clean_dir, f), columns=["text"])
-        base.add_array(
-            pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(float)
-        )
-    # recompute per-shard digests from the cached violations run's stats:
-    # re-reduce the sketch rows is not persisted, so re-derive quickly
-    d = transcripts_dir(sf_dir)
-    per_shard = {}
-    for f in sorted(os.listdir(d)):
-        t = pq.read_table(os.path.join(d, f), columns=["text"])
-        td = TDigest().add_array(
-            pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(float)
-        )
-        per_shard[f] = td
+    base = drift_mod.baseline_from_json(
+        drift_mod.build_baseline(clean_dir))["text_len"]
+    per_shard = drift_mod.per_shard_digests(transcripts_dir(sf_dir))
     scored = drift_mod.score_partitions(per_shard, base)
     rows = [
         {"shard": s, "ks": v["ks"], "psi": v["psi"], "drifted": v["drifted"]}
