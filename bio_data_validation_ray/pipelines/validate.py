@@ -323,51 +323,10 @@ def validate_dir(
         )
         driver_results = all_res[~all_res["needs_exact"]]
     else:
-        seg = pick("segment", SEG_COLS)
-        merged = (
-            seg.sort(["conv_id", "seg_turn_lo"])
-            .map_batches(MergeSegments, batch_format="pandas", concurrency=2,
-                         max_restarts=0)
-            .materialize()
+        (driver_results, vio_conv_ds, exact_ids, conv_shards,
+         exact_res, exact_rowdups) = _conv_merge_distributed(
+            pick("segment", SEG_COLS), pending, registry
         )
-        from ..stages.convstage import RESULT_COLUMNS
-
-        conv_res = merged.map_batches(
-            lambda t: t.filter(pc.equal(t["kind"], "conv_result")).select(RESULT_COLUMNS),
-            batch_format="pyarrow",
-        )
-        boundary = merged.map_batches(
-            lambda t: t.filter(pc.equal(t["kind"], "segment")).select(SEG_COLS),
-            batch_format="pyarrow",
-        ).to_pandas()
-        boundary_res = merge_segments_frame(boundary)
-
-        interior_exact = conv_res.map_batches(
-            lambda t: t.filter(pc.equal(t["needs_exact"], True)).select(
-                ["conv_id", "shards"]
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
-        # an all-empty Dataset can reach pandas without columns — guard
-        if "conv_id" not in interior_exact.columns:
-            interior_exact = pd.DataFrame(columns=["conv_id", "shards"])
-        bflag = boundary_res.loc[boundary_res["needs_exact"], ["conv_id", "shards"]]
-        flagged = pd.concat([interior_exact, bflag], ignore_index=True)
-        exact_ids = sorted(set(flagged["conv_id"]))
-        conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))
-        exact_res, exact_rowdups = (
-            _exact_pass(pending, exact_ids, conv_shards)
-            if exact_ids else (None, None)
-        )
-
-        # interior conversation violations stay distributed (vectorized per batch)
-        vio_conv_ds = conv_res.map_batches(
-            lambda df, r=registry: vio_frame_to_table(
-                conv_violations(df[~df["needs_exact"]], r)
-            ),
-            batch_format="pandas",
-        )
-        driver_results = boundary_res[~boundary_res["needs_exact"]]
     if conv_stage:
         if exact_res is not None:
             driver_results = pd.concat(
@@ -622,6 +581,66 @@ def validate_dir(
     return report
 
 
+def _conv_merge_distributed(seg, source_files: list[str], registry):
+    """Distributed conversation merge over a segment Dataset — the 100 TB
+    path shared by ``validate_dir`` (single-run) and ``validate_resumable``
+    (final merge over every committed pass's persisted segments).
+
+    Range-sorts by (conv_id, seg_turn_lo), finalizes interior conversations
+    vectorized per batch (``MergeSegments``), and stitches only each batch's
+    first/last conversation on the driver (2 convs per batch — compact at any
+    scale). Returns ``(boundary_results, vio_conv_ds, exact_ids, conv_shards,
+    exact_res, exact_rowdups)`` where ``vio_conv_ds`` holds the interior
+    conversations' violation rows and STAYS a Dataset; everything the driver
+    touches is O(batches + flagged convs), never O(conversations)."""
+    merged = (
+        seg.sort(["conv_id", "seg_turn_lo"])
+        .map_batches(MergeSegments, batch_format="pandas", concurrency=2,
+                     max_restarts=0)
+        .materialize()
+    )
+    from ..stages.convstage import RESULT_COLUMNS
+
+    conv_res = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "conv_result")).select(RESULT_COLUMNS),
+        batch_format="pyarrow",
+    )
+    boundary = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "segment")).select(SEG_COLS),
+        batch_format="pyarrow",
+    ).to_pandas()
+    boundary_res = merge_segments_frame(boundary)
+
+    interior_exact = conv_res.map_batches(
+        lambda t: t.filter(pc.equal(t["needs_exact"], True)).select(
+            ["conv_id", "shards"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # an all-empty Dataset can reach pandas without columns — guard
+    if "conv_id" not in interior_exact.columns:
+        interior_exact = pd.DataFrame(columns=["conv_id", "shards"])
+    bflag = boundary_res.loc[boundary_res["needs_exact"], ["conv_id", "shards"]]
+    flagged = pd.concat([interior_exact, bflag], ignore_index=True)
+    exact_ids = sorted(set(flagged["conv_id"]))
+    conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))
+    exact_res, exact_rowdups = (
+        _exact_pass(source_files, exact_ids, conv_shards)
+        if exact_ids else (None, None)
+    )
+
+    # interior conversation violations stay distributed (vectorized per batch)
+    vio_conv_ds = conv_res.map_batches(
+        lambda df, r=registry: vio_frame_to_table(
+            conv_violations(df[~df["needs_exact"]], r)
+        ),
+        batch_format="pandas",
+    )
+    driver_results = boundary_res[~boundary_res["needs_exact"]]
+    return (driver_results, vio_conv_ds, exact_ids, conv_shards,
+            exact_res, exact_rowdups)
+
+
 def _filtered_read(pending: list[str], conv_ids: list[str], columns: list[str],
                    file_convs: dict[str, list[str]] | None = None):
     """Column-pruned, conv-filtered re-read -> pandas with a shard column.
@@ -831,10 +850,23 @@ def _prune_uncommitted_group_artifacts(
         pq.write_table(kept, tmp)
         os.replace(tmp, path)
 
-    for f in glob.glob(os.path.join(seg_dir, "group-*.parquet")):
+    for f in _seg_part_files(seg_dir):
         _filter_file(f)
     for f in glob.glob(os.path.join(run_dir, "violations", "group-*", "*.parquet")):
         _filter_file(f)
+
+
+def _seg_part_files(seg_dir: str) -> list[str]:
+    """Per-pass segment artifacts are one FILE per group in driver mode but a
+    DIRECTORY of part files when the pass ran the distributed branch
+    (write_parquet); expand to the underlying part files either way."""
+    parts: list[str] = []
+    for p in sorted(glob.glob(os.path.join(seg_dir, "group-*.parquet"))):
+        if os.path.isdir(p):
+            parts.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+        else:
+            parts.append(p)
+    return parts
 
 
 def validate_resumable(
@@ -944,24 +976,41 @@ def validate_resumable(
             stats_all.merge(st)
 
     # ---- global conversation merge over every committed pass's segments ----
-    seg_files = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
-    seg_all = (
-        pd.concat([pq.read_table(f).to_pandas() for f in seg_files],
-                  ignore_index=True)
-        if seg_files else pd.DataFrame(columns=SEG_COLS)
-    )
-    res = merge_segments_frame(seg_all)
-    flagged = res.loc[res["needs_exact"], ["conv_id", "shards"]]
-    exact_ids = sorted(flagged["conv_id"])
-    conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))
+    # Same dual physical plan as validate_dir's stage C: the compact segment
+    # partials either fit on the driver (vectorized pandas merge, zero extra
+    # Ray executions) or exceed ``driver_cap`` and route through the shared
+    # distributed branch (sort + MergeSegments + boundary stitch) — the
+    # driver then touches only per-batch boundary convs and exact-fallback
+    # convs, never the full conversation set.
+    seg_files = _seg_part_files(seg_dir)
     committed_files = [
         f for f in all_files if os.path.basename(f) in committed
     ]
-    exact_res, exact_rowdups = (
-        _exact_pass(committed_files, exact_ids, conv_shards)
-        if exact_ids else (None, None)
-    )
-    results = res[~res["needs_exact"]]
+    driver_cap = kw.get("driver_cap", 5_000_000)
+    n_seg = sum(pq.ParquetFile(f).metadata.num_rows for f in seg_files)
+    vio_conv_ds = None
+    if n_seg <= driver_cap:
+        seg_all = (
+            pd.concat([pq.read_table(f).to_pandas() for f in seg_files],
+                      ignore_index=True)
+            if seg_files else pd.DataFrame(columns=SEG_COLS)
+        )
+        res = merge_segments_frame(seg_all)
+        flagged = res.loc[res["needs_exact"], ["conv_id", "shards"]]
+        exact_ids = sorted(flagged["conv_id"])
+        conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))
+        exact_res, exact_rowdups = (
+            _exact_pass(committed_files, exact_ids, conv_shards)
+            if exact_ids else (None, None)
+        )
+        results = res[~res["needs_exact"]]
+    else:
+        import ray.data as rd
+
+        (results, vio_conv_ds, exact_ids, conv_shards,
+         exact_res, exact_rowdups) = _conv_merge_distributed(
+            rd.read_parquet(seg_files), committed_files, registry
+        )
     if exact_res is not None:
         results = pd.concat([results, exact_res], ignore_index=True)
     conv_vio = conv_violations(results, registry)
@@ -998,20 +1047,42 @@ def validate_resumable(
                     info=c.info - sub.info,
                 )
 
-    # attribute global conversation violations to shards
+    # attribute global conversation violations to shards (interior convs'
+    # violations — the distributed branch's Dataset — contribute via a small
+    # per-(shard, severity) combine; only those compact counts hit the driver)
     sev_key = {"CRITICAL": "critical", "ERROR": "error",
                "WARNING": "warning", "INFO": "info"}
-    for (shard, sev), grp in conv_vio.groupby(["shard", "severity"]):
-        c = shard_counts.get(shard, SeverityCounts())
-        kw2 = vars(c).copy()
-        kw2[sev_key[sev]] += len(grp)
-        shard_counts[shard] = SeverityCounts(**kw2)
-    if len(conv_vio) and run_dir:
+    conv_count_frames = []
+    if len(conv_vio):
+        conv_count_frames.append(
+            conv_vio.groupby(["shard", "severity"], as_index=False)
+            .size().rename(columns={"size": "n"})
+        )
+    if vio_conv_ds is not None:
+        from ..stages.keyed_reduce import combine_low_card
+
+        vio_conv_ds = vio_conv_ds.materialize()
+        interior_counts = combine_low_card(
+            vio_conv_ds, ["shard", "severity"], {"n": ("rule_id", "count")}
+        )
+        if len(interior_counts):
+            conv_count_frames.append(interior_counts)
+    for frame in conv_count_frames:
+        for _, r in frame.iterrows():
+            c = shard_counts.get(r["shard"], SeverityCounts())
+            kw2 = vars(c).copy()
+            kw2[sev_key[r["severity"]]] += int(r["n"])
+            shard_counts[r["shard"]] = SeverityCounts(**kw2)
+    if run_dir and (len(conv_vio) or vio_conv_ds is not None):
         fdir = os.path.join(run_dir, "violations", "conv-final")
         os.makedirs(fdir, exist_ok=True)
-        pq.write_table(
-            vio_frame_to_table(conv_vio), os.path.join(fdir, "part-0.parquet")
-        )
+        if len(conv_vio):
+            pq.write_table(
+                vio_frame_to_table(conv_vio),
+                os.path.join(fdir, "part-0.parquet"),
+            )
+        if vio_conv_ds is not None:
+            vio_conv_ds.write_parquet(fdir)
 
     # ---- drift vs baseline: attributed to the drifted SHARD's counts (and
     # hence its per-shard decision), matching validate_dir's violation-row

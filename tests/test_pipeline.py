@@ -482,6 +482,33 @@ class TestDistributedPath:
         sb = vb[key].fillna("~").sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(sa, sb)
 
+    def test_resumable_distributed_final_merge(self, ray_session, tmp_path):
+        """validate_resumable's final conversation merge routes through the
+        same distributed branch when the persisted segments exceed
+        driver_cap; multi-pass results must match the driver merge exactly
+        (per-shard counts, decisions, and the conv-final violation rows)."""
+        from bio_data_validation_ray.pipelines.validate import validate_resumable
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        ref = validate_resumable(d, run_dir=str(tmp_path / "drv"),
+                                 files_per_pass=3, concurrency=2)
+        dist = validate_resumable(d, run_dir=str(tmp_path / "dist"),
+                                  files_per_pass=3, concurrency=2,
+                                  driver_cap=0)
+        assert dist["complete"]
+        assert dist["severity_counts"] == ref["severity_counts"]
+        assert dist["final_decision"] == ref["final_decision"]
+        assert dist["per_shard"] == ref["per_shard"]
+        va = pd.read_parquet(
+            os.path.join(str(tmp_path / "drv"), "violations", "conv-final"))
+        vb = pd.read_parquet(
+            os.path.join(str(tmp_path / "dist"), "violations", "conv-final"))
+        key = ["shard", "conv_id", "turn_idx", "rule_id", "offending_value"]
+        sa = va[key].fillna("~").sort_values(key).reset_index(drop=True)
+        sb = vb[key].fillna("~").sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(sa, sb)
+
     def test_distributed_clean_accepts(self, ray_session, tmp_path):
         from bio_data_validation_ray.pipelines.validate import validate_dir
         from bio_data_validation_ray.sources.transcripts import ensure_transcripts
