@@ -214,21 +214,38 @@ def _shingle_frame(t: pa.Table, id_col: str, col: str, k: int,
 
 
 def _verify_pairs(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    a_out, b_out, j_out = [], [], []
-    for a, b, sa, sb in zip(df["id_a"], df["id_b"], df["sh_a"], df["sh_b"]):
-        sa = np.frombuffer(sa, dtype=np.uint64)
-        sb = np.frombuffer(sb, dtype=np.uint64)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        jac = inter / union if union else 1.0
-        if jac >= threshold:
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(round(jac, 6))
+    """Exact shingle-Jaccard for every candidate pair, fully vectorized:
+    all pairs' shingle sets concatenate into one (pair_idx, value) array;
+    one lexsort brings equal values within a pair adjacent, so each pair's
+    intersection size is |sa| + |sb| - |unique(sa ∪ sb)| counted with a
+    single bincount over adjacent duplicates — no per-pair Python loop."""
+    empty = pd.DataFrame({
+        "id_a": pd.Series(dtype=np.int64),
+        "id_b": pd.Series(dtype=np.int64),
+        "jaccard": pd.Series(dtype=np.float64),
+    })
+    n = len(df)
+    if n == 0:
+        return empty
+    sa_list = [np.frombuffer(x, dtype=np.uint64) for x in df["sh_a"]]
+    sb_list = [np.frombuffer(x, dtype=np.uint64) for x in df["sh_b"]]
+    la = np.fromiter((x.size for x in sa_list), dtype=np.int64, count=n)
+    lb = np.fromiter((x.size for x in sb_list), dtype=np.int64, count=n)
+    vals = np.concatenate(sa_list + sb_list) if (la.sum() + lb.sum()) else \
+        np.zeros(0, np.uint64)
+    pid = np.concatenate([np.repeat(np.arange(n), la),
+                          np.repeat(np.arange(n), lb)])
+    order = np.lexsort((vals, pid))
+    v, p = vals[order], pid[order]
+    dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n)
+    union = la + lb - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    keep = jac >= threshold  # threshold on the unrounded value, round after
     return pd.DataFrame({
-        "id_a": pd.Series(a_out, dtype=np.int64),
-        "id_b": pd.Series(b_out, dtype=np.int64),
-        "jaccard": pd.Series(j_out, dtype=np.float64),
+        "id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
+        "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
+        "jaccard": np.round(jac[keep], 6).astype(np.float64),
     })
 
 
@@ -418,8 +435,6 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
       5. hash-join shingles onto pairs (both sides candidate-
          scale, never the corpus) and verify exact Jaccard    [join + map]
     """
-    import ray
-
     empty = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
 
     def fuse(df: pd.DataFrame) -> pd.DataFrame:
@@ -438,15 +453,31 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
                              driver_cap=driver_cap)
     if pairs is None:
         return empty
+    out = _jaccard_verify_tail(ds, pairs, col=col, id_col=id_col, k=k,
+                               threshold=threshold, concurrency=concurrency,
+                               driver_cap=driver_cap)
+    if "id_a" not in out.columns or len(out) == 0:
+        return empty
+    out = out.drop_duplicates(["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _jaccard_verify_tail(ds, pairs, *, col: str, id_col: str, k: int,
+                         threshold: float, concurrency: int,
+                         driver_cap: int) -> pd.DataFrame:
+    """Exact-Jaccard verification of a candidate-pair Dataset, shared by the
+    MinHash and SimHash-exact pipelines. Dual path (the driver_cap pattern):
+    small candidate volume -> one filtered shingle pass + a pandas merge
+    (beats ~6 Ray exchange launches); otherwise the shingle payloads are
+    hash-joined onto the pairs distributed — both sides candidate-scale,
+    never the corpus."""
+    import ray
 
     # unique candidate ids (compact int64s) -> broadcast filter for the
     # shingle re-read; both join sides below are candidate-scale
     ids_ref = ray.put(_pair_ids(pairs))
     nparts = max(2, int(concurrency))
     if pairs.count() <= max(0, driver_cap // 50):
-        # small candidate volume: one filtered shingle pass + a pandas merge
-        # beats ~6 Ray exchange launches (same driver_cap dual-path pattern;
-        # driver_cap=0 forces the distributed branch in tests)
         sh = ds.map_batches(
             lambda t: _shingle_frame(t, id_col, col, k, "id", "sh", ids_ref),
             batch_format="pyarrow",
@@ -456,23 +487,54 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
             .merge(sh.rename(columns={"id": "id_a", "sh": "sh_a"}), on="id_a")
             .merge(sh.rename(columns={"id": "id_b", "sh": "sh_b"}), on="id_b")
         )
-        out = _verify_pairs(j, threshold)
-    else:
-        # shingle the candidate docs ONCE (materialized); the b-side is a
-        # zero-copy column rename of the same blocks
-        sh_a = ds.map_batches(
-            lambda t: _shingle_frame(t, id_col, col, k, "id_a", "sh_a",
-                                     ids_ref),
-            batch_format="pyarrow",
-        ).materialize()
-        sh_b = sh_a.map_batches(
-            lambda t: t.rename_columns(["id_b", "sh_b"]),
-            batch_format="pyarrow",
-        )
-        joined = _join_payloads(pairs, sh_a, sh_b, nparts)
-        out = joined.map_batches(
-            lambda df: _verify_pairs(df, threshold), batch_format="pandas"
-        ).to_pandas()
+        return _verify_pairs(j, threshold)
+    # shingle the candidate docs ONCE (materialized); the b-side is a
+    # zero-copy column rename of the same blocks
+    sh_a = ds.map_batches(
+        lambda t: _shingle_frame(t, id_col, col, k, "id_a", "sh_a",
+                                 ids_ref),
+        batch_format="pyarrow",
+    ).materialize()
+    sh_b = sh_a.map_batches(
+        lambda t: t.rename_columns(["id_b", "sh_b"]),
+        batch_format="pyarrow",
+    )
+    joined = _join_payloads(pairs, sh_a, sh_b, nparts)
+    return joined.map_batches(
+        lambda df: _verify_pairs(df, threshold), batch_format="pandas"
+    ).to_pandas()
+
+
+def simhash_exact_dups(ds, *, col: str = "text", id_col: str = "doc_id",
+                       k: int = 5, concurrency: int = 4,
+                       bucket_cap: int = 512,
+                       driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Exact-duplicate pairs (shingle-set equality, i.e. Jaccard == 1.0)
+    with SimHash as the candidate generator -> DataFrame[(id_a, id_b,
+    jaccard)]. Equal shingle sets imply equal 64-bit simhashes, so ONE
+    full-width equality bucket (the max_hamming=0 pigeonhole) has perfect
+    recall for set-equal pairs, and the exact-Jaccard verify keeps precision
+    exact. The semantics are SQL-statable (group texts by their 5-gram
+    shingle set), which gives the simhash banding + stitch + join skeleton a
+    hash-checked oracle twin (queries.doc_simhash_planted). Reference
+    ancestor: DUP_004 rule_validator.py:307-322."""
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = add_simhash(batch, col=col, k=k)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy().astype(np.int64),
+            "bucket": batch["simhash"].to_numpy().astype(np.int64),
+        })
+
+    empty = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+    banded = ds.map_batches(band_rows, batch_format="pandas")
+    pairs = _candidate_pairs(banded, id_col, bucket_cap,
+                             "simhash_exact_dups", driver_cap=driver_cap)
+    if pairs is None:
+        return empty
+    out = _jaccard_verify_tail(ds, pairs, col=col, id_col=id_col, k=k,
+                               threshold=1.0, concurrency=concurrency,
+                               driver_cap=driver_cap)
     if "id_a" not in out.columns or len(out) == 0:
         return empty
     out = out.drop_duplicates(["id_a", "id_b"])

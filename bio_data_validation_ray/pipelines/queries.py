@@ -671,6 +671,60 @@ def doc_minhash_pairs(sf_dir):
     return minhash_near_dups(ds, threshold=0.8)
 
 
+def _planted_docs(sf_dir):
+    """documents ∪ id-shifted copy (doc_id + 100000) — the same
+    planted-duplicate construction as emb_near_dups, restated by the oracle
+    SQL: every (i, i+100000) pair is an exact duplicate by construction, so
+    a near-dup pipeline run at its exactness point must surface it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "text"])
+
+    def ident(t: "pa.Table") -> "pa.Table":
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                         "text": t["text"]})
+
+    def shift(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "doc_id": pc.add(t["doc_id"].cast(pa.int64()), 100000),
+            "text": t["text"],
+        })
+
+    return ds.map_batches(ident, batch_format="pyarrow").union(
+        ds.map_batches(shift, batch_format="pyarrow")
+    )
+
+
+def doc_minhash_planted(sf_dir):
+    """MinHash+LSH with a hash oracle: mine the planted-duplicate table at
+    threshold 1.0 — a pair surfaces iff the two texts have IDENTICAL 5-gram
+    shingle sets (exact Jaccard 1.0), which the oracle states in SQL as
+    group-by-shingle-set. Identical text => identical signature => same
+    bucket in every band, so recall of planted pairs is guaranteed, and the
+    exact verify keeps precision exact (natural set-equal near-dups in the
+    fixture are matched by the same SQL)."""
+    from ..functions.dedup import minhash_near_dups
+
+    out = minhash_near_dups(_planted_docs(sf_dir), threshold=1.0)
+    return out[["id_a", "id_b"]]
+
+
+def doc_simhash_planted(sf_dir):
+    """The SimHash banding + stitch + join skeleton under the same hash
+    oracle: simhash_exact_dups buckets by the full 64-bit simhash (the
+    max_hamming=0 pigeonhole band) and verifies exact Jaccard == 1.0; equal
+    shingle sets imply equal simhashes, so the oracle is the identical
+    group-by-shingle-set SQL."""
+    from ..functions.dedup import simhash_exact_dups
+
+    out = simhash_exact_dups(_planted_docs(sf_dir))
+    return out[["id_a", "id_b"]]
+
+
 def doc_token_bpe(sf_dir):
     """BPE-pre-tokenizer-shaped token count (letter runs / digits /
     punctuation), oracle-stated with regexp_extract_all."""
@@ -897,8 +951,10 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "doc_langid": doc_langid,
     "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_minhash_planted": doc_minhash_planted,
     "doc_simhash": doc_simhash,
     "doc_simhash_dups": doc_simhash_dups,
+    "doc_simhash_planted": doc_simhash_planted,
     "doc_token_bpe": doc_token_bpe,
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
@@ -907,6 +963,21 @@ QUERIES = {
     "emb_near_dups": emb_near_dups,
     "li_pricing": li_pricing,
 }
+
+
+_SHINGLE_SET_PAIRS_SQL = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT)+100000, text FROM documents),
+s AS (SELECT doc_id,
+             CASE WHEN length(text) >= 5
+                  THEN list_sort(list_distinct([substring(text, i, 5)
+                       for i in generate_series(1, length(text)-4)]))
+                  ELSE [text] END AS sh
+      FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.sh = b.sh
+ORDER BY 1, 2"""
 
 
 def oracles(sf: str = ORACLE_SF) -> dict[str, str]:
@@ -1186,6 +1257,14 @@ FROM documents""",
 SELECT doc_id, CAST(length(regexp_extract_all(text,
        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe
 FROM documents""",
+        # planted-duplicate oracle for the text near-dup pipelines: a pair
+        # surfaces at the exactness point (minhash threshold 1.0 / simhash
+        # hamming 0 + exact verify) iff the two texts' 5-gram shingle SETS
+        # are identical — stated in SQL as group-by-shingle-set over the
+        # union-shifted table (byte-shingles == char-substrings: the
+        # documents fixture is pure ASCII)
+        "doc_minhash_planted": _SHINGLE_SET_PAIRS_SQL,
+        "doc_simhash_planted": _SHINGLE_SET_PAIRS_SQL,
         "emb_near_dups": """
 WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
            UNION ALL

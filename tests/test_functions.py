@@ -103,6 +103,28 @@ class TestDedup:
         dist = simhash_near_dups(ds, max_hamming=6, driver_cap=0)
         pd.testing.assert_frame_equal(out, dist)
 
+    def test_simhash_exact_dups_planted(self, ray_session):
+        """simhash_exact_dups = full-width simhash bucket + exact Jaccard
+        1.0 verify: planted exact copies must pair up, near-but-not-equal
+        docs must NOT, and the driver/distributed paths must agree."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import simhash_exact_dups
+
+        rng = np.random.default_rng(23)
+        words = [f"w{i}" for i in range(300)]
+        docs = [" ".join(rng.choice(words, 50)) for _ in range(25)]
+        copies = [docs[3], docs[11]]           # ids 25, 26: exact dups
+        near = docs[5][:-3] + "zzz"            # id 27: near, set-unequal
+        df = pd.DataFrame({"doc_id": range(28),
+                           "text": docs + copies + [near]})
+        ds = rd.from_pandas(df)
+        out = simhash_exact_dups(ds, concurrency=2)
+        assert set(zip(out["id_a"], out["id_b"])) == {(3, 25), (11, 26)}
+        assert (out["jaccard"] == 1.0).all()
+        dist = simhash_exact_dups(ds, concurrency=2, driver_cap=0)
+        pd.testing.assert_frame_equal(out, dist)
+
     def test_embedding_near_dups_paths_agree(self, ray_session):
         import ray.data as rd
 
