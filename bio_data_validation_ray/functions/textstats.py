@@ -142,21 +142,26 @@ def add_fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     return batch
 
 
-def rolling_hashes(text: str, window: int = 16, base: int = 257,
-                   mod: int = (1 << 61) - 1) -> np.ndarray:
-    """Polynomial rolling hash over a sliding character window (public
-    Rabin-Karp scheme) — building block for content-defined fingerprints."""
+def rolling_hashes(text: str, window: int = 16, base: int = 257) -> np.ndarray:
+    """Polynomial rolling hash over a sliding byte window (public Rabin-Karp
+    scheme in the 2^64 ring) — building block for content-defined
+    fingerprints. Fully vectorized: uint64 wraparound makes the prefix form
+    H(l, r) = base^r * (C[r] - C[l-1]) with C[i] = Σ b[j]·base^(-j) a pair
+    of cumprod/cumsum calls — no per-character Python. Hashes depend only on
+    the window bytes (position-independent), so shared windows of different
+    texts collide by construction."""
     b = text.encode("utf-8", errors="ignore")
     n = len(b)
     if n < window:
         return np.zeros(0, dtype=np.uint64)
-    arr = np.frombuffer(b, dtype=np.uint8).astype(np.object_)
-    h = 0
-    out = []
-    power = pow(base, window - 1, mod)
-    for i, c in enumerate(arr):
-        h = (h * base + int(c)) % mod
-        if i >= window - 1:
-            out.append(h)
-            h = (h - int(arr[i - window + 1]) * power) % mod
-    return np.array(out, dtype=np.uint64)
+    v = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    pows = np.full(n, np.uint64(base))
+    pows[0] = 1
+    pows = np.cumprod(pows)                      # base^j  (mod 2^64)
+    ipows = np.full(n, np.uint64(pow(base, -1, 1 << 64)))
+    ipows[0] = 1
+    ipows = np.cumprod(ipows)                    # base^-j (mod 2^64)
+    c = np.cumsum(v * ipows)                     # C[i] = Σ_{j<=i} b[j]·base^-j
+    cprev = np.concatenate([np.zeros(1, np.uint64), c])  # cprev[i] = C[i-1]
+    r = np.arange(window - 1, n)
+    return (c[r] - cprev[r - window + 1]) * pows[r]

@@ -647,6 +647,12 @@ def doc_fingerprint(sf_dir):
 
 
 def doc_langid(sf_dir):
+    """Stopword-vote language ID (rows-only). Note: the fixture's `lang`
+    column is a random label uncorrelated with the generated text (all docs
+    share one English-ish token vocabulary; measured agreement ~0.38 ==
+    the majority-class share), so prediction ACCURACY is gated in pytest
+    against a corpus whose language is real
+    (tests/test_functions.py::test_langid_accuracy_gate), not here."""
     import ray.data as rd
 
     from ..functions.textstats import LangId

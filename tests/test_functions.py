@@ -314,6 +314,37 @@ class TestTextStats:
         b = rolling_hashes("XXhello world, this is content", window=8)
         # shared windows produce identical hashes regardless of prefix
         assert len(set(a) & set(b)) >= len(a) - 2
+        # window count and near-uniqueness of distinct windows
+        assert a.size == len("hello world, this is content") - 8 + 1
+        assert len(set(a)) == a.size
+
+    def test_langid_accuracy_gate(self):
+        """Output-QUALITY gate (not just mechanics): over a deterministic
+        multilingual corpus built from each language's own function words
+        plus shared filler, per-language accuracy must be perfect. (The
+        sf fixtures' `lang` column is uncorrelated with the generated text —
+        every doc shares one English-ish token vocabulary — so the quality
+        gate lives here, against text whose language is real.)"""
+        from bio_data_validation_ray.functions.textstats import STOPWORDS, LangId
+
+        rng = np.random.default_rng(31)
+        filler = [f"tok{i}" for i in range(50)]
+        rows = []
+        for lang, words in STOPWORDS.items():
+            w = sorted(words)
+            for _ in range(40):
+                toks = list(rng.choice(w, 12)) + list(rng.choice(filler, 6))
+                rng.shuffle(toks)
+                rows.append((lang, " ".join(toks)))
+        df = pd.DataFrame(rows, columns=["lang", "text"])
+        out = LangId()(df)
+        acc = (out["lang"] == out["lang_pred"]).groupby(out["lang"]).mean()
+        assert len(acc) == len(STOPWORDS)
+        # stopword-dense text must classify essentially perfectly; a few
+        # collisions are tolerated for languages with overlapping function
+        # words (es/pt, de/nl share forms)
+        assert (acc >= 0.9).all(), acc.to_dict()
+        assert (out["lang"] == out["lang_pred"]).mean() >= 0.95
 
 
 class TestMultimodal:
