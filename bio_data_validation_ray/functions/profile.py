@@ -61,25 +61,56 @@ def mixed_units_check(ds, column: str, pattern: str,
     }
 
 
-def grouped_nunique(ds, key: str, of: str) -> pd.DataFrame:
-    """Exact per-key distinct-count of ``of`` plus the per-key row count:
-    one keyed reduce over (key, of) pairs (distinct pairs are the partial
-    rows — corpus never collects), then a vectorized combine per key.
-    -> DataFrame[(key, n_rows, nunique)]."""
-    pairs = keyed_reduce_pandas(ds, [key, of], {"c": (of, "count")})
-    out = pairs.groupby(key, as_index=False).agg(
-        n_rows=("c", "sum"), nunique=("c", "size")
-    )
+def grouped_nunique(ds, key: str, of: str, *,
+                    driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Exact per-key distinct-count of ``of`` plus the per-key row count
+    -> DataFrame[(key, n_rows, nunique)] (one row per key).
+
+    Distributed end-to-end at high key cardinality: stage 1 reduces to the
+    distinct (key, of) pairs; stage 2 reduces the pair STREAM per key — when
+    the pair volume exceeds ``driver_cap`` both stages stay Datasets
+    (keyed_reduce interior path) and the driver collects only the final
+    O(#keys) rows, never the O(#distinct-pairs) frame. Below the cap the
+    pairs collect once and combine in pandas (zero extra exchanges)."""
+    from ..stages.keyed_reduce import keyed_reduce, make_partial
+
+    pair_spec = {"c": (of, "count")}
+    partials = ds.map_batches(
+        make_partial([key, of], pair_spec), batch_format="pandas"
+    ).materialize()
+    if partials.count() <= driver_cap:
+        pairs = keyed_reduce_pandas(partials, [key, of], pair_spec,
+                                    partial_applied=True,
+                                    driver_cap=driver_cap)
+        out = pairs.groupby(key, as_index=False).agg(
+            n_rows=("c", "sum"), nunique=("c", "size")
+        )
+    else:
+        import ray.data as rd
+
+        interior, boundary = keyed_reduce(partials, [key, of], pair_spec,
+                                          partial_applied=True)
+        pairs_ds = interior
+        if len(boundary):
+            pairs_ds = pairs_ds.union(rd.from_pandas(boundary))
+        # each distinct pair appears exactly once in the unioned stream, so
+        # per-key sum(c) / count(pairs) are exact mergeable partials
+        out = keyed_reduce_pandas(
+            pairs_ds, [key],
+            {"n_rows": ("c", "sum"), "nunique": ("c", "count")},
+            driver_cap=driver_cap,
+        )
     out["n_rows"] = out["n_rows"].astype(np.int64)
     out["nunique"] = out["nunique"].astype(np.int64)
-    return out
+    return out.sort_values(key, kind="stable").reset_index(drop=True)
 
 
-def confounding_check(ds, batch_col: str, cond_col: str) -> dict:
+def confounding_check(ds, batch_col: str, cond_col: str, *,
+                      driver_cap: int = 5_000_000) -> dict:
     """batch <-> condition confounding (sample_metadata_validator.py:486-504):
     flag when every multi-row batch carries exactly one condition value
     (batch perfectly predicts condition)."""
-    g = grouped_nunique(ds, batch_col, cond_col)
+    g = grouped_nunique(ds, batch_col, cond_col, driver_cap=driver_cap)
     multi = g[g["n_rows"] >= 2]
     n_conf = int((multi["nunique"] == 1).sum())
     return {

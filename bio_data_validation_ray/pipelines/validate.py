@@ -44,6 +44,7 @@ from ..stages.convstage import (
     exact_conv_frame,
     merge_segments_frame,
 )
+from ..sources.writers import write_parquet_idempotent
 from ..stages.rowstage import ValidateBatch
 from ..stages.statstage import agg_violations, reduce_sketches
 from ..state.checkpoint import Lineage
@@ -303,7 +304,8 @@ def validate_dir(
             )
             os.replace(tmp, segments_out)
         else:
-            pick("segment", SEG_COLS).write_parquet(segments_out)
+            write_parquet_idempotent(pick("segment", SEG_COLS),
+                                     segments_out, prefix="seg")
     if not conv_stage:
         exact_ids: list[str] = []
         extras = pd.DataFrame(columns=VIO_COLS)
@@ -472,7 +474,10 @@ def validate_dir(
             vio_all = vio_all.union(_rd.from_arrow(vio_frame_to_table(extras_all)))
         vio_all = vio_all.materialize()
         if write_violations and run_dir:
-            vio_all.write_parquet(os.path.join(run_dir, violations_subdir))
+            write_parquet_idempotent(
+                vio_all, os.path.join(run_dir, violations_subdir),
+                prefix="vio",
+            )
         from ..stages.keyed_reduce import combine_low_card
 
         counts_df = combine_low_card(
@@ -791,7 +796,7 @@ def write_sorted_output(input_dir: str, out_dir: str) -> None:
     import ray.data as rd
 
     ds = rd.read_parquet(list_shards(input_dir))
-    ds.sort(["conv_id", "turn_idx"]).write_parquet(out_dir)
+    write_parquet_idempotent(ds.sort(["conv_id", "turn_idx"]), out_dir)
 
 
 def content_hash_of_dir(d: str) -> tuple[int, int]:
@@ -1076,13 +1081,15 @@ def validate_resumable(
     if run_dir and (len(conv_vio) or vio_conv_ds is not None):
         fdir = os.path.join(run_dir, "violations", "conv-final")
         os.makedirs(fdir, exist_ok=True)
+        # overwrite-mode Dataset write first (it clears the directory),
+        # the driver-side boundary/exact rows second
+        if vio_conv_ds is not None:
+            write_parquet_idempotent(vio_conv_ds, fdir, prefix="conv")
         if len(conv_vio):
             pq.write_table(
                 vio_frame_to_table(conv_vio),
                 os.path.join(fdir, "part-0.parquet"),
             )
-        if vio_conv_ds is not None:
-            vio_conv_ds.write_parquet(fdir)
 
     # ---- drift vs baseline: attributed to the drifted SHARD's counts (and
     # hence its per-shard decision), matching validate_dir's violation-row

@@ -509,6 +509,51 @@ class TestDistributedPath:
         sb = vb[key].fillna("~").sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(sa, sb)
 
+    def test_violations_sink_idempotent_under_rewrite(self, ray_session,
+                                                      tmp_path):
+        """Deterministic part names (SURVEY §4.2): re-executing a write into
+        the same sink directory (what a retried/re-run write task does)
+        overwrites the same files instead of appending UUID-named
+        duplicates — file set and row count stay fixed."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.sources.writers import (
+            write_parquet_idempotent,
+        )
+
+        df = pd.DataFrame({"a": range(1000), "b": ["x"] * 1000})
+        ds = rd.from_pandas([df.iloc[i:i + 100] for i in range(0, 1000, 100)])
+        sink = str(tmp_path / "sink")
+        write_parquet_idempotent(ds, sink, prefix="vio")
+        files1 = sorted(os.listdir(sink))
+        write_parquet_idempotent(ds, sink, prefix="vio")  # "retry"
+        files2 = sorted(os.listdir(sink))
+        assert files1 == files2
+        assert all(f.startswith("vio-") for f in files2)
+        assert len(pd.read_parquet(sink)) == 1000
+        # whole-directory rewrite with fewer blocks: overwrite drops stale
+        write_parquet_idempotent(ds.repartition(2), sink, prefix="vio")
+        assert len(pd.read_parquet(sink)) == 1000
+
+    def test_distributed_rerun_same_run_dir_no_duplicates(self, ray_session,
+                                                          tmp_path):
+        """The distributed violations sink must not accumulate rows when the
+        same run_dir is validated twice (crash-and-rerun without lineage)."""
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        r1 = validate_dir(d, run_dir=str(tmp_path / "r"), resume=False,
+                          concurrency=2, driver_cap=0)
+        n1 = len(pd.read_parquet(os.path.join(str(tmp_path / "r"),
+                                              "violations")))
+        r2 = validate_dir(d, run_dir=str(tmp_path / "r"), resume=False,
+                          concurrency=2, driver_cap=0)
+        n2 = len(pd.read_parquet(os.path.join(str(tmp_path / "r"),
+                                              "violations")))
+        assert n1 == n2 == r1["stages"]["violations"]["total"] \
+            == r2["stages"]["violations"]["total"]
+
     def test_distributed_clean_accepts(self, ray_session, tmp_path):
         from bio_data_validation_ray.pipelines.validate import validate_dir
         from bio_data_validation_ray.sources.transcripts import ensure_transcripts

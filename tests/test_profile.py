@@ -74,6 +74,28 @@ def test_grouped_nunique_and_confounding(ray_session):
     assert not confounding_check(rd.from_pandas(df2), "batch", "cond")["confounded"]
 
 
+def test_grouped_nunique_distributed_path(ray_session):
+    """driver_cap=0 keeps both reduce stages as Datasets (the high-card
+    path: the driver sees one row per key, never the distinct-pair frame);
+    results must equal the collected path exactly — including keys whose
+    pairs straddle sorted-block boundaries."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 200, 5000).astype(str),
+        "v": rng.integers(0, 25, 5000),
+    })
+    frames = [df.iloc[i:i + 250] for i in range(0, len(df), 250)]
+    ds = rd.from_pandas(frames)  # many blocks -> real boundary stitching
+    a = grouped_nunique(ds, "k", "v")
+    b = grouped_nunique(ds, "k", "v", driver_cap=0)
+    pd.testing.assert_frame_equal(a, b)
+    truth = df.groupby("k").agg(n_rows=("v", "size"), nunique=("v", "nunique"))
+    assert dict(zip(a["k"], a["nunique"])) == truth["nunique"].to_dict()
+    assert dict(zip(a["k"], a["n_rows"])) == truth["n_rows"].to_dict()
+
+
 def test_variant_groups(ray_session):
     import ray.data as rd
 
