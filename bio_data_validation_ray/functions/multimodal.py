@@ -253,17 +253,24 @@ class MediaFeaturizer:
         feats = []
         for p in payloads:
             f = None
+            err: Exception | None = None
             try:
                 if p.startswith((b"P6", b"BM")):
                     f = image_features(decode_image(p), self.dim)
                 elif p[:4] == b"RIFF":
                     f = audio_features(decode_wav(p)[0], self.dim)
-            except (ValueError, NotImplementedError):
+            except (ValueError, NotImplementedError) as e:
+                err = e
                 f = None
             if f is None:
                 if not self.fake:
-                    # compressed formats need a codec library -> raise with
-                    # the actionable message
+                    if err is not None:
+                        # recognized-but-undecodable payload (truncated P6,
+                        # non-PCM-16 WAV): surface the ORIGINAL decode
+                        # failure, not a misleading image-codec re-dispatch
+                        raise err
+                    # unrecognized/compressed formats need a codec library
+                    # -> decode_image raises with the actionable message
                     decode_image(p)
                 f = _fake_feature(p, self.dim)
             feats.append(f)

@@ -33,16 +33,22 @@ def extract_value_counts(ds, column: str, pattern: str,
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    miss = "\x00__miss__"  # combine_low_card's pandas groupby drops null
+    # keys, so no-match/missing rows travel under a sentinel and map back
+
     def ex(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t[column], pattern=pattern.replace(
             "(", "(?P<u>", 1) if "(?P<" not in pattern else pattern)
         unit = pc.struct_field(m, "u")
-        return pa.table({out: unit})
+        return pa.table({out: pc.fill_null(unit, miss)})
 
-    return combine_low_card(
+    res = combine_low_card(
         ds.map_batches(ex, batch_format="pyarrow"),
         [out], {"n": (out, "count")},
     )
+    if len(res):
+        res[out] = res[out].where(res[out] != miss, None)
+    return res
 
 
 def mixed_units_check(ds, column: str, pattern: str,

@@ -806,28 +806,37 @@ def emb_topk_ids(sf_dir):
     return out
 
 
-def emb_ivf_topk(sf_dir):
-    """ANN via the materialized IVF store: the assignment is written once as
-    ivf_list-partitioned Parquet (hive layout) and every probe is a
-    partition-pruned read — the at-scale layout, not a per-query rescan."""
+def _ivf_store(sf_dir):
+    """Build-or-open the materialized IVF store for a fixture dir. The cache
+    path is keyed on a FINGERPRINT of embeddings.parquet (size + mtime), not
+    just the directory name — a regenerated fixture gets a fresh partition
+    layout instead of silently reusing a stale one."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     from ..functions.similarity import IVFIndex, IVFStore
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(src)
     sample = np.stack(t["embedding"].to_pylist()[:512])
     index = IVFIndex.train(sample, n_lists=8)
+    st = os.stat(src)
     store_path = os.path.join(
-        "/tmp/bdvr_ivf", os.path.basename(os.path.normpath(sf_dir))
+        "/tmp/bdvr_ivf",
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{st.st_size}-{int(st.st_mtime_ns)}",
     )
     if not os.path.isdir(store_path):
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             override_num_blocks=_nblocks())
-        store = IVFStore.build(ds, index, store_path)
-    else:
-        store = IVFStore(index, store_path)
-    out = store.topk(_query_vec(sf_dir), k=10, nprobe=3)
+        ds = rd.read_parquet(src, override_num_blocks=_nblocks())
+        return IVFStore.build(ds, index, store_path)
+    return IVFStore(index, store_path)
+
+
+def emb_ivf_topk(sf_dir):
+    """ANN via the materialized IVF store: the assignment is written once as
+    ivf_list-partitioned Parquet (hive layout) and every probe is a
+    partition-pruned read — the at-scale layout, not a per-query rescan."""
+    out = _ivf_store(sf_dir).topk(_query_vec(sf_dir), k=10, nprobe=3)
     out["vec_id"] = out["vec_id"].astype(np.int64)
     return out
 
@@ -836,24 +845,7 @@ def emb_ivf_topk_full(sf_dir):
     """IVF with nprobe == n_lists: probing every partition makes the ANN
     exact, so the partition-pruned read path itself gets a DuckDB oracle
     (ID-only to dodge float32 cosine rounding)."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
-    from ..functions.similarity import IVFIndex, IVFStore
-
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    sample = np.stack(t["embedding"].to_pylist()[:512])
-    index = IVFIndex.train(sample, n_lists=8)
-    store_path = os.path.join(
-        "/tmp/bdvr_ivf", os.path.basename(os.path.normpath(sf_dir))
-    )
-    if not os.path.isdir(store_path):
-        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                             override_num_blocks=_nblocks())
-        store = IVFStore.build(ds, index, store_path)
-    else:
-        store = IVFStore(index, store_path)
-    out = store.topk(_query_vec(sf_dir), k=10, nprobe=8)
+    out = _ivf_store(sf_dir).topk(_query_vec(sf_dir), k=10, nprobe=8)
     return pd.DataFrame({"vec_id": out["vec_id"].astype(np.int64)})
 
 

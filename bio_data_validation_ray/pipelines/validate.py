@@ -968,6 +968,7 @@ def validate_resumable(
     per_shard_digests = {}
     per_shard_stats: dict[str, ShardStats] = {}
     stats_blobs = load_stats_blobs(lineage.dir)
+    n_unreadable_bundles = int(stats_blobs.pop("__unreadable_bundles__", b"0"))
     for shard, rec in sorted(committed.items()):
         shard_counts[shard] = SeverityCounts(
             **{k: int(v) for k, v in rec.get("severity_counts", {}).items()}
@@ -1146,6 +1147,7 @@ def validate_resumable(
         "severity_counts": vars(total),
         "rows_scanned": rows_scanned,
         "exact_fallback_convs": len(exact_ids),
+        "unreadable_stats_bundles": n_unreadable_bundles,
         "drift": drift_report,
         "aggregate_violations": agg_extra.to_dict("records"),
         "stats_summary": stats_all.summary() if stats_all.content_rows else {},

@@ -49,11 +49,11 @@ PRESETS: dict[str, dict] = {
 def thresholds_of(policy: str | dict | None) -> dict:
     """Resolve a preset name (or explicit threshold dict) to thresholds."""
     if policy is None:
-        return DEFAULT_THRESHOLDS
-    if isinstance(policy, dict):
+        return dict(DEFAULT_THRESHOLDS)  # copies: callers must not be able
+    if isinstance(policy, dict):         # to mutate the process-wide presets
         return {**DEFAULT_THRESHOLDS, **policy}
     try:
-        return PRESETS[policy]
+        return dict(PRESETS[policy])
     except KeyError:
         raise KeyError(
             f"unknown policy preset {policy!r}; choose from {sorted(PRESETS)}"

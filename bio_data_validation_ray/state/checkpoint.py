@@ -97,14 +97,26 @@ def load_stats_blobs(lineage_dir: str) -> dict[str, bytes]:
     import glob as _glob
     import pickle
 
+    import logging
+
     out: dict[str, bytes] = {}
+    unreadable = 0
     for f in sorted(_glob.glob(os.path.join(lineage_dir, "stats-*.pkl"))):
         try:
             with open(f, "rb") as fh:
                 out.update(pickle.load(fh))
-        except Exception:
-            continue  # partial bundle from a crash mid-write: tmp never
-            # replaced, so this is only reachable for corrupt disks
+        except Exception as e:
+            # partial bundle from a crash mid-write: tmp never replaced, so
+            # this is only reachable for corrupt disks — but a resumed run
+            # that silently skipped sketches would still report a complete,
+            # decided run, so the skip must be VISIBLE
+            unreadable += 1
+            logging.getLogger(__name__).warning(
+                "unreadable stats bundle %s (%s): aggregate/drift rules "
+                "will miss its shards on this resume", f, e,
+            )
+    if unreadable:
+        out["__unreadable_bundles__"] = str(unreadable).encode()
     for f in _glob.glob(os.path.join(lineage_dir, "*.stats.pkl")):
         shard = os.path.basename(f)[: -len(".stats.pkl")]
         with open(f, "rb") as fh:

@@ -54,6 +54,20 @@ def test_mixed_units_check(ray_session):
     assert res["counts"]["mg"] == 3
 
 
+def test_extract_value_counts_none_bucket(ray_session):
+    """No-match and missing values are counted under None (the docstring
+    contract) instead of being dropped by the pandas combine."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.profile import extract_value_counts
+
+    df = pd.DataFrame({"v": ["5 mg", "3 mg", "7 ml", "???", None]})
+    out = extract_value_counts(rd.from_pandas(df), "v", r"([a-z]+)$")
+    counts = dict(zip(out["unit"], out["n"].astype(int)))
+    assert counts["mg"] == 2 and counts["ml"] == 1
+    assert counts[None] == 2  # one no-match + one null
+
+
 def test_grouped_nunique_and_confounding(ray_session):
     import ray.data as rd
 
