@@ -337,7 +337,13 @@ def _candidate_pairs(banded, id_col: str, bucket_cap: int, log_tag: str,
     per-run pair emission, block-boundary runs stitched from <= 2 runs per
     block, and a sort-based distributed pair dedup. Per-bucket membership
     is capped at ``bucket_cap`` either way, with truncation logged (no
-    silent sampling)."""
+    silent sampling).
+
+    Returns ``(pairs_ds, pairs_df)``: the pair Dataset, plus the SAME pairs
+    as a driver frame when the driver path ran (so downstream small-path
+    consumers skip the from_pandas -> map_batches -> to_pandas round trip —
+    each saved execution is ~0.2 s of launch latency). (None, None) when no
+    bucket has two members."""
     import ray.data as rd
 
     banded = banded.materialize()
@@ -345,7 +351,9 @@ def _candidate_pairs(banded, id_col: str, bucket_cap: int, log_tag: str,
         out = _pairs_from_member_frame(
             banded.to_pandas(), id_col, bucket_cap, log_tag
         )
-        return None if out is None else rd.from_pandas(out)
+        if out is None:
+            return None, None
+        return rd.from_pandas(out), out
 
     emitted = banded.sort("bucket").map_batches(
         _BucketPairEmitter(id_col, bucket_cap), batch_format="pandas"
@@ -380,7 +388,17 @@ def _candidate_pairs(banded, id_col: str, bucket_cap: int, log_tag: str,
     pairs = pairs.sort(["id_a", "id_b"]).map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas"
     ).materialize()
-    return pairs if pairs.count() else None
+    return (pairs, None) if pairs.count() else (None, None)
+
+
+def _pair_ids_of(pairs, pairs_df) -> np.ndarray:
+    """Unique candidate ids — straight from the driver frame when the pair
+    emission ran there, else one map over the pair Dataset."""
+    if pairs_df is not None:
+        return np.unique(np.concatenate([
+            pairs_df["id_a"].to_numpy(), pairs_df["id_b"].to_numpy()
+        ]))
+    return _pair_ids(pairs)
 
 
 def _pair_ids(pairs) -> np.ndarray:
@@ -449,12 +467,14 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
         batch_format="pandas",
     ).map_batches(fuse, batch_format="pandas")
 
-    pairs = _candidate_pairs(banded, id_col, bucket_cap, "minhash_near_dups",
-                             driver_cap=driver_cap)
+    pairs, pairs_df = _candidate_pairs(banded, id_col, bucket_cap,
+                                       "minhash_near_dups",
+                                       driver_cap=driver_cap)
     if pairs is None:
         return empty
-    out = _jaccard_verify_tail(ds, pairs, col=col, id_col=id_col, k=k,
-                               threshold=threshold, concurrency=concurrency,
+    out = _jaccard_verify_tail(ds, pairs, pairs_df, col=col, id_col=id_col,
+                               k=k, threshold=threshold,
+                               concurrency=concurrency,
                                driver_cap=driver_cap)
     if "id_a" not in out.columns or len(out) == 0:
         return empty
@@ -462,8 +482,8 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def _jaccard_verify_tail(ds, pairs, *, col: str, id_col: str, k: int,
-                         threshold: float, concurrency: int,
+def _jaccard_verify_tail(ds, pairs, pairs_df=None, *, col: str, id_col: str,
+                         k: int, threshold: float, concurrency: int,
                          driver_cap: int) -> pd.DataFrame:
     """Exact-Jaccard verification of a candidate-pair Dataset, shared by the
     MinHash and SimHash-exact pipelines. Dual path (the driver_cap pattern):
@@ -475,15 +495,16 @@ def _jaccard_verify_tail(ds, pairs, *, col: str, id_col: str, k: int,
 
     # unique candidate ids (compact int64s) -> broadcast filter for the
     # shingle re-read; both join sides below are candidate-scale
-    ids_ref = ray.put(_pair_ids(pairs))
+    ids_ref = ray.put(_pair_ids_of(pairs, pairs_df))
     nparts = max(2, int(concurrency))
-    if pairs.count() <= max(0, driver_cap // 50):
+    n_pairs = len(pairs_df) if pairs_df is not None else pairs.count()
+    if n_pairs <= max(0, driver_cap // 50):
         sh = ds.map_batches(
             lambda t: _shingle_frame(t, id_col, col, k, "id", "sh", ids_ref),
             batch_format="pyarrow",
         ).to_pandas()
         j = (
-            pairs.to_pandas()
+            (pairs_df if pairs_df is not None else pairs.to_pandas())
             .merge(sh.rename(columns={"id": "id_a", "sh": "sh_a"}), on="id_a")
             .merge(sh.rename(columns={"id": "id_b", "sh": "sh_b"}), on="id_b")
         )
@@ -528,12 +549,13 @@ def simhash_exact_dups(ds, *, col: str = "text", id_col: str = "doc_id",
 
     empty = pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
     banded = ds.map_batches(band_rows, batch_format="pandas")
-    pairs = _candidate_pairs(banded, id_col, bucket_cap,
-                             "simhash_exact_dups", driver_cap=driver_cap)
+    pairs, pairs_df = _candidate_pairs(banded, id_col, bucket_cap,
+                                       "simhash_exact_dups",
+                                       driver_cap=driver_cap)
     if pairs is None:
         return empty
-    out = _jaccard_verify_tail(ds, pairs, col=col, id_col=id_col, k=k,
-                               threshold=1.0, concurrency=concurrency,
+    out = _jaccard_verify_tail(ds, pairs, pairs_df, col=col, id_col=id_col,
+                               k=k, threshold=1.0, concurrency=concurrency,
                                driver_cap=driver_cap)
     if "id_a" not in out.columns or len(out) == 0:
         return empty
@@ -612,12 +634,13 @@ def simhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
 
     empty = pd.DataFrame(columns=["id_a", "id_b", "hamming"])
     banded = ds.map_batches(band_rows, batch_format="pandas")
-    pairs = _candidate_pairs(banded, id_col, bucket_cap, "simhash_near_dups",
-                             driver_cap=driver_cap)
+    pairs, pairs_df = _candidate_pairs(banded, id_col, bucket_cap,
+                                       "simhash_near_dups",
+                                       driver_cap=driver_cap)
     if pairs is None:
         return empty
 
-    ids_ref = ray.put(_pair_ids(pairs))
+    ids_ref = ray.put(_pair_ids_of(pairs, pairs_df))
 
     def hash_frame(t: pa.Table, out_id: str, out_h: str) -> pa.Table:
         import pyarrow.compute as pc
@@ -645,12 +668,13 @@ def simhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
         })
 
     nparts = max(2, int(concurrency))
-    if pairs.count() <= max(0, driver_cap // 50):
+    n_pairs = len(pairs_df) if pairs_df is not None else pairs.count()
+    if n_pairs <= max(0, driver_cap // 50):
         hh = ds.map_batches(
             lambda t: hash_frame(t, "id", "h"), batch_format="pyarrow"
         ).to_pandas()
         j = (
-            pairs.to_pandas()
+            (pairs_df if pairs_df is not None else pairs.to_pandas())
             .merge(hh.rename(columns={"id": "id_a", "h": "h_a"}), on="id_a")
             .merge(hh.rename(columns={"id": "id_b", "h": "h_b"}), on="id_b")
         )
@@ -796,13 +820,15 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
                         band_bits=band_bits),
         batch_format="pandas",
     ).map_batches(fuse, batch_format="pandas")
-    pairs = _candidate_pairs(banded, id_col, bucket_cap,
-                             "embedding_near_dups", driver_cap=driver_cap)
+    pairs, pairs_df = _candidate_pairs(banded, id_col, bucket_cap,
+                                       "embedding_near_dups",
+                                       driver_cap=driver_cap)
     if pairs is None:
         return empty
-    ids_ref = ray.put(_pair_ids(pairs))
+    ids_ref = ray.put(_pair_ids_of(pairs, pairs_df))
     nparts = max(2, int(concurrency))
-    if pairs.count() <= max(0, driver_cap // 50):
+    n_pairs = len(pairs_df) if pairs_df is not None else pairs.count()
+    if n_pairs <= max(0, driver_cap // 50):
         # small candidate volume: one filtered vector pass + a pandas merge
         # (driver_cap dual path; driver_cap=0 forces the distributed branch)
         vv = ds.map_batches(
@@ -810,7 +836,7 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
             batch_format="pyarrow",
         ).to_pandas()
         j = (
-            pairs.to_pandas()
+            (pairs_df if pairs_df is not None else pairs.to_pandas())
             .merge(vv.rename(columns={"id": "id_a", "v": "v_a"}), on="id_a")
             .merge(vv.rename(columns={"id": "id_b", "v": "v_b"}), on="id_b")
         )
