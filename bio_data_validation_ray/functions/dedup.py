@@ -66,6 +66,21 @@ def char_shingles(s: str, k: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+def word_shingles(s: str, n: int = 3) -> np.ndarray:
+    """Hashed word n-gram set (n-gram Jaccard's feature space): whitespace
+    tokens -> n-grams of consecutive words -> 64-bit hashes, unique. Texts
+    with fewer than n words contribute their whole normalized token string
+    (so short docs still compare; '' for all-whitespace). SQL twin: the
+    sorted distinct list of space-joined word n-grams (queries
+    _WORD_NGRAM_PAIRS_SQL)."""
+    words = s.split()
+    if len(words) < n:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(_hash64(np.array(grams, dtype=object)))
+
+
 def minhash_signature(shingle_hashes: np.ndarray, n_perm: int = 128) -> np.ndarray:
     """n_perm-wide minhash via universal hashing of the shingle set."""
     if shingle_hashes.size == 0:
@@ -79,11 +94,15 @@ class MinHashBands:
     ``groupby(["band","band_hash"])`` downstream yields candidate buckets."""
 
     def __init__(self, col: str = "text", id_col: str = "doc_id",
-                 k: int = 5, n_perm: int = 128, bands: int = 16):
+                 k: int = 5, n_perm: int = 128, bands: int = 16,
+                 shingle_fn=None):
+        import functools
+
         assert n_perm % bands == 0
         self.col, self.id_col = col, id_col
         self.k, self.n_perm, self.bands = k, n_perm, bands
         self.rows_per_band = n_perm // bands
+        self.shingle_fn = shingle_fn or functools.partial(char_shingles, k=k)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -91,7 +110,7 @@ class MinHashBands:
             return pd.DataFrame({self.id_col: [], "band": [], "band_hash": []})
         # batch-vectorized minhash: concatenate every doc's shingle set and
         # min-reduce per (permutation, doc) with reduceat — no per-doc loop
-        shingle_sets = [char_shingles(s, self.k) for s in batch[self.col]]
+        shingle_sets = [self.shingle_fn(s) for s in batch[self.col]]
         lens = np.array([s.size for s in shingle_sets], dtype=np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
         allsh = np.concatenate(shingle_sets) if lens.sum() else np.zeros(0, np.uint64)
@@ -193,7 +212,8 @@ class _BucketPairEmitter:
 
 
 def _shingle_frame(t: pa.Table, id_col: str, col: str, k: int,
-                   out_id: str, out_sh: str, ids_ref) -> pa.Table:
+                   out_id: str, out_sh: str, ids_ref,
+                   shingle_fn=None) -> pa.Table:
     """Filtered projection: keep candidate docs, replace text with the
     (sorted, unique) shingle-hash set. Shingles travel as BINARY (raw uint64
     bytes): Arrow's hash join rejects list payload columns, and bytes
@@ -202,13 +222,16 @@ def _shingle_frame(t: pa.Table, id_col: str, col: str, k: int,
     import pyarrow.compute as pc
     import ray
 
+    import functools
+
+    shingle_fn = shingle_fn or functools.partial(char_shingles, k=k)
     need = ray.get(ids_ref)
     mask = pc.is_in(t[id_col], value_set=pa.array(need, type=t[id_col].type))
     sub = t.filter(mask)
     texts = sub[col].to_pylist()
     return pa.table({
         out_id: sub[id_col].cast(pa.int64()),
-        out_sh: pa.array([char_shingles(s, k).tobytes() for s in texts],
+        out_sh: pa.array([shingle_fn(s).tobytes() for s in texts],
                          type=pa.binary()),
     })
 
@@ -433,7 +456,8 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
                       n_perm: int = 128, bands: int = 16,
                       concurrency: int = 4,
                       bucket_cap: int = 512,
-                      driver_cap: int = 5_000_000) -> pd.DataFrame:
+                      driver_cap: int = 5_000_000,
+                      shingle_fn=None) -> pd.DataFrame:
     """Full MinHash+LSH near-dup pipeline -> DataFrame[(id_a, id_b, jaccard)]
     with id_a < id_b and exact shingle-Jaccard >= threshold. The scale
     re-expression of DUP_004 (rule_validator.py:307-322, all-pairs capped at
@@ -463,7 +487,8 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
         return df[[id_col, "bucket"]]
 
     banded = ds.map_batches(
-        MinHashBands(col=col, id_col=id_col, k=k, n_perm=n_perm, bands=bands),
+        MinHashBands(col=col, id_col=id_col, k=k, n_perm=n_perm, bands=bands,
+                     shingle_fn=shingle_fn),
         batch_format="pandas",
     ).map_batches(fuse, batch_format="pandas")
 
@@ -475,7 +500,7 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
     out = _jaccard_verify_tail(ds, pairs, pairs_df, col=col, id_col=id_col,
                                k=k, threshold=threshold,
                                concurrency=concurrency,
-                               driver_cap=driver_cap)
+                               driver_cap=driver_cap, shingle_fn=shingle_fn)
     if "id_a" not in out.columns or len(out) == 0:
         return empty
     out = out.drop_duplicates(["id_a", "id_b"])
@@ -484,7 +509,7 @@ def minhash_near_dups(ds, *, col: str = "text", id_col: str = "doc_id",
 
 def _jaccard_verify_tail(ds, pairs, pairs_df=None, *, col: str, id_col: str,
                          k: int, threshold: float, concurrency: int,
-                         driver_cap: int) -> pd.DataFrame:
+                         driver_cap: int, shingle_fn=None) -> pd.DataFrame:
     """Exact-Jaccard verification of a candidate-pair Dataset, shared by the
     MinHash and SimHash-exact pipelines. Dual path (the driver_cap pattern):
     small candidate volume -> one filtered shingle pass + a pandas merge
@@ -500,7 +525,8 @@ def _jaccard_verify_tail(ds, pairs, pairs_df=None, *, col: str, id_col: str,
     n_pairs = len(pairs_df) if pairs_df is not None else pairs.count()
     if n_pairs <= max(0, driver_cap // 50):
         sh = ds.map_batches(
-            lambda t: _shingle_frame(t, id_col, col, k, "id", "sh", ids_ref),
+            lambda t: _shingle_frame(t, id_col, col, k, "id", "sh", ids_ref,
+                                     shingle_fn),
             batch_format="pyarrow",
         ).to_pandas()
         j = (
@@ -513,7 +539,7 @@ def _jaccard_verify_tail(ds, pairs, pairs_df=None, *, col: str, id_col: str,
     # zero-copy column rename of the same blocks
     sh_a = ds.map_batches(
         lambda t: _shingle_frame(t, id_col, col, k, "id_a", "sh_a",
-                                 ids_ref),
+                                 ids_ref, shingle_fn),
         batch_format="pyarrow",
     ).materialize()
     sh_b = sh_a.map_batches(
@@ -561,6 +587,36 @@ def simhash_exact_dups(ds, *, col: str = "text", id_col: str = "doc_id",
         return empty
     out = out.drop_duplicates(["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_dups(ds, *, col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, threshold: float = 0.8,
+                       n_perm: int = 128, bands: int = 16,
+                       concurrency: int = 4, bucket_cap: int = 512,
+                       driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Word n-gram Jaccard near-duplicate pairs -> DataFrame[(id_a, id_b,
+    jaccard)]: the MinHash+LSH skeleton over hashed word n-gram sets
+    instead of character shingles (the classic document-level n-gram
+    Jaccard dedup; reference ancestor DUP_004 rule_validator.py:307-322).
+    Candidate generation, boundary stitch, payload join, and the exact
+    set-Jaccard verify are all shared with ``minhash_near_dups`` via the
+    pluggable shingler."""
+    import functools
+
+    return minhash_near_dups(
+        ds, col=col, id_col=id_col, threshold=threshold, n_perm=n_perm,
+        bands=bands, concurrency=concurrency, bucket_cap=bucket_cap,
+        driver_cap=driver_cap, shingle_fn=functools.partial(word_shingles, n=n),
+    )
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard between two texts (scalar reference for
+    ``ngram_jaccard_dups``'s verify)."""
+    sa, sb = word_shingles(a, n), word_shingles(b, n)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
 
 
 def simhash64(s: str, k: int = 5) -> np.uint64:

@@ -742,6 +742,18 @@ def doc_minhash_planted(sf_dir):
     return out[["id_a", "id_b"]]
 
 
+def doc_ngram_planted(sf_dir):
+    """Word n-gram Jaccard dedup (ngram_jaccard_dups: the MinHash skeleton
+    over hashed word-3-gram sets) under the same planted-duplicate hash
+    oracle — a pair surfaces at threshold 1.0 iff the two texts' word
+    3-gram SETS are identical, stated in SQL over split + array_to_string
+    n-grams."""
+    from ..functions.dedup import ngram_jaccard_dups
+
+    out = ngram_jaccard_dups(_planted_docs(sf_dir), threshold=1.0, n=3)
+    return out[["id_a", "id_b"]]
+
+
 def doc_simhash_planted(sf_dir):
     """The SimHash banding + stitch + join skeleton under the same hash
     oracle: simhash_exact_dups buckets by the full 64-bit simhash (the
@@ -973,6 +985,7 @@ QUERIES = {
     "doc_langid": doc_langid,
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_minhash_planted": doc_minhash_planted,
+    "doc_ngram_planted": doc_ngram_planted,
     "doc_simhash": doc_simhash,
     "doc_simhash_dups": doc_simhash_dups,
     "doc_simhash_planted": doc_simhash_planted,
@@ -996,6 +1009,24 @@ s AS (SELECT doc_id,
                        for i in generate_series(1, length(text)-4)]))
                   ELSE [text] END AS sh
       FROM d)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.sh = b.sh
+ORDER BY 1, 2"""
+
+
+_WORD_NGRAM_PAIRS_SQL = r"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT)+100000, text FROM documents),
+w AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      FROM d),
+s AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 3
+                  THEN list_sort(list_distinct([array_to_string(ws[i:i+2], ' ')
+                       for i in generate_series(1, len(ws)-2)]))
+                  ELSE [array_to_string(ws, ' ')] END AS sh
+      FROM w)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.sh = b.sh
 ORDER BY 1, 2"""
@@ -1285,6 +1316,7 @@ FROM documents""",
         # union-shifted table (byte-shingles == char-substrings: the
         # documents fixture is pure ASCII)
         "doc_minhash_planted": _SHINGLE_SET_PAIRS_SQL,
+        "doc_ngram_planted": _WORD_NGRAM_PAIRS_SQL,
         "doc_simhash_planted": _SHINGLE_SET_PAIRS_SQL,
         "emb_near_dups": """
 WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings

@@ -125,6 +125,35 @@ class TestDedup:
         dist = simhash_exact_dups(ds, concurrency=2, driver_cap=0)
         pd.testing.assert_frame_equal(out, dist)
 
+    def test_ngram_jaccard_dups(self, ray_session):
+        """Word n-gram Jaccard dedup: a doc sharing most word 3-grams with
+        another pairs up at a sub-1.0 threshold; unrelated docs don't; the
+        pipeline jaccard matches the scalar reference; paths agree."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import (
+            ngram_jaccard,
+            ngram_jaccard_dups,
+        )
+
+        rng = np.random.default_rng(41)
+        words = [f"w{i}" for i in range(300)]
+        docs = [" ".join(rng.choice(words, 60)) for _ in range(30)]
+        toks = docs[4].split()
+        toks[-1] = "CHANGED"                 # one-word edit: high overlap
+        near = " ".join(toks)
+        df = pd.DataFrame({"doc_id": range(31), "text": docs + [near]})
+        ds = rd.from_pandas(df)
+        out = ngram_jaccard_dups(ds, threshold=0.6, concurrency=2)
+        hit = out[(out["id_a"] == 4) & (out["id_b"] == 30)]
+        assert len(hit) == 1
+        assert abs(hit["jaccard"].iloc[0]
+                   - round(ngram_jaccard(docs[4], near), 6)) < 1e-9
+        assert (out["jaccard"] >= 0.6).all()
+        dist = ngram_jaccard_dups(ds, threshold=0.6, concurrency=2,
+                                  driver_cap=0)
+        pd.testing.assert_frame_equal(out, dist)
+
     def test_embedding_near_dups_paths_agree(self, ray_session):
         import ray.data as rd
 
