@@ -149,6 +149,81 @@ def variant_groups(ds, column: str,
     return out
 
 
+def column_pair_stats(ds, cols: dict[str, int]) -> pd.DataFrame:
+    """Exact pairwise second-moment sums for column-pair correlation
+    (matrix_validator.py:588-610's duplicate-sample r > 0.99 check, which
+    the reference caps at 100 columns; here one streaming pass over integer-
+    scaled values — no cap needed at this, the per-COLUMN-pair, scale).
+
+    ``cols`` maps column -> integer scale (value := round(x * scale) as
+    int64, e.g. 100 for cents); integer sums make the operator exactly
+    SQL-statable (hash-green oracle) where float accumulation would drift.
+    -> DataFrame[(col_a, col_b, n, sum_a, sum_b, sum_ab, sum_a2, sum_b2)],
+    one row per unordered pair, rows with a null in either column dropped
+    (pairwise-complete, matching pandas/DuckDB corr semantics).
+    Scales must keep sum(a*b) inside int64 (caller's contract).
+    Use ``pearson_of_pair_stats`` to turn the sums into r."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = sorted(cols)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ints = {}
+        for c in names:
+            # half-away-from-zero to match SQL round() — numpy/Arrow default
+            # half-to-even diverges from DuckDB exactly at representable .5
+            # ties (e.g. integer-dollar rounding of a *.50 price)
+            v = pc.round(pc.multiply(t[c].cast(pa.float64()),
+                                     float(cols[c])),
+                         round_mode="half_towards_infinity")
+            ints[c] = v  # keep float for null handling; cast per pair below
+        rows = {"col_a": [], "col_b": [], "n": [], "sum_a": [], "sum_b": [],
+                "sum_ab": [], "sum_a2": [], "sum_b2": []}
+        for a, b in pairs:
+            va, vb = ints[a], ints[b]
+            ok = pc.and_(pc.is_valid(va), pc.is_valid(vb))
+            xa = pc.filter(va, ok).to_numpy(zero_copy_only=False).astype(np.int64)
+            xb = pc.filter(vb, ok).to_numpy(zero_copy_only=False).astype(np.int64)
+            rows["col_a"].append(a)
+            rows["col_b"].append(b)
+            rows["n"].append(int(xa.size))
+            rows["sum_a"].append(int(xa.sum()))
+            rows["sum_b"].append(int(xb.sum()))
+            rows["sum_ab"].append(int(np.dot(xa, xb)))
+            rows["sum_a2"].append(int(np.dot(xa, xa)))
+            rows["sum_b2"].append(int(np.dot(xb, xb)))
+        return pa.table(rows)
+
+    out = combine_low_card(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["col_a", "col_b"],
+        {k: (k, "sum") for k in
+         ("n", "sum_a", "sum_b", "sum_ab", "sum_a2", "sum_b2")},
+    )
+    for c in ("n", "sum_a", "sum_b", "sum_ab", "sum_a2", "sum_b2"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["col_a", "col_b"]).reset_index(drop=True)
+
+
+def pearson_of_pair_stats(stats: pd.DataFrame,
+                          dup_threshold: float = 0.99) -> pd.DataFrame:
+    """Pearson r per column pair from the exact sums, plus the reference's
+    possible-duplicate flag (r > threshold, matrix_validator.py:600-607)."""
+    n = stats["n"].to_numpy(dtype=np.float64)
+    sa, sb = stats["sum_a"].astype(float), stats["sum_b"].astype(float)
+    cov = stats["sum_ab"].astype(float) - sa * sb / np.maximum(n, 1)
+    va = stats["sum_a2"].astype(float) - sa * sa / np.maximum(n, 1)
+    vb = stats["sum_b2"].astype(float) - sb * sb / np.maximum(n, 1)
+    denom = np.sqrt(va * vb)
+    out = stats[["col_a", "col_b", "n"]].copy()
+    out["r"] = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0),
+                        np.nan)
+    out["possible_duplicate"] = out["r"] > dup_threshold
+    return out
+
+
 def column_profile(ds, cols: list[str], *,
                    low_var_threshold: float = 0.01,
                    mean_outlier_sigma: float = 3.0) -> pd.DataFrame:

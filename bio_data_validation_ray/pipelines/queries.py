@@ -531,6 +531,22 @@ def li_col_profile(sf_dir):
     return column_profile(ds, cols)
 
 
+def li_corr_pairs(sf_dir):
+    """Column-pair correlation building block (the reference's duplicate-
+    sample r > 0.99 check, matrix_validator.py:588-610) as exact integer-
+    scaled second-moment sums per pair — hash-green where float r would
+    drift; pearson_of_pair_stats derives r driver-side."""
+    from ..functions.profile import column_pair_stats
+
+    ds = _read_table(sf_dir, "lineitem",
+                     columns=["l_quantity", "l_extendedprice", "l_discount",
+                              "l_tax"])
+    return column_pair_stats(ds, {
+        "l_quantity": 1, "l_extendedprice": 1,
+        "l_discount": 10000, "l_tax": 10000,
+    })
+
+
 def cust_enrich(sf_dir):
     """Stateful enrichment stage (stages/enrich.EnrichStage): orders stream
     through an actor pool whose customer reference index is built once per
@@ -977,6 +993,7 @@ QUERIES = {
     "cust_status_confound": cust_status_confound,
     "role_variants": role_variants,
     "li_col_profile": li_col_profile,
+    "li_corr_pairs": li_corr_pairs,
     "li_orders_join": li_orders_join,
     "doc_dedup_exact": doc_dedup_exact,
     "doc_token_count": doc_token_count,
@@ -1280,6 +1297,43 @@ FROM orders o LEFT JOIN
   (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) c
 ON o.o_custkey = c.c_custkey
 GROUP BY 1""",
+        "li_corr_pairs": """
+WITH v AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                  CAST(round(l_extendedprice) AS BIGINT) AS p,
+                  CAST(round(l_discount*10000) AS BIGINT) AS d,
+                  CAST(round(l_tax*10000) AS BIGINT) AS t FROM lineitem)
+SELECT * FROM (
+ SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, count(*) AS n,
+        CAST(sum(d) AS BIGINT) AS sum_a, CAST(sum(p) AS BIGINT) AS sum_b,
+        CAST(sum(d*p) AS BIGINT) AS sum_ab,
+        CAST(sum(d*d) AS BIGINT) AS sum_a2,
+        CAST(sum(p*p) AS BIGINT) AS sum_b2 FROM v
+ UNION ALL
+ SELECT 'l_discount', 'l_quantity', count(*),
+        CAST(sum(d) AS BIGINT), CAST(sum(q) AS BIGINT),
+        CAST(sum(d*q) AS BIGINT), CAST(sum(d*d) AS BIGINT),
+        CAST(sum(q*q) AS BIGINT) FROM v
+ UNION ALL
+ SELECT 'l_discount', 'l_tax', count(*),
+        CAST(sum(d) AS BIGINT), CAST(sum(t) AS BIGINT),
+        CAST(sum(d*t) AS BIGINT), CAST(sum(d*d) AS BIGINT),
+        CAST(sum(t*t) AS BIGINT) FROM v
+ UNION ALL
+ SELECT 'l_extendedprice', 'l_quantity', count(*),
+        CAST(sum(p) AS BIGINT), CAST(sum(q) AS BIGINT),
+        CAST(sum(p*q) AS BIGINT), CAST(sum(p*p) AS BIGINT),
+        CAST(sum(q*q) AS BIGINT) FROM v
+ UNION ALL
+ SELECT 'l_extendedprice', 'l_tax', count(*),
+        CAST(sum(p) AS BIGINT), CAST(sum(t) AS BIGINT),
+        CAST(sum(p*t) AS BIGINT), CAST(sum(p*p) AS BIGINT),
+        CAST(sum(t*t) AS BIGINT) FROM v
+ UNION ALL
+ SELECT 'l_quantity', 'l_tax', count(*),
+        CAST(sum(q) AS BIGINT), CAST(sum(t) AS BIGINT),
+        CAST(sum(q*t) AS BIGINT), CAST(sum(q*q) AS BIGINT),
+        CAST(sum(t*t) AS BIGINT) FROM v
+) ORDER BY col_a, col_b""",
         "li_orders_join": """
 SELECT o_orderstatus,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

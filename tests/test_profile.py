@@ -110,6 +110,36 @@ def test_grouped_nunique_distributed_path(ray_session):
     assert dict(zip(a["k"], a["n_rows"])) == truth["n_rows"].to_dict()
 
 
+def test_column_pair_corr(ray_session):
+    """column_pair_stats + pearson_of_pair_stats: exact sums reproduce
+    pandas corr, a planted duplicate column flags possible_duplicate, and
+    rows with a null in either column drop pairwise."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.profile import (
+        column_pair_stats,
+        pearson_of_pair_stats,
+    )
+
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 1000, 500).astype(float)
+    df = pd.DataFrame({
+        "x": x,
+        "y": x + rng.integers(-2, 3, 500),   # near-duplicate of x
+        "z": rng.integers(0, 1000, 500).astype(float),
+    })
+    df.loc[7, "z"] = np.nan
+    ds = rd.from_pandas([df.iloc[:250], df.iloc[250:]])
+    stats = column_pair_stats(ds, {"x": 1, "y": 1, "z": 1})
+    r = pearson_of_pair_stats(stats).set_index(["col_a", "col_b"])
+    truth = df.corr()  # pandas corr is pairwise-complete too
+    for (a, b), row in r.iterrows():
+        assert abs(row["r"] - truth.loc[a, b]) < 1e-9, (a, b)
+    assert r.loc[("x", "y"), "possible_duplicate"]
+    assert not r.loc[("x", "z"), "possible_duplicate"]
+    assert r.loc[("x", "z"), "n"] == 499  # null row dropped pairwise
+
+
 def test_variant_groups(ray_session):
     import ray.data as rd
 
