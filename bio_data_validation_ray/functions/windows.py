@@ -1,0 +1,154 @@
+"""Gap-based session windows over an event stream — the stateful-windowing
+operator a training-data pipeline needs (sessionize user/agent event logs)
+that the reference, being strictly batch (SURVEY.md §2.11), never had. The
+nearest reference ancestors are the per-group ordering checks
+(sample_metadata_validator.py:486-504 grouped semantics) and this engine's
+own conversation-segment merge.
+
+Scale design — the same sorted-stream + boundary-stitch skeleton as
+convstage.MergeSegments / keyed_reduce._InteriorReduce:
+
+  events -> sort(key, ts) -> map_batches: vectorized per-batch session
+  PARTIALS (one compact row per maximal within-batch run); every key that is
+  interior to a batch finalizes there; each batch's first/last key's
+  partials pass through to a tiny driver stitch (<= 2 keys per batch, and
+  only their compact partials — never raw events).
+
+Two adjacent partials of one key merge iff the gap between them is <= the
+session gap, which is exactly the window semantics — so chunking cannot
+split or glue sessions differently than a single pass would.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SESSION_COLS = ["key", "ts_start", "ts_end", "n_events"]
+
+
+def _ts_us(col) -> np.ndarray:
+    return np.asarray(col).astype("datetime64[us]").astype(np.int64)
+
+
+def _session_partials(df: pd.DataFrame, key: str, ts_col: str,
+                      gap_us: int) -> pd.DataFrame:
+    """One compact partial row per maximal session run inside a (key, ts)-
+    sorted batch, with the batch's first/last key flagged for the stitch."""
+    cols = {"key": object, "ts_start": np.int64, "ts_end": np.int64,
+            "n_events": np.int64, "__boundary": bool}
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    k = df[key].to_numpy()
+    ts = _ts_us(df[ts_col])
+    newkey = np.concatenate([[True], k[1:] != k[:-1]])
+    gap_brk = np.diff(ts, prepend=ts[0]) > gap_us
+    brk = newkey | gap_brk
+    starts = np.flatnonzero(brk)
+    ends = np.concatenate([starts[1:], [len(k)]])
+    out = pd.DataFrame({
+        "key": k[starts],
+        "ts_start": ts[starts],
+        "ts_end": ts[ends - 1],
+        "n_events": (ends - starts).astype(np.int64),
+    })
+    out["__boundary"] = out["key"].isin({k[0], k[-1]})
+    return out
+
+
+def _merge_partials(frame: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Merge a frame of session partials (any batching) into final sessions,
+    vectorized: sort by (key, ts_start), break where the key changes or the
+    inter-partial gap exceeds ``gap_us``."""
+    if len(frame) == 0:
+        return pd.DataFrame(columns=SESSION_COLS)
+    frame = frame.sort_values(["key", "ts_start", "ts_end"],
+                              kind="stable").reset_index(drop=True)
+    k = frame["key"].to_numpy()
+    s = frame["ts_start"].to_numpy()
+    e = frame["ts_end"].to_numpy()
+    n = frame["n_events"].to_numpy()
+    same = np.concatenate([[False], k[1:] == k[:-1]])
+    prev_end = np.concatenate([[np.int64(-(1 << 62))], e[:-1]])
+    brk = ~same | (s - prev_end > gap_us)
+    starts = np.flatnonzero(brk)
+    out = pd.DataFrame({
+        "key": k[starts],
+        "ts_start": s[starts],
+        "ts_end": np.maximum.reduceat(e, starts),
+        "n_events": np.add.reduceat(n, starts).astype(np.int64),
+    })
+    return out
+
+
+def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
+               gap_s: float = 3600.0, driver_cap: int = 5_000_000):
+    """Session windows -> ``(sessions_ds, sessions_df)``.
+
+    Driver path (partial volume under ``driver_cap``): every compact partial
+    collects once and merges vectorized — ``(None, frame)``. Distributed
+    path: interior keys' sessions stay a Dataset; only boundary keys'
+    partials hit the driver — ``(Dataset, boundary_frame)``; the union of
+    both is the full session set (a key is interior XOR boundary)."""
+    import ray.data as rd
+
+    gap_us = int(round(gap_s * 1_000_000))
+    partials = (
+        ds.sort([key, ts_col])
+        .map_batches(
+            lambda df: _session_partials(df, key, ts_col, gap_us),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if partials.count() <= driver_cap:
+        allp = partials.to_pandas()
+        if "__boundary" in allp.columns:
+            allp = allp.drop(columns=["__boundary"])
+        return None, _merge_partials(allp, gap_us)
+    interior = partials.map_batches(
+        lambda df: df[~df["__boundary"]].drop(columns=["__boundary"]),
+        batch_format="pandas",
+    )
+    boundary = partials.map_batches(
+        lambda df: df[df["__boundary"]].drop(columns=["__boundary"]),
+        batch_format="pandas",
+    ).to_pandas()
+    if "key" not in boundary.columns:
+        boundary = pd.DataFrame(columns=SESSION_COLS)
+    return interior, _merge_partials(boundary, gap_us)
+
+
+def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
+                  gap_s: float = 3600.0,
+                  driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Per-key session summary -> DataFrame[(key, n_sessions, n_events)],
+    sorted by key. In the distributed path the interior sessions reduce via
+    the keyed-reduce stage; the driver only ever sees per-key aggregates
+    plus the boundary keys' compact partials."""
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    sessions_ds, sessions_df = sessionize(ds, key=key, ts_col=ts_col,
+                                          gap_s=gap_s, driver_cap=driver_cap)
+    frames = []
+    if len(sessions_df):
+        frames.append(
+            sessions_df.groupby("key", as_index=False).agg(
+                n_sessions=("n_events", "size"), n_events=("n_events", "sum")
+            )
+        )
+    if sessions_ds is not None:
+        agg = keyed_reduce_pandas(
+            sessions_ds, ["key"],
+            {"n_sessions": ("n_events", "count"),
+             "n_events": ("n_events", "sum")},
+            driver_cap=driver_cap,
+        )
+        if len(agg):
+            frames.append(agg)
+    if not frames:
+        return pd.DataFrame(columns=["key", "n_sessions", "n_events"])
+    out = pd.concat(frames, ignore_index=True)
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)

@@ -435,6 +435,20 @@ def events_daily(sf_dir):
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def events_sessions(sf_dir):
+    """Gap-based session windows per user (functions/windows.sessionize:
+    sorted-stream partials + boundary stitch — the stateful-windowing
+    operator the strictly-batch reference lacks), summarized per user and
+    oracle-stated with a lag() window in SQL."""
+    from ..functions.windows import session_stats
+
+    ds = _read_table(sf_dir, "events", columns=["user_id", "ts"])
+    out = session_stats(ds, key="user_id", ts_col="ts", gap_s=43200)
+    out = out.rename(columns={"key": "user_id"})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out
+
+
 def cust_orders_join(sf_dir):
     """Broadcast (small-side) join: orders x customer -> revenue per market
     segment. The dimension table ships once via ray.put; each batch does a
@@ -987,6 +1001,7 @@ QUERIES = {
     "events_by_type": events_by_type,
     "events_props_k": events_props_k,
     "events_daily": events_daily,
+    "events_sessions": events_sessions,
     "cust_orders_join": cust_orders_join,
     "cust_enrich": cust_enrich,
     "part_units": part_units,
@@ -1297,6 +1312,15 @@ FROM orders o LEFT JOIN
   (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0) c
 ON o.o_custkey = c.c_custkey
 GROUP BY 1""",
+        "events_sessions": """
+WITH m AS (SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM m GROUP BY user_id ORDER BY user_id""",
         "li_corr_pairs": """
 WITH v AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
                   CAST(round(l_extendedprice) AS BIGINT) AS p,

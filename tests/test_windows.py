@@ -1,0 +1,82 @@
+"""Gap-based session windows (functions/windows.py)."""
+
+import numpy as np
+import pandas as pd
+
+from bio_data_validation_ray.functions.windows import (
+    _merge_partials,
+    session_stats,
+    sessionize,
+)
+
+
+def _events(rng, n_users=40, n_events=3000):
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    for u in range(n_users):
+        t = ts0 + np.timedelta64(int(rng.integers(0, 10**6)), "s")
+        for _ in range(int(rng.integers(10, n_events // n_users * 2))):
+            # mixture of short gaps (same session) and long gaps (new one)
+            gap = int(rng.choice([30, 120, 600, 7200, 90000],
+                                 p=[.4, .3, .1, .1, .1]))
+            t = t + np.timedelta64(gap, "s")
+            rows.append((u, t))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    return df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+
+def _pandas_truth(df, gap_s):
+    df = df.sort_values(["user_id", "ts"], kind="stable")
+    prev = df.groupby("user_id")["ts"].shift(1)
+    new_s = prev.isna() | ((df["ts"] - prev).dt.total_seconds() > gap_s)
+    return df.assign(new_s=new_s).groupby("user_id").agg(
+        n_sessions=("new_s", "sum"), n_events=("new_s", "size")
+    )
+
+
+def test_sessionize_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(19)
+    df = _events(rng)
+    frames = [df.iloc[i:i + 97] for i in range(0, len(df), 97)]
+    ds = rd.from_pandas(frames)  # many blocks -> real boundary stitching
+    out = session_stats(ds, gap_s=3600).set_index("key")
+    truth = _pandas_truth(df, 3600)
+    assert out["n_sessions"].to_dict() == truth["n_sessions"].astype(int).to_dict()
+    assert out["n_events"].to_dict() == truth["n_events"].astype(int).to_dict()
+
+
+def test_sessionize_distributed_path_agrees(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    df = _events(rng, n_users=25, n_events=1500)
+    ds = rd.from_pandas([df.iloc[i:i + 80] for i in range(0, len(df), 80)])
+    a = session_stats(ds, gap_s=3600)
+    b = session_stats(ds, gap_s=3600, driver_cap=0)
+    pd.testing.assert_frame_equal(a, b)
+    # full session rows, both paths
+    _, drv = sessionize(ds, gap_s=3600)
+    interior, boundary = sessionize(ds, gap_s=3600, driver_cap=0)
+    dist = pd.concat([interior.to_pandas(), boundary], ignore_index=True)
+    key = ["key", "ts_start"]
+    pd.testing.assert_frame_equal(
+        drv.sort_values(key).reset_index(drop=True),
+        dist.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_merge_partials_respects_gap():
+    # two partials of one key merge iff the inter-partial gap <= gap
+    f = pd.DataFrame({
+        "key": ["a", "a", "b"],
+        "ts_start": [0, 2_000_000, 0],
+        "ts_end": [1_000_000, 3_000_000, 500_000],
+        "n_events": [3, 2, 1],
+    })
+    merged = _merge_partials(f, gap_us=1_000_000)  # gap exactly 1s -> merge
+    a = merged[merged["key"] == "a"]
+    assert len(a) == 1 and int(a["n_events"].iloc[0]) == 5
+    split = _merge_partials(f, gap_us=999_999)     # 1 µs short -> split
+    assert len(split[split["key"] == "a"]) == 2
