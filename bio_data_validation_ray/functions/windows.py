@@ -119,6 +119,81 @@ def sessionize(ds, *, key: str = "user_id", ts_col: str = "ts",
     return interior, _merge_partials(boundary, gap_us)
 
 
+def _asof_frame(df: pd.DataFrame, key: str, ts_col: str, out_cols: list[str],
+                marker: str, marker_col: str, marker_value) -> pd.DataFrame:
+    """Vectorized as-of attachment over a (key, ts)-sorted frame: for every
+    row, the max marker timestamp at-or-before its own ts (RANGE semantics —
+    timestamp ties share one answer regardless of tie order). Pure kernel,
+    used by both the per-batch interior pass and the driver stitch."""
+    if len(df) == 0:
+        out = df[out_cols].copy() if set(out_cols) <= set(df.columns) \
+            else pd.DataFrame(columns=out_cols)
+        out[marker] = pd.Series(dtype=np.int64)
+        return out
+    k = df[key].to_numpy()
+    ts = _ts_us(df[ts_col])
+    is_mark = (df[marker_col] == marker_value).to_numpy()
+    v = np.where(is_mark, ts, np.int64(-(1 << 62)))
+    newkey = np.concatenate([[True], k[1:] != k[:-1]])
+    # value-grouped (RANGE) running max: collapse timestamp ties to one
+    # group, max within group, cummax across groups per key
+    brk = newkey | np.concatenate([[True], ts[1:] != ts[:-1]])
+    starts = np.flatnonzero(brk)
+    gid = np.cumsum(brk) - 1
+    gmax = np.maximum.reduceat(v, starts)
+    gkey = pd.factorize(k[starts])[0]
+    run = pd.Series(gmax).groupby(gkey).cummax().to_numpy()
+    per_row = run[gid]
+    out = df[out_cols].copy()
+    out[marker] = per_row
+    return out[per_row > np.int64(-(1 << 61))].reset_index(drop=True)
+
+
+def asof_last_marker(ds, *, key: str = "user_id", ts_col: str = "ts",
+                     marker_col: str, marker_value, out_cols: list[str],
+                     out_name: str = "last_marker_us",
+                     driver_cap: int = 5_000_000):
+    """As-of join against the stream itself: for every row, attach the
+    latest marker-row timestamp of the same key at-or-before the row's own
+    ts (rows with no prior marker are dropped). The as-of/range-join class
+    is absent from both the reference and Ray Data's relational API
+    (SURVEY.md §2.4 has no joins at all); this is the sorted-stream
+    re-expression: sort by (key, ts), interior keys finalize vectorized per
+    batch, each batch's first/last key's raw rows stitch on the driver —
+    identical invariant to sessionize/MergeSegments, so chunking cannot
+    change any answer. Returns ``(interior_ds_or_None, driver_frame)``."""
+    import ray.data as rd
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return _asof_frame(df, key, ts_col, out_cols, out_name,
+                           marker_col, marker_value)
+
+    srt = ds.sort([key, ts_col]).materialize()
+    if srt.count() <= driver_cap:
+        allrows = srt.to_pandas()
+        # global frame is fully sorted -> one kernel pass decides every key
+        return None, kernel(allrows)
+
+    def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        kk = df[key].to_numpy()
+        bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
+        return df[bmask] if want_boundary else df[~bmask]
+
+    interior = srt.map_batches(
+        lambda df: kernel(split(df, False)), batch_format="pandas"
+    )
+    boundary_rows = srt.map_batches(
+        lambda df: split(df, True), batch_format="pandas"
+    ).to_pandas()
+    if key not in boundary_rows.columns:
+        boundary_rows = pd.DataFrame(
+            columns=list(dict.fromkeys([key, ts_col, marker_col] + out_cols)))
+    boundary_rows = boundary_rows.sort_values([key, ts_col], kind="stable")
+    return interior, kernel(boundary_rows)
+
+
 def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
                   gap_s: float = 3600.0,
                   driver_cap: int = 5_000_000) -> pd.DataFrame:

@@ -449,6 +449,33 @@ def events_sessions(sf_dir):
     return out
 
 
+def events_last_view(sf_dir):
+    """As-of join against the stream itself (functions/windows.
+    asof_last_marker): every event gets the latest 'view' timestamp of the
+    same user at-or-before its own ts; events with no prior view drop.
+    Oracle: a RANGE window max in SQL."""
+    from ..functions.windows import asof_last_marker
+
+    ds = _read_table(sf_dir, "events",
+                     columns=["event_id", "user_id", "event_type", "ts"])
+    interior, drv = asof_last_marker(
+        ds, key="user_id", ts_col="ts", marker_col="event_type",
+        marker_value="view", out_cols=["event_id"],
+        out_name="last_view_us",
+    )
+    frames = [drv] if len(drv) else []
+    if interior is not None:
+        idf = interior.to_pandas()
+        if len(idf):
+            frames.append(idf)
+    if not frames:
+        return pd.DataFrame(columns=["event_id", "last_view_us"])
+    out = pd.concat(frames, ignore_index=True)
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["last_view_us"] = out["last_view_us"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def cust_orders_join(sf_dir):
     """Broadcast (small-side) join: orders x customer -> revenue per market
     segment. The dimension table ships once via ray.put; each batch does a
@@ -1002,6 +1029,7 @@ QUERIES = {
     "events_props_k": events_props_k,
     "events_daily": events_daily,
     "events_sessions": events_sessions,
+    "events_last_view": events_last_view,
     "cust_orders_join": cust_orders_join,
     "cust_enrich": cust_enrich,
     "part_units": part_units,
@@ -1321,6 +1349,15 @@ WITH m AS (SELECT user_id, ts,
 SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM m GROUP BY user_id ORDER BY user_id""",
+        "events_last_view": """
+WITH m AS (SELECT event_id,
+        max(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+      FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       epoch_us(lv) AS last_view_us
+FROM m WHERE lv IS NOT NULL ORDER BY event_id""",
         "li_corr_pairs": """
 WITH v AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
                   CAST(round(l_extendedprice) AS BIGINT) AS p,

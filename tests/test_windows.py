@@ -67,6 +67,58 @@ def test_sessionize_distributed_path_agrees(ray_session):
     )
 
 
+def test_asof_last_marker(ray_session):
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import asof_last_marker
+
+    rng = np.random.default_rng(29)
+    df = _events(rng, n_users=20, n_events=1200)
+    df["event_id"] = np.arange(len(df))
+    df["event_type"] = rng.choice(["view", "click", "buy"], len(df),
+                                  p=[0.3, 0.5, 0.2])
+    # plant a timestamp TIE: a view and a click at the same (user, ts) —
+    # RANGE semantics means the click sees the tied view
+    t0 = df.iloc[0]
+    df.loc[len(df)] = [t0["user_id"], t0["ts"], len(df), "view"]
+    df.loc[len(df)] = [t0["user_id"], t0["ts"], len(df), "click"]
+
+    def truth(d):
+        d = d.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = {}
+        last = {}
+        # two passes per (user, ts) group to model RANGE tie inclusion
+        for (u, ts), grp in d.groupby(["user_id", "ts"], sort=True):
+            vmax = grp.loc[grp["event_type"] == "view", "ts"].max()
+            cur = last.get(u)
+            if pd.notna(vmax):
+                cur = vmax if cur is None or vmax > cur else cur
+                last[u] = cur
+            for eid in grp["event_id"]:
+                if cur is not None:
+                    out[int(eid)] = int(np.datetime64(cur, "us").astype(np.int64))
+        return out
+
+    expect = truth(df)
+    ds = rd.from_pandas([df.iloc[i:i + 70] for i in range(0, len(df), 70)])
+    interior, drv = asof_last_marker(
+        ds, key="user_id", ts_col="ts", marker_col="event_type",
+        marker_value="view", out_cols=["event_id"], out_name="lv",
+    )
+    assert interior is None  # small input -> driver path
+    got = dict(zip(drv["event_id"].astype(int), drv["lv"].astype(int)))
+    assert got == expect
+    # distributed path agrees
+    i2, d2 = asof_last_marker(
+        ds, key="user_id", ts_col="ts", marker_col="event_type",
+        marker_value="view", out_cols=["event_id"], out_name="lv",
+        driver_cap=0,
+    )
+    full = pd.concat([i2.to_pandas(), d2], ignore_index=True)
+    got2 = dict(zip(full["event_id"].astype(int), full["lv"].astype(int)))
+    assert got2 == expect
+
+
 def test_merge_partials_respects_gap():
     # two partials of one key merge iff the inter-partial gap <= gap
     f = pd.DataFrame({
