@@ -149,6 +149,37 @@ def variant_groups(ds, column: str,
     return out
 
 
+def histogram_fixed(ds, column: str, edges, by: list[str] | None = None
+                    ) -> pd.DataFrame:
+    """Exact fixed-edge histogram counts, optionally per group —
+    the deterministic building block under drift scoring (drift.py's PSI
+    bins come from t-digest cdfs, which are approximate by design; this is
+    the exact-count twin, SQL-statable as a sum of threshold indicators).
+
+    Bin index of value v = #edges <= v (0 = below the first edge). Null
+    values are dropped (state WHERE column IS NOT NULL in the oracle).
+    -> DataFrame[(by..., bin, n)] sorted by keys."""
+    bys = list(by or [])
+    edges_arr = np.asarray(edges, dtype=np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[column])
+        b = np.searchsorted(edges_arr, df[column].to_numpy(dtype=np.float64),
+                            side="right")
+        g = pd.DataFrame({**{k: df[k].to_numpy() for k in bys},
+                          "bin": b.astype(np.int64)})
+        return g.groupby(bys + ["bin"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    out = combine_low_card(
+        ds.map_batches(partial, batch_format="pandas"),
+        bys + ["bin"], {"n": ("n", "sum")},
+    )
+    out["bin"] = out["bin"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(bys + ["bin"]).reset_index(drop=True)
+
+
 def column_pair_stats(ds, cols: dict[str, int]) -> pd.DataFrame:
     """Exact pairwise second-moment sums for column-pair correlation
     (matrix_validator.py:588-610's duplicate-sample r > 0.99 check, which

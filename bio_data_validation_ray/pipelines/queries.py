@@ -435,6 +435,33 @@ def events_daily(sf_dir):
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def t_textlen_hist(sf_dir):
+    """Per-shard exact text-length histogram at fixed edges — the
+    deterministic twin of the drift stage's digest-derived PSI bins
+    (profile.histogram_fixed; oracle states each bin as a sum of
+    threshold indicators)."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.profile import histogram_fixed
+
+    d = transcripts_dir(sf_dir)
+    files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    ds = rd.read_parquet(files, columns=["text"], include_paths=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        shard = pc.replace_substring_regex(t["path"], r"^.*/", "")
+        return pa.table({"shard": shard,
+                         "text_len": pc.utf8_length(t["text"])})
+
+    lens = ds.map_batches(prep, batch_format="pyarrow")
+    return histogram_fixed(lens, "text_len", [1, 50, 100, 200, 400, 800],
+                           by=["shard"])
+
+
 def events_sessions(sf_dir):
     """Gap-based session windows per user (functions/windows.sessionize:
     sorted-stream partials + boundary stitch — the stateful-windowing
@@ -1028,6 +1055,7 @@ QUERIES = {
     "events_by_type": events_by_type,
     "events_props_k": events_props_k,
     "events_daily": events_daily,
+    "t_textlen_hist": t_textlen_hist,
     "events_sessions": events_sessions,
     "events_last_view": events_last_view,
     "cust_orders_join": cust_orders_join,
@@ -1247,6 +1275,16 @@ FROM shards s LEFT JOIN counts c ON s.shard = c.shard"""
                      f"GROUP BY conv_id, turn_idx, role, text, tool, ts "
                      f"HAVING count(*)>1) g)",
         "t_rule_counts": rule_counts,
+        "t_textlen_hist": f"{tq} SELECT shard, "
+                          f"CAST((length(text)>=1) AS BIGINT)"
+                          f"+CAST((length(text)>=50) AS BIGINT)"
+                          f"+CAST((length(text)>=100) AS BIGINT)"
+                          f"+CAST((length(text)>=200) AS BIGINT)"
+                          f"+CAST((length(text)>=400) AS BIGINT)"
+                          f"+CAST((length(text)>=800) AS BIGINT) AS bin, "
+                          f"count(*) AS n "
+                          f"FROM t WHERE text IS NOT NULL "
+                          f"GROUP BY 1, 2 ORDER BY 1, 2",
         "t_conv_stats": f"{tq} SELECT conv_id, count(*) AS n_turns, "
                         f"CAST(min(turn_idx) AS BIGINT) AS turn_min, "
                         f"CAST(max(turn_idx) AS BIGINT) AS turn_max "
