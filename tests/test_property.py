@@ -80,3 +80,40 @@ def test_add_simhash_equals_scalar(texts):
     df = add_simhash(pd.DataFrame({"text": texts}))
     ref = [np.int64(simhash64(s).astype(np.int64)) for s in texts]
     assert list(df["simhash"]) == ref
+
+
+@given(st.lists(st.text(alphabet="ab x", max_size=30), min_size=2,
+                max_size=12),
+       st.integers(1, 4))
+def test_word_ngram_jaccard_symmetry_and_bounds(texts, n):
+    from bio_data_validation_ray.functions.dedup import (
+        ngram_jaccard,
+        word_shingles,
+    )
+
+    a, b = texts[0], texts[1]
+    j = ngram_jaccard(a, b, n)
+    assert 0.0 <= j <= 1.0
+    assert j == ngram_jaccard(b, a, n)  # symmetric
+    assert ngram_jaccard(a, a, n) == 1.0  # reflexive
+    # whitespace normalization: token-identical texts are set-identical
+    a2 = "  " + a.replace(" ", "   ") + " "
+    assert np.array_equal(word_shingles(a, n), word_shingles(a2, n))
+
+
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=1,
+                max_size=300),
+       st.lists(st.floats(-100, 100, allow_nan=False), min_size=2,
+                max_size=6))
+def test_histogram_fixed_partials_sum_to_whole(values, edges):
+    # histogram bin semantics: bin = #edges <= v, exact under any chunking
+    edges = sorted(set(edges))
+    arr = np.asarray(values, dtype=np.float64)
+    whole = np.bincount(np.searchsorted(edges, arr, side="right"),
+                        minlength=len(edges) + 1)
+    chunked = np.zeros(len(edges) + 1, dtype=np.int64)
+    for chunk in np.array_split(arr, 3):
+        chunked += np.bincount(np.searchsorted(edges, chunk, side="right"),
+                               minlength=len(edges) + 1)
+    assert (whole == chunked).all()
+    assert whole.sum() == arr.size
