@@ -83,6 +83,27 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("input_dir")
     b.add_argument("-o", "--out", required=True)
     b.add_argument("--num-cpus", type=int, default=None)
+    d = sub.add_parser(
+        "dedup",
+        help="duplicate mining over a parquet table (exact groups or "
+             "near-dup pairs; integer id column required for pair methods)",
+    )
+    d.add_argument("input", help="parquet file or directory")
+    d.add_argument("-o", "--out", required=True, help="output parquet path")
+    d.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash", "simhash-exact",
+                            "ngram", "embedding"])
+    d.add_argument("--col", default="text",
+                   help="text column (or embedding column for --method "
+                        "embedding)")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--threshold", type=float, default=0.8,
+                   help="jaccard (minhash/ngram) or cosine (embedding) "
+                        "threshold")
+    d.add_argument("--max-hamming", type=int, default=3,
+                   help="simhash hamming radius")
+    d.add_argument("--ngram", type=int, default=3, help="word n-gram size")
+    d.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
     import ray
@@ -98,6 +119,45 @@ def main(argv: list[str] | None = None) -> int:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "dedup":
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+        import ray.data as rd
+
+        from .functions import dedup as dd
+
+        paths = (
+            sorted(_glob.glob(os.path.join(args.input, "*.parquet")))
+            if os.path.isdir(args.input) else [args.input]
+        )
+        ds = rd.read_parquet(paths)
+        if args.method == "exact":
+            out = dd.exact_dedup_groups(ds, id_col=args.id_col, col=args.col)
+        elif args.method == "minhash":
+            out = dd.minhash_near_dups(ds, col=args.col, id_col=args.id_col,
+                                       threshold=args.threshold)
+        elif args.method == "simhash":
+            out = dd.simhash_near_dups(ds, col=args.col, id_col=args.id_col,
+                                       max_hamming=args.max_hamming)
+        elif args.method == "simhash-exact":
+            out = dd.simhash_exact_dups(ds, col=args.col, id_col=args.id_col)
+        elif args.method == "ngram":
+            out = dd.ngram_jaccard_dups(ds, col=args.col, id_col=args.id_col,
+                                        n=args.ngram,
+                                        threshold=args.threshold)
+        else:
+            out = dd.embedding_near_dups(ds, id_col=args.id_col,
+                                         vec_col=args.col,
+                                         threshold=args.threshold)
+        _pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                        args.out)
+        print(json.dumps({"method": args.method, "rows": int(len(out)),
+                          "out": args.out}))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "baseline":
         from .drift import build_baseline

@@ -121,6 +121,48 @@ class TestCli:
         rep = json.loads(r2.stdout)
         assert rep["final_decision"] == "accepted"
 
+    def test_cli_dedup_subcommand(self, tmp_path):
+        """dedup CLI: exact groups and minhash pairs over the documents
+        fixture; planted duplicate must pair up."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        t = pq.read_table(src, columns=["doc_id", "text"]).to_pandas()
+        dup = t.iloc[:1].assign(doc_id=999999)  # plant an exact copy of doc 0
+        import pyarrow as pa
+
+        inp = tmp_path / "docs.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat([t, dup], ignore_index=True),
+                                 preserve_index=False),
+            inp,
+        )
+        out = tmp_path / "pairs.parquet"
+        r = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli", "dedup",
+             str(inp), "-o", str(out), "--method", "minhash",
+             "--threshold", "0.99", "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        meta = json.loads(r.stdout.strip().splitlines()[-1])
+        pairs = pd.read_parquet(out)
+        assert meta["rows"] == len(pairs)
+        assert ((pairs["id_a"] == t["doc_id"].iloc[0])
+                & (pairs["id_b"] == 999999)).any()
+        out2 = tmp_path / "groups.parquet"
+        r2 = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli", "dedup",
+             str(inp), "-o", str(out2), "--method", "exact",
+             "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r2.returncode == 0, r2.stderr[-800:]
+        groups = pd.read_parquet(out2)
+        assert len(groups) == len(t)  # one group per distinct text
+        assert (groups["n_copies"] == 2).sum() == 1
+
     def test_cli_custom_yaml_rules(self, tmp_path):
         from bio_data_validation_ray import registry as rm
         from bio_data_validation_ray.sources.transcripts import ensure_transcripts

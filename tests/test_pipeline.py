@@ -482,6 +482,29 @@ class TestDistributedPath:
         sb = vb[key].fillna("~").sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(sa, sb)
 
+    def test_resumable_distributed_crash_resume(self, ray_session, tmp_path):
+        """Crash after one pass with the distributed branch forced
+        (driver_cap=0): group artifacts are write_parquet DIRECTORIES; the
+        resume pruner must handle them and the finished run must match an
+        uninterrupted driver-path run exactly."""
+        from bio_data_validation_ray.pipelines.validate import validate_resumable
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        ref = validate_resumable(d, run_dir=str(tmp_path / "ref"),
+                                 files_per_pass=3, concurrency=2)
+        run = str(tmp_path / "r")
+        partial = validate_resumable(d, run_dir=run, files_per_pass=3,
+                                     max_passes=1, concurrency=2,
+                                     driver_cap=0)
+        assert partial["final_decision"] == "incomplete"
+        full = validate_resumable(d, run_dir=run, files_per_pass=3,
+                                  concurrency=2, driver_cap=0)
+        assert full["complete"]
+        assert full["severity_counts"] == ref["severity_counts"]
+        assert full["final_decision"] == ref["final_decision"]
+        assert full["per_shard"] == ref["per_shard"]
+
     def test_resumable_distributed_final_merge(self, ray_session, tmp_path):
         """validate_resumable's final conversation merge routes through the
         same distributed branch when the persisted segments exceed
