@@ -30,10 +30,11 @@ BENCH_CONVS = int(os.environ.get("BENCH_CONVS", "100000"))
 BENCH_MEAN_LEN = int(os.environ.get("BENCH_MEAN_LEN", "18"))
 
 QUERY_SUBSET = [
-    "t_rule_counts", "t_conv_stats", "t_role_stats",
-    "events_validate", "events_by_type",
+    "t_rule_counts", "t_conv_stats", "t_role_stats", "t_textlen_hist",
+    "events_validate", "events_by_type", "events_sessions",
+    "events_last_view",
     "doc_dedup_exact", "doc_token_count", "doc_minhash_pairs",
-    "emb_topk", "li_pricing",
+    "emb_topk", "emb_near_dups", "li_pricing", "li_corr_pairs",
 ]
 
 
