@@ -194,6 +194,69 @@ def asof_last_marker(ds, *, key: str = "user_id", ts_col: str = "ts",
     return interior, kernel(boundary_rows)
 
 
+def _gap_frame(df: pd.DataFrame, key: str, ts_col: str) -> pd.DataFrame:
+    """Per-key inter-row timestamp gap stats over a (key, *order_cols)-sorted
+    frame: (key, n_gaps, max_gap_us). Vectorized; single-row keys emit
+    nothing (no gaps)."""
+    cols = {"key": object, "n_gaps": np.int64, "max_gap_us": np.int64}
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    k = df[key].to_numpy()
+    ts = _ts_us(df[ts_col])
+    same = np.concatenate([[False], k[1:] == k[:-1]])
+    gap = np.diff(ts, prepend=ts[0])
+    codes, uniq = pd.factorize(k)
+    n_gaps = np.bincount(codes[same], minlength=len(uniq)).astype(np.int64)
+    maxg = np.full(len(uniq), np.int64(-(1 << 62)))
+    np.maximum.at(maxg, codes[same], gap[same])
+    keep = n_gaps > 0
+    return pd.DataFrame({
+        "key": np.asarray(uniq, dtype=object)[keep],
+        "n_gaps": n_gaps[keep],
+        "max_gap_us": maxg[keep],
+    })
+
+
+def gap_stats(ds, *, key: str, order_cols: list[str], ts_col: str,
+              driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Per-key inter-row gap summary (n_gaps, max_gap_us) in the key's own
+    ordering — e.g. per-conversation response latency between consecutive
+    turns, the windowed-aggregate analog of the reference's per-group
+    ordering checks (SURVEY.md §2.6). Same sorted-stream + first/last-key
+    boundary-stitch skeleton as asof_last_marker; gaps never cross keys, so
+    a key's stats are exact whether it finalizes in-batch or on the driver.
+    -> DataFrame[(key, n_gaps, max_gap_us)] sorted by key."""
+    srt = ds.sort([key] + order_cols + [ts_col]).materialize()
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return _gap_frame(df, key, ts_col)
+
+    if srt.count() <= driver_cap:
+        out = kernel(srt.to_pandas())
+    else:
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df[key].to_numpy()
+            bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = srt.map_batches(
+            lambda df: kernel(split(df, False)), batch_format="pandas"
+        ).to_pandas()
+        boundary_rows = srt.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        if key not in boundary_rows.columns:
+            boundary_rows = pd.DataFrame(columns=[key, ts_col] + order_cols)
+        boundary_rows = boundary_rows.sort_values(
+            [key] + order_cols + [ts_col], kind="stable")
+        out = pd.concat([interior, kernel(boundary_rows)], ignore_index=True)
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    out["max_gap_us"] = out["max_gap_us"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
 def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
                   gap_s: float = 3600.0,
                   driver_cap: int = 5_000_000) -> pd.DataFrame:

@@ -462,6 +462,21 @@ def t_textlen_hist(sf_dir):
                            by=["shard"])
 
 
+def t_turn_gaps(sf_dir):
+    """Per-conversation response-latency summary (max inter-turn timestamp
+    gap in turn order) via the sorted-stream gap operator
+    (functions/windows.gap_stats); oracle is a lag() window in SQL."""
+    import ray.data as rd
+
+    from ..functions.windows import gap_stats
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir),
+                         columns=["conv_id", "turn_idx", "ts"])
+    out = gap_stats(ds, key="conv_id", order_cols=["turn_idx"], ts_col="ts")
+    out = out.rename(columns={"key": "conv_id"})
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def events_sessions(sf_dir):
     """Gap-based session windows per user (functions/windows.sessionize:
     sorted-stream partials + boundary stitch — the stateful-windowing
@@ -1056,6 +1071,7 @@ QUERIES = {
     "events_props_k": events_props_k,
     "events_daily": events_daily,
     "t_textlen_hist": t_textlen_hist,
+    "t_turn_gaps": t_turn_gaps,
     "events_sessions": events_sessions,
     "events_last_view": events_last_view,
     "cust_orders_join": cust_orders_join,
@@ -1285,6 +1301,14 @@ FROM shards s LEFT JOIN counts c ON s.shard = c.shard"""
                           f"count(*) AS n "
                           f"FROM t WHERE text IS NOT NULL "
                           f"GROUP BY 1, 2 ORDER BY 1, 2",
+        "t_turn_gaps": f"{tq}, g AS (SELECT conv_id, "
+                       f"epoch_us(ts) - epoch_us(lag(ts) OVER ("
+                       f"PARTITION BY conv_id ORDER BY turn_idx, ts)) AS gap "
+                       f"FROM t) "
+                       f"SELECT conv_id, CAST(count(gap) AS BIGINT) AS n_gaps, "
+                       f"CAST(max(gap) AS BIGINT) AS max_gap_us "
+                       f"FROM g WHERE gap IS NOT NULL "
+                       f"GROUP BY conv_id ORDER BY conv_id",
         "t_conv_stats": f"{tq} SELECT conv_id, count(*) AS n_turns, "
                         f"CAST(min(turn_idx) AS BIGINT) AS turn_min, "
                         f"CAST(max(turn_idx) AS BIGINT) AS turn_max "

@@ -119,6 +119,32 @@ def test_asof_last_marker(ray_session):
     assert got2 == expect
 
 
+def test_gap_stats_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import gap_stats
+
+    rng = np.random.default_rng(37)
+    df = _events(rng, n_users=15, n_events=900)
+    ds = rd.from_pandas([df.iloc[i:i + 60] for i in range(0, len(df), 60)])
+    out = gap_stats(ds, key="user_id", order_cols=[], ts_col="ts")
+    srt = df.sort_values(["user_id", "ts"], kind="stable")
+    gaps = (srt["ts"] - srt.groupby("user_id")["ts"].shift(1)).dt.total_seconds()
+    truth = (
+        srt.assign(g=gaps).dropna(subset=["g"]).groupby("user_id")["g"]
+        .agg(n_gaps="size", max_gap="max")
+    )
+    got = out.set_index("key")
+    assert got["n_gaps"].to_dict() == truth["n_gaps"].astype(int).to_dict()
+    assert all(
+        abs(got.loc[u, "max_gap_us"] / 1e6 - truth.loc[u, "max_gap"]) < 1e-6
+        for u in truth.index
+    )
+    dist = gap_stats(ds, key="user_id", order_cols=[], ts_col="ts",
+                     driver_cap=0)
+    pd.testing.assert_frame_equal(out, dist)
+
+
 def test_merge_partials_respects_gap():
     # two partials of one key merge iff the inter-partial gap <= gap
     f = pd.DataFrame({
