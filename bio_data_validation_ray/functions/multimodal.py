@@ -206,6 +206,81 @@ def audio_features(samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     return (frame / nn if nn else frame).astype(np.float32)
 
 
+def spectrogram(samples: np.ndarray, *, n_fft: int = 256,
+                hop: int = 128) -> np.ndarray:
+    """REAL short-time Fourier magnitude spectrogram (numpy FFT — no codec
+    or DSP library needed): Hann-windowed frames of ``n_fft`` samples every
+    ``hop`` samples -> (n_frames, n_fft//2 + 1) float32 magnitudes. The
+    frame matrix is one stride-tricks view (no copy) and one batched rfft."""
+    mono = samples.astype(np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    if mono.size < n_fft:
+        mono = np.pad(mono, (0, n_fft - mono.size))
+    n_frames = 1 + (mono.size - n_fft) // hop
+    frames = np.lib.stride_tricks.as_strided(
+        mono, shape=(n_frames, n_fft),
+        strides=(mono.strides[0] * hop, mono.strides[0]),
+    )
+    window = np.hanning(n_fft)
+    return np.abs(np.fft.rfft(frames * window, axis=1)).astype(np.float32)
+
+
+def spectral_features(samples: np.ndarray, dim: int = FEATURE_DIM,
+                      *, n_fft: int = 256, hop: int = 128) -> np.ndarray:
+    """REAL spectral audio features: time-averaged log-magnitude spectrum
+    pooled into ``dim`` mel-ish (log-spaced) bands, L2-normalized — the
+    spectrogram-backed upgrade of the RMS-energy ``audio_features``."""
+    spec = spectrogram(samples, n_fft=n_fft, hop=hop)
+    avg = np.log1p(spec).mean(axis=0)           # (n_fft//2 + 1,)
+    m = avg.size
+    # dim+1 ascending integer edges in [0, m], log-spaced; collapsed low
+    # edges are refilled with the smallest missing integers (keeps the
+    # low-frequency end dense, mel-ish)
+    raw = np.round(np.geomspace(1, m, dim + 1)).astype(np.int64)
+    raw[0], raw[-1] = 0, m
+    edges = np.unique(raw)
+    if edges.size < dim + 1:
+        fill = np.setdiff1d(np.arange(0, m + 1), edges)
+        edges = np.sort(np.concatenate(
+            [edges, fill[: dim + 1 - edges.size]]))
+    cs = np.concatenate([[0.0], np.cumsum(avg)])
+    band = (cs[edges[1:]] - cs[edges[:-1]]) / np.maximum(np.diff(edges), 1)
+    if band.size < dim:  # tiny n_fft: fewer bins than bands
+        band = np.pad(band, (0, dim - band.size))
+    nn = np.linalg.norm(band)
+    return (band / nn if nn else band).astype(np.float32)
+
+
+class SpectrogramStage:
+    """Actor-pool map_batches stage: WAV payload column -> spectral feature
+    vector (REAL numpy STFT; per-actor state is just the config). Output
+    schema mirrors MediaFeaturizer: payload replaced by (payload_bytes,
+    spectral) so heavy bytes never travel further than this stage."""
+
+    def __init__(self, dim: int = FEATURE_DIM, n_fft: int = 256,
+                 hop: int = 128):
+        self.dim, self.n_fft, self.hop = dim, n_fft, hop
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = []
+        sizes = []
+        for p in t["payload"].to_pylist():
+            sizes.append(len(p))
+            samples, _rate = decode_wav(p)
+            feats.append(spectral_features(samples, self.dim,
+                                           n_fft=self.n_fft, hop=self.hop))
+        out = t.drop_columns(["payload"])
+        out = out.append_column("payload_bytes",
+                                pa.array(sizes, type=pa.int64()))
+        out = out.append_column(
+            "spectral",
+            pa.array([f.tolist() for f in feats],
+                     type=pa.list_(pa.float32())),
+        )
+        return out
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload. REAL for the container-friendly uncompressed
     formats (P6 PPM, 24-bit BMP — pure numpy); compressed formats (PNG/JPEG)

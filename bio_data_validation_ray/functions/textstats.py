@@ -142,6 +142,36 @@ def add_fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     return batch
 
 
+def word_counts(ds, *, col: str = "text", top_k: int | None = None,
+                driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Distributed vocabulary building: whitespace-token counts over a text
+    column -> DataFrame[(word, n)], optionally truncated to the ``top_k``
+    most frequent (ties broken by word). The per-batch partial collapses
+    each batch to its distinct words, so the keyed reduce shuffles vocabulary
+    -sized partials, never tokens; exact at any vocabulary cardinality via
+    stages/keyed_reduce."""
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[col].str.split().explode().dropna()
+        if not len(toks):
+            return pd.DataFrame({"word": [], "n": []})
+        vc = toks.value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+
+    out = keyed_reduce_pandas(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")},
+        partial_applied=True, driver_cap=driver_cap,
+    )
+    if not len(out):
+        return pd.DataFrame({"word": [], "n": []})
+    out["n"] = out["n"].astype(np.int64)
+    out = out.sort_values(["n", "word"], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    return out.head(top_k).reset_index(drop=True) if top_k else out
+
+
 def rolling_hashes(text: str, window: int = 16, base: int = 257) -> np.ndarray:
     """Polynomial rolling hash over a sliding byte window (public Rabin-Karp
     scheme in the 2^64 ring) — building block for content-defined

@@ -788,6 +788,19 @@ def doc_langid(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_word_counts(sf_dir):
+    """Distributed vocabulary building (textstats.word_counts): top-50
+    whitespace tokens by frequency; oracle via unnest(string_split_regex)."""
+    import ray.data as rd
+
+    from ..functions.textstats import word_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["text"])
+    return word_counts(ds, top_k=50)
+
+
 def doc_minhash_pairs(sf_dir):
     import ray.data as rd
 
@@ -1094,6 +1107,7 @@ QUERIES = {
     "doc_simhash_dups": doc_simhash_dups,
     "doc_simhash_planted": doc_simhash_planted,
     "doc_token_bpe": doc_token_bpe,
+    "doc_word_counts": doc_word_counts,
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1482,6 +1496,11 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_word_counts": r"""
+WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')) AS word FROM documents)
+SELECT word, count(*) AS n FROM w
+GROUP BY word ORDER BY n DESC, word LIMIT 50""",
         "doc_token_bpe": r"""
 SELECT doc_id, CAST(length(regexp_extract_all(text,
        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe

@@ -376,6 +376,47 @@ class TestTextStats:
         assert (out["lang"] == out["lang_pred"]).mean() >= 0.95
 
 
+class TestSpectrogram:
+    def test_sine_peaks_at_expected_bin(self):
+        from bio_data_validation_ray.functions.multimodal import spectrogram
+
+        rate, n_fft = 16000, 256
+        f = 2000.0  # -> bin f * n_fft / rate = 32
+        t = np.arange(rate) / rate
+        sig = (np.sin(2 * np.pi * f * t) * 20000).astype(np.int16)[:, None]
+        spec = spectrogram(sig, n_fft=n_fft, hop=128)
+        assert spec.shape[1] == n_fft // 2 + 1
+        peak = spec.mean(axis=0).argmax()
+        assert abs(int(peak) - 32) <= 1
+
+    def test_spectral_stage_plumbing(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.multimodal import (
+            FEATURE_DIM,
+            SpectrogramStage,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(5)
+        rows = []
+        for i, f in enumerate([500.0, 1000.0, 4000.0, 6000.0]):
+            t = np.arange(8000) / 16000
+            sig = (np.sin(2 * np.pi * f * t) * 15000
+                   + rng.standard_normal(t.size) * 100).astype(np.int16)
+            rows.append({"media_id": i, "payload": encode_wav(sig)})
+        ds = rd.from_items(rows)
+        out = ds.map_batches(SpectrogramStage, batch_format="pyarrow",
+                             concurrency=2, max_restarts=0).to_pandas()
+        assert len(out) == 4
+        assert "payload" not in out.columns  # heavy bytes dropped
+        feats = np.stack(out.sort_values("media_id")["spectral"].to_numpy())
+        assert feats.shape == (4, FEATURE_DIM)
+        assert np.allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)
+        # distinct tones -> distinct spectral signatures
+        assert float(feats[0] @ feats[3]) < 0.999
+
+
 class TestMultimodal:
     def test_featurizer_plumbing(self, ray_session):
         import ray.data as rd
