@@ -21,6 +21,38 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def quantize_embeddings(ds, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> pd.DataFrame:
+    """Symmetric per-vector int8 quantization (the standard embedding
+    compression step before ANN indexing at scale): q = round_half_away(
+    127 * x / max|x|) with an all-zero vector mapping to zeros. Exploded to
+    one (vec_id, dim, q) row per component so the result is integer-exact
+    and SQL-statable (queries.emb_quantize oracle; arithmetic is done in
+    float64 on both sides — half-away rounding matches SQL round())."""
+    import pyarrow as pa
+
+    def q(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        if V.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        mx = np.abs(V).max(axis=1)
+        scale = np.where(mx == 0, 1.0, mx)
+        y = 127.0 * V / scale[:, None]
+        Q = (np.floor(np.abs(y) + 0.5) * np.sign(y)).astype(np.int64)
+        n, d = Q.shape
+        return pa.table({
+            "vec_id": np.repeat(ids, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "q": Q.reshape(-1),
+        })
+
+    out = ds.map_batches(q, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
 def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
                 vec_col: str = "embedding", batch_size: int = 4096) -> pd.DataFrame:
     """Exact top-k by cosine vs a single query vector.

@@ -280,6 +280,22 @@ def t_distinct_convs(sf_dir):
     )
 
 
+def t_distinct_convs_exact(sf_dir):
+    """EXACT distinct conv_id count — the hash-green twin of the HLL
+    estimate: the keyed reduce emits one row per distinct key (interior
+    keys stay a Dataset, only a count crosses to the driver), so exact
+    distinct works at any cardinality without collecting the key set."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import keyed_reduce
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir), columns=["conv_id"])
+    interior, boundary = keyed_reduce(ds, ["conv_id"],
+                                      {"c": ("conv_id", "count")})
+    n = interior.count() + len(boundary)
+    return pd.DataFrame({"n_convs": pd.array([n], dtype=np.int64)})
+
+
 def t_drift(sf_dir):
     """Per-shard KS/PSI of text length vs the clean baseline digests
     (sketch-based — rows-only). Baseline and per-shard digests are both
@@ -996,6 +1012,19 @@ def emb_ivf_topk_full(sf_dir):
     return pd.DataFrame({"vec_id": out["vec_id"].astype(np.int64)})
 
 
+def emb_quantize(sf_dir):
+    """Symmetric int8 embedding quantization, exploded per component
+    (similarity.quantize_embeddings) — integer-exact against the SQL
+    round() oracle."""
+    import ray.data as rd
+
+    from ..functions.similarity import quantize_embeddings
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         override_num_blocks=_nblocks())
+    return quantize_embeddings(ds)
+
+
 def emb_near_dups(sf_dir):
     """LSH-bucketed embedding near-dup pairs, DuckDB-oracle-checked: the
     fixture has no natural pairs above 0.9, so the query plants exact
@@ -1085,6 +1114,7 @@ QUERIES = {
     "events_daily": events_daily,
     "t_textlen_hist": t_textlen_hist,
     "t_turn_gaps": t_turn_gaps,
+    "t_distinct_convs_exact": t_distinct_convs_exact,
     "events_sessions": events_sessions,
     "events_last_view": events_last_view,
     "cust_orders_join": cust_orders_join,
@@ -1113,6 +1143,7 @@ QUERIES = {
     "emb_ivf_topk": emb_ivf_topk,
     "emb_ivf_topk_full": emb_ivf_topk_full,
     "emb_near_dups": emb_near_dups,
+    "emb_quantize": emb_quantize,
     "li_pricing": li_pricing,
 }
 
@@ -1315,6 +1346,8 @@ FROM shards s LEFT JOIN counts c ON s.shard = c.shard"""
                           f"count(*) AS n "
                           f"FROM t WHERE text IS NOT NULL "
                           f"GROUP BY 1, 2 ORDER BY 1, 2",
+        "t_distinct_convs_exact": f"{tq} SELECT CAST(count(DISTINCT conv_id)"
+                                  f" AS BIGINT) AS n_convs FROM t",
         "t_turn_gaps": f"{tq}, g AS (SELECT conv_id, "
                        f"epoch_us(ts) - epoch_us(lag(ts) OVER ("
                        f"PARTITION BY conv_id ORDER BY turn_idx, ts)) AS gap "
@@ -1522,6 +1555,17 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
 ORDER BY 1, 2""",
+        "emb_quantize": """
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
+SELECT vec_id,
+       unnest(generate_series(1, len(v))) - 1 AS dim,
+       CAST(CASE WHEN mx = 0 THEN 0
+                 ELSE round(127 * unnest(v) / mx) END AS BIGINT) AS q
+FROM m ORDER BY vec_id, dim""",
         "emb_ivf_topk_full": """
 SELECT vec_id FROM embeddings
 ORDER BY list_cosine_similarity(embedding,

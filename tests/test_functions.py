@@ -154,6 +154,30 @@ class TestDedup:
                                   driver_cap=0)
         pd.testing.assert_frame_equal(out, dist)
 
+    def test_quantize_embeddings(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.similarity import (
+            quantize_embeddings,
+        )
+
+        rng = np.random.default_rng(43)
+        V = rng.standard_normal((20, 8)).astype(np.float32)
+        V[3] = 0.0  # zero vector -> all-zero quants
+        df = pd.DataFrame({"vec_id": range(20),
+                           "embedding": [list(v) for v in V]})
+        out = quantize_embeddings(rd.from_pandas(df))
+        assert len(out) == 20 * 8
+        q = out.set_index(["vec_id", "dim"])["q"]
+        assert q.abs().max() <= 127
+        assert (q.loc[3] == 0).all()
+        # per-vector max-|x| component hits exactly +-127
+        for i in (0, 7):
+            assert q.loc[i].abs().max() == 127
+        # sign preserved on non-tiny components
+        big = np.abs(V[0]) > 0.1
+        assert all(np.sign(q.loc[0].to_numpy()[big]) == np.sign(V[0][big]))
+
     def test_embedding_near_dups_paths_agree(self, ray_session):
         import ray.data as rd
 
