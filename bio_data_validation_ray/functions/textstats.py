@@ -142,6 +142,47 @@ def add_fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     return batch
 
 
+def add_quality_filter(t: pa.Table, col: str = "text", *,
+                       min_tokens: int = 5, max_chars: int = 50_000,
+                       min_alpha_pct: int = 50,
+                       max_digit_pct: int = 30) -> pa.Table:
+    """C4-style document quality filter (the canonical training-data
+    culling step; public heuristics: length band, alphabetic ratio, digit
+    ratio, terminal punctuation) -> appends (keep: bool, reason: string,
+    '' when kept). Ratio thresholds compare as integer cross-products
+    (100*n_alpha < pct*n_chars) so the semantics are exactly SQL-statable —
+    no float division anywhere. First failing rule wins, in a fixed
+    priority order."""
+    text = t[col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64())
+    terminal = pc.match_substring_regex(text, r"[.!?]\s*$")
+    c100_alpha = pc.multiply(n_alpha, pa.scalar(100, pa.int64()))
+    c100_digit = pc.multiply(n_digit, pa.scalar(100, pa.int64()))
+    too_short = pc.less(n_tokens, pa.scalar(min_tokens, pa.int64()))
+    too_long = pc.greater(n_chars, pa.scalar(max_chars, pa.int64()))
+    low_alpha = pc.less(c100_alpha,
+                        pc.multiply(n_chars, pa.scalar(min_alpha_pct,
+                                                       pa.int64())))
+    digit_heavy = pc.greater(c100_digit,
+                             pc.multiply(n_chars, pa.scalar(max_digit_pct,
+                                                            pa.int64())))
+    no_terminal = pc.invert(pc.fill_null(terminal, False))
+    reason = pc.if_else(
+        too_short, "too_short",
+        pc.if_else(too_long, "too_long",
+                   pc.if_else(low_alpha, "low_alpha",
+                              pc.if_else(digit_heavy, "digit_heavy",
+                                         pc.if_else(no_terminal,
+                                                    "no_terminal_punct",
+                                                    "")))))
+    keep = pc.equal(reason, "")
+    out = t.append_column("keep", keep)
+    return out.append_column("reason", reason)
+
+
 def word_counts(ds, *, col: str = "text", top_k: int | None = None,
                 driver_cap: int = 5_000_000) -> pd.DataFrame:
     """Distributed vocabulary building: whitespace-token counts over a text

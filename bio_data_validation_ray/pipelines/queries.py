@@ -804,6 +804,23 @@ def doc_langid(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_quality_filter(sf_dir):
+    """C4-style quality culling (textstats.add_quality_filter): per doc a
+    keep flag and the first failing rule, integer-exact vs a CASE-chain
+    oracle."""
+    import ray.data as rd
+
+    from ..functions.textstats import add_quality_filter
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(add_quality_filter, batch_format="pyarrow") \
+        .select_columns(["doc_id", "keep", "reason"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_word_counts(sf_dir):
     """Distributed vocabulary building (textstats.word_counts): top-50
     whitespace tokens by frequency; oracle via unnest(string_split_regex)."""
@@ -1138,6 +1155,7 @@ QUERIES = {
     "doc_simhash_planted": doc_simhash_planted,
     "doc_token_bpe": doc_token_bpe,
     "doc_word_counts": doc_word_counts,
+    "doc_quality_filter": doc_quality_filter,
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1529,6 +1547,29 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_quality_filter": r"""
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        length(text) AS n_chars,
+        length(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS n_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        regexp_matches(text, '[.!?]\s*$') AS terminal
+      FROM documents)
+SELECT doc_id,
+       CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN n_chars > 50000 THEN 'too_long'
+            WHEN 100*n_alpha < 50*n_chars THEN 'low_alpha'
+            WHEN 100*n_digit > 30*n_chars THEN 'digit_heavy'
+            WHEN NOT coalesce(terminal, FALSE) THEN 'no_terminal_punct'
+            ELSE '' END AS reason,
+       (CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN n_chars > 50000 THEN 'too_long'
+            WHEN 100*n_alpha < 50*n_chars THEN 'low_alpha'
+            WHEN 100*n_digit > 30*n_chars THEN 'digit_heavy'
+            WHEN NOT coalesce(terminal, FALSE) THEN 'no_terminal_punct'
+            ELSE '' END) = '' AS keep
+FROM m ORDER BY doc_id""",
         "doc_word_counts": r"""
 WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
