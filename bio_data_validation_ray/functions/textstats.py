@@ -145,7 +145,8 @@ def add_fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
 def add_quality_filter(t: pa.Table, col: str = "text", *,
                        min_tokens: int = 5, max_chars: int = 50_000,
                        min_alpha_pct: int = 50,
-                       max_digit_pct: int = 30) -> pa.Table:
+                       max_digit_pct: int = 30,
+                       require_terminal_punct: bool = True) -> pa.Table:
     """C4-style document quality filter (the canonical training-data
     culling step; public heuristics: length band, alphabetic ratio, digit
     ratio, terminal punctuation) -> appends (keep: bool, reason: string,
@@ -169,7 +170,11 @@ def add_quality_filter(t: pa.Table, col: str = "text", *,
     digit_heavy = pc.greater(c100_digit,
                              pc.multiply(n_chars, pa.scalar(max_digit_pct,
                                                             pa.int64())))
-    no_terminal = pc.invert(pc.fill_null(terminal, False))
+    no_terminal = (
+        pc.invert(pc.fill_null(terminal, False))
+        if require_terminal_punct
+        else pa.array([False] * len(t), type=pa.bool_())
+    )
     reason = pc.if_else(
         too_short, "too_short",
         pc.if_else(too_long, "too_long",

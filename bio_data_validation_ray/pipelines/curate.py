@@ -1,0 +1,153 @@
+"""End-to-end training-data curation over a documents table — the composed
+flagship of the LLM-pipeline operators: C4-style quality filtering, then
+duplicate canonicalization (exact text AND shingle-set-identical near
+duplicates collapse to the smallest quality-kept doc_id). The whole
+decision is deterministic and SQL-statable, so the full pipeline carries a
+hash oracle (queries.doc_curate).
+
+Per-document verdict:
+  - quality-failed docs drop with their first failing rule as the reason;
+  - among quality-kept docs, the canonical copy of each 5-gram shingle-set
+    group (min doc_id) is kept;
+  - non-canonical copies drop as 'exact_dup' when a smaller-id quality-kept
+    doc has IDENTICAL TEXT, else 'near_dup' (identical shingle set, text
+    differs — Jaccard exactly 1.0).
+
+Scale shape: one scan derives (doc_id, reason, text_hash, set_hash); group
+minima come from the keyed reduce; minima attach back via Ray hash joins
+(both sides compact key/id columns — text never joins). Reference ancestor:
+DUP_001/003/004 (rule_validator.py:261-322) + derived-scalar quality rules
+(bio_rules.py:216-227), composed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dedup import char_shingles
+from ..functions.textstats import add_quality_filter
+from ..sketches import _hash64
+
+CURATE_COLS = ["doc_id", "keep", "stage"]
+
+
+def _derive(t: pa.Table, col: str, quality_kwargs: dict) -> pa.Table:
+    """One pass: quality reason + text hash + shingle-set hash per doc."""
+    q = add_quality_filter(t, col, **quality_kwargs)
+    texts = t[col].to_pylist()
+    set_hash = np.fromiter(
+        (np.int64(_hash64(np.array([char_shingles(s).tobytes()],
+                                   dtype=object))[0].astype(np.int64))
+         for s in texts),
+        dtype=np.int64, count=len(texts),
+    )
+    text_hash = _hash64(np.asarray(texts, dtype=object)).astype(np.int64)
+    return pa.table({
+        "doc_id": t["doc_id"].cast(pa.int64()),
+        "reason": q["reason"],
+        "text_hash": pa.array(text_hash, type=pa.int64()),
+        "set_hash": pa.array(set_hash, type=pa.int64()),
+    })
+
+
+def _verdict_frame(docs: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, reason, set_canon, text_canon) -> (doc_id, keep, stage)."""
+    quality_fail = docs["reason"] != ""
+    canonical = (~quality_fail) & (docs["doc_id"] == docs["set_canon"])
+    exact_dup = (~quality_fail) & (~canonical) & (
+        docs["text_canon"] < docs["doc_id"]
+    )
+    stage = np.where(
+        quality_fail, docs["reason"],
+        np.where(canonical, "",
+                 np.where(exact_dup, "exact_dup", "near_dup")),
+    )
+    return pd.DataFrame({
+        "doc_id": docs["doc_id"].astype(np.int64),
+        "keep": canonical.to_numpy(),
+        "stage": stage,
+    })
+
+
+def curate_documents(ds, *, col: str = "text", out_dir: str | None = None,
+                     nparts: int = 8, driver_cap: int = 5_000_000,
+                     **quality_kwargs) -> pd.DataFrame:
+    """Curate a documents Dataset.
+
+    ``out_dir=None`` (query/test scale): returns the full per-document
+    verdict DataFrame[(doc_id, keep, stage)] sorted by doc_id.
+
+    ``out_dir`` set (the 100 TB path): verdicts never collect — the group
+    minima attach via Ray hash joins (compact key/id columns; text never
+    joins), the verdict Dataset writes to ``out_dir`` with deterministic
+    idempotent part names, and only per-stage COUNTS return."""
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    derived = ds.map_batches(
+        lambda t: _derive(t, col, quality_kwargs), batch_format="pyarrow"
+    ).materialize()
+
+    # pyarrow-format filters: empty pandas blocks lose their schema, which
+    # breaks the downstream hash joins (same Ray 2.49 issue as
+    # dedup._join_payloads); arrow filter keeps the schema on empty blocks
+    kept = derived.map_batches(
+        lambda t: t.filter(pc.equal(t["reason"], "")),
+        batch_format="pyarrow",
+    )
+    set_min = keyed_reduce_pandas(
+        kept, ["set_hash"], {"set_canon": ("doc_id", "min")},
+        driver_cap=driver_cap,
+    )
+    text_min = keyed_reduce_pandas(
+        kept, ["text_hash"], {"text_canon": ("doc_id", "min")},
+        driver_cap=driver_cap,
+    )
+    # an all-quality-failed input leaves the minima frames without columns
+    if "set_hash" not in set_min.columns:
+        set_min = pd.DataFrame({"set_hash": pd.Series(dtype=np.int64),
+                                "set_canon": pd.Series(dtype=np.int64)})
+    if "text_hash" not in text_min.columns:
+        text_min = pd.DataFrame({"text_hash": pd.Series(dtype=np.int64),
+                                 "text_canon": pd.Series(dtype=np.int64)})
+    if out_dir is None:
+        # attach group minima back with a vectorized merge (compact frames)
+        docs = derived.to_pandas()
+        docs = docs.merge(set_min, on="set_hash", how="left")
+        docs = docs.merge(text_min, on="text_hash", how="left")
+        return _verdict_frame(docs).sort_values("doc_id") \
+            .reset_index(drop=True)
+
+    import ray.data as rd
+
+    from ..sources.writers import write_parquet_idempotent
+    from ..stages.keyed_reduce import combine_low_card
+
+    # .repartition before joins: Ray 2.49's hash join breaks on empty
+    # blocks (functions/dedup._join_payloads has the same note)
+    quality_vio = derived.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["reason"], ""))),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda df: _verdict_frame(df.assign(set_canon=-1, text_canon=-1)),
+        batch_format="pandas",
+    )
+    kept_joined = (
+        kept.repartition(nparts)
+        .join(rd.from_pandas(set_min).repartition(nparts), "inner", nparts,
+              on=("set_hash",))
+        .repartition(nparts)
+        .join(rd.from_pandas(text_min).repartition(nparts), "inner", nparts,
+              on=("text_hash",))
+    )
+    kept_verdicts = kept_joined.map_batches(
+        _verdict_frame, batch_format="pandas"
+    )
+    verdicts = quality_vio.union(kept_verdicts).materialize()
+    write_parquet_idempotent(verdicts, out_dir, prefix="curate")
+    counts = combine_low_card(verdicts, ["stage"],
+                              {"n": ("doc_id", "count")})
+    counts["n"] = counts["n"].astype(np.int64)
+    return counts.sort_values("stage").reset_index(drop=True)

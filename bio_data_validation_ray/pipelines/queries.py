@@ -821,6 +821,19 @@ def doc_quality_filter(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_curate(sf_dir):
+    """The composed curation flagship (pipelines/curate.py) over the
+    planted-duplicate table: quality filter (min_tokens=30; the fixture's
+    token-soup docs never end in punctuation, so the terminal rule is off)
+    + exact/near duplicate canonicalization — every branch of the verdict
+    (quality reasons, canonical, exact_dup, near_dup) is exercised and the
+    whole decision hash-matches a CASE chain + window-minima SQL oracle."""
+    from .curate import curate_documents
+
+    return curate_documents(_planted_docs(sf_dir), min_tokens=30,
+                            require_terminal_punct=False)
+
+
 def doc_word_counts(sf_dir):
     """Distributed vocabulary building (textstats.word_counts): top-50
     whitespace tokens by frequency; oracle via unnest(string_split_regex)."""
@@ -1156,6 +1169,7 @@ QUERIES = {
     "doc_token_bpe": doc_token_bpe,
     "doc_word_counts": doc_word_counts,
     "doc_quality_filter": doc_quality_filter,
+    "doc_curate": doc_curate,
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1547,6 +1561,39 @@ SELECT doc_id,
        CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS BIGINT) AS n_punct
 FROM documents""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_curate": r"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT)+100000, text FROM documents),
+m AS (SELECT doc_id, text,
+        length(text) AS n_chars,
+        length(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS n_tokens,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        CASE WHEN length(text) >= 5
+             THEN list_sort(list_distinct([substring(text, i, 5)
+                  for i in generate_series(1, length(text)-4)]))
+             ELSE [text] END AS sh
+      FROM d),
+r AS (SELECT *, CASE WHEN n_tokens < 30 THEN 'too_short'
+            WHEN n_chars > 50000 THEN 'too_long'
+            WHEN 100*n_alpha < 50*n_chars THEN 'low_alpha'
+            WHEN 100*n_digit > 30*n_chars THEN 'digit_heavy'
+            ELSE '' END AS reason FROM m),
+k AS (SELECT *,
+        min(CASE WHEN reason = '' THEN doc_id END)
+          OVER (PARTITION BY sh) AS set_canon,
+        min(CASE WHEN reason = '' THEN doc_id END)
+          OVER (PARTITION BY text) AS text_canon
+      FROM r)
+SELECT doc_id,
+       (reason = '' AND doc_id = set_canon) AS keep,
+       CASE WHEN reason <> '' THEN reason
+            WHEN doc_id = set_canon THEN ''
+            WHEN text_canon < doc_id THEN 'exact_dup'
+            ELSE 'near_dup' END AS stage
+FROM k ORDER BY doc_id""",
         "doc_quality_filter": r"""
 WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         length(text) AS n_chars,
