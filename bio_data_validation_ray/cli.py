@@ -104,6 +104,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="simhash hamming radius")
     d.add_argument("--ngram", type=int, default=3, help="word n-gram size")
     d.add_argument("--num-cpus", type=int, default=None)
+    c = sub.add_parser(
+        "curate",
+        help="composed curation: quality filter + duplicate "
+             "canonicalization; writes per-doc verdicts, prints stage counts",
+    )
+    c.add_argument("input", help="parquet file or directory of documents")
+    c.add_argument("-o", "--out", required=True,
+                   help="output directory for verdict parquet")
+    c.add_argument("--col", default="text")
+    c.add_argument("--min-tokens", type=int, default=5)
+    c.add_argument("--max-chars", type=int, default=50_000)
+    c.add_argument("--min-alpha-pct", type=int, default=50)
+    c.add_argument("--max-digit-pct", type=int, default=30)
+    c.add_argument("--no-terminal-punct-rule", action="store_true")
+    c.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
     import ray
@@ -119,6 +134,32 @@ def main(argv: list[str] | None = None) -> int:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "curate":
+        import glob as _glob
+
+        import ray.data as rd
+
+        from .pipelines.curate import curate_documents
+
+        paths = (
+            sorted(_glob.glob(os.path.join(args.input, "*.parquet")))
+            if os.path.isdir(args.input) else [args.input]
+        )
+        counts = curate_documents(
+            rd.read_parquet(paths), col=args.col, out_dir=args.out,
+            min_tokens=args.min_tokens, max_chars=args.max_chars,
+            min_alpha_pct=args.min_alpha_pct,
+            max_digit_pct=args.max_digit_pct,
+            require_terminal_punct=not args.no_terminal_punct_rule,
+        )
+        print(json.dumps({
+            "out": args.out,
+            "stages": {(r["stage"] or "kept"): int(r["n"])
+                       for r in counts.to_dict("records")},
+        }))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "dedup":
         import glob as _glob

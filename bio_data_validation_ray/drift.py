@@ -51,6 +51,34 @@ def psi(part: TDigest, base: TDigest, n_bins: int = 10) -> float:
     return float(np.sum((p - b) * np.log(p / b)))
 
 
+def psi_from_counts(part_counts: np.ndarray, base_counts: np.ndarray) -> float:
+    """EXACT PSI from integer bin counts at shared fixed edges — the
+    deterministic twin of the digest-based ``psi`` (pair with
+    functions/profile.histogram_fixed, whose per-group counts are
+    hash-oracle-checked; use when the bin edges are known up front and
+    exactness matters more than the single-pass digest)."""
+    p = np.asarray(part_counts, dtype=np.float64)
+    b = np.asarray(base_counts, dtype=np.float64)
+    if p.sum() == 0 or b.sum() == 0:
+        return float("nan")
+    p = np.clip(p / p.sum(), PSI_EPS, None)
+    b = np.clip(b / b.sum(), PSI_EPS, None)
+    return float(np.sum((p - b) * np.log(p / b)))
+
+
+def score_partitions_exact(shard_hist, baseline_hist: np.ndarray, *,
+                           psi_threshold: float = 0.2) -> dict[str, dict]:
+    """Per-partition drift verdicts from EXACT fixed-edge histograms:
+    ``shard_hist`` maps shard -> bin-count vector (same edges as
+    ``baseline_hist``)."""
+    out = {}
+    for shard, counts in shard_hist.items():
+        v = psi_from_counts(counts, baseline_hist)
+        out[shard] = {"psi": round(v, 6),
+                      "drifted": bool(v > psi_threshold)}
+    return out
+
+
 def build_baseline(input_dir: str, *, text_col: str = "text") -> str:
     """Build the drift-baseline digest artifact from a CLEAN reference
     directory of transcript Parquet shards: distributed per-batch t-digest

@@ -163,6 +163,24 @@ class TestCli:
         assert len(groups) == len(t)  # one group per distinct text
         assert (groups["n_copies"] == 2).sum() == 1
 
+    def test_cli_curate_subcommand(self, tmp_path):
+        import pandas as pd
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        out = tmp_path / "verdicts"
+        r = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli", "curate",
+             src, "-o", str(out), "--min-tokens", "30",
+             "--no-terminal-punct-rule", "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        meta = json.loads(r.stdout.strip().splitlines()[-1])
+        verdicts = pd.read_parquet(out)
+        assert len(verdicts) == 500
+        assert sum(meta["stages"].values()) == 500
+        assert meta["stages"]["kept"] == int(verdicts["keep"].sum())
+
     def test_cli_custom_yaml_rules(self, tmp_path):
         from bio_data_validation_ray import registry as rm
         from bio_data_validation_ray.sources.transcripts import ensure_transcripts

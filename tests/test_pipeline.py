@@ -178,6 +178,42 @@ class TestDrift:
         assert scored["shifted"]["ks"] > 0.5
         assert scored["shifted"]["psi"] > 1.0
 
+    def test_exact_psi_from_histograms(self, ray_session):
+        """Exact-histogram PSI (psi_from_counts + histogram_fixed): a
+        shifted shard drifts, an identical one doesn't, and the exact score
+        agrees directionally with the digest-based PSI."""
+        import numpy as np
+        import ray.data as rd
+
+        from bio_data_validation_ray import drift
+        from bio_data_validation_ray.functions.profile import histogram_fixed
+        from bio_data_validation_ray.sketches import TDigest
+
+        rng = np.random.default_rng(9)
+        edges = list(np.linspace(40, 200, 17))
+        base_vals = rng.normal(100, 10, 30_000)
+        same_vals = rng.normal(100, 10, 30_000)
+        shift_vals = rng.normal(140, 10, 30_000)
+        df = pd.DataFrame({
+            "shard": ["same"] * 30_000 + ["shifted"] * 30_000,
+            "v": np.concatenate([same_vals, shift_vals]),
+        })
+        hist = histogram_fixed(rd.from_pandas(df), "v", edges, by=["shard"])
+        nb = len(edges) + 1
+        per_shard = {
+            s: np.bincount(g["bin"], weights=g["n"], minlength=nb)
+            for s, g in hist.groupby("shard")
+        }
+        base_hist = np.bincount(
+            np.searchsorted(edges, base_vals, side="right"), minlength=nb)
+        scored = drift.score_partitions_exact(per_shard, base_hist)
+        assert not scored["same"]["drifted"]
+        assert scored["shifted"]["drifted"]
+        # directional agreement with the digest PSI
+        dig = drift.psi(TDigest().add_array(shift_vals),
+                        TDigest().add_array(base_vals))
+        assert scored["shifted"]["psi"] > 1.0 and dig > 1.0
+
     def test_pipeline_drift_stage(self, ray_session, tmp_path):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
