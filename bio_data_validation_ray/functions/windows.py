@@ -257,6 +257,46 @@ def gap_stats(ds, *, key: str, order_cols: list[str], ts_col: str,
     return out.sort_values("key", kind="stable").reset_index(drop=True)
 
 
+def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
+                  driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Deterministic top-``n`` rows per key in (order_cols) order — the
+    stratified-head / per-group ranking op (SQL row_number() <= n). Same
+    sorted-stream skeleton as the other window ops: keys interior to a
+    batch take their head vectorized in place; each batch's first/last
+    key's rows stitch on the driver (bounded by rows-per-key, and only for
+    2 keys per batch). order_cols + the sort's stability must give a total
+    order per key for determinism (include a tiebreaker id column)."""
+    srt = ds.sort([key] + order_cols).materialize()
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df.groupby(key, sort=False).head(n)
+
+    if srt.count() <= driver_cap:
+        out = kernel(srt.to_pandas())
+    else:
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df[key].to_numpy()
+            bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = srt.map_batches(
+            lambda df: kernel(split(df, False)), batch_format="pandas"
+        ).to_pandas()
+        boundary = srt.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        if len(boundary):
+            boundary = kernel(
+                boundary.sort_values([key] + order_cols, kind="stable"))
+        out = pd.concat([interior, boundary], ignore_index=True)
+    return out.sort_values([key] + order_cols, kind="stable") \
+        .reset_index(drop=True)
+
+
 def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
                   gap_s: float = 3600.0,
                   driver_cap: int = 5_000_000) -> pd.DataFrame:

@@ -493,6 +493,20 @@ def t_turn_gaps(sf_dir):
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def events_head_per_type(sf_dir):
+    """Deterministic top-3 earliest events per type
+    (functions/windows.grouped_top_n); oracle: row_number() window."""
+    from ..functions.windows import grouped_top_n
+
+    ds = _read_table(sf_dir, "events",
+                     columns=["event_id", "event_type", "ts"])
+    out = grouped_top_n(ds, key="event_type", order_cols=["ts", "event_id"],
+                        n=3)
+    out = out[["event_type", "event_id"]].copy()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
 def events_sessions(sf_dir):
     """Gap-based session windows per user (functions/windows.sessionize:
     sorted-stream partials + boundary stitch — the stateful-windowing
@@ -1147,6 +1161,7 @@ QUERIES = {
     "t_distinct_convs_exact": t_distinct_convs_exact,
     "events_sessions": events_sessions,
     "events_last_view": events_last_view,
+    "events_head_per_type": events_head_per_type,
     "cust_orders_join": cust_orders_join,
     "cust_enrich": cust_enrich,
     "part_units": part_units,
@@ -1490,6 +1505,13 @@ WITH m AS (SELECT user_id, ts,
 SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM m GROUP BY user_id ORDER BY user_id""",
+        "events_head_per_type": """
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3
+ORDER BY event_type, event_id""",
         "events_last_view": """
 WITH m AS (SELECT event_id,
         max(CASE WHEN event_type = 'view' THEN ts END)

@@ -145,6 +145,29 @@ def test_gap_stats_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(out, dist)
 
 
+def test_grouped_top_n(ray_session):
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import grouped_top_n
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, 2000).astype(str),
+        "o": rng.integers(0, 10**6, 2000),
+        "id": np.arange(2000),
+    })
+    ds = rd.from_pandas([df.iloc[i:i + 111] for i in range(0, len(df), 111)])
+    out = grouped_top_n(ds, key="k", order_cols=["o", "id"], n=4)
+    truth = (df.sort_values(["k", "o", "id"], kind="stable")
+             .groupby("k").head(4)
+             .sort_values(["k", "o", "id"], kind="stable")
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, truth, check_dtype=False)
+    dist = grouped_top_n(ds, key="k", order_cols=["o", "id"], n=4,
+                         driver_cap=0)
+    pd.testing.assert_frame_equal(out, dist)
+
+
 def test_merge_partials_respects_gap():
     # two partials of one key merge iff the inter-partial gap <= gap
     f = pd.DataFrame({
