@@ -297,6 +297,53 @@ def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
         .reset_index(drop=True)
 
 
+def grouped_percentile_disc(ds, *, key: str, value_col: str, q: float,
+                            driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """EXACT per-key discrete percentile (SQL percentile_disc semantics:
+    the value at 1-based rank max(1, ceil(q*n)) of the key's sorted values)
+    — the hash-green exact twin of the t-digest quantile sketch. Sorted-
+    stream skeleton: interior keys hold all their rows in one batch, so the
+    rank row selects locally; boundary keys stitch on the driver.
+    -> DataFrame[(key, p)] sorted by key."""
+    import math
+
+    srt = ds.sort([key, value_col]).materialize()
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=[key, "p"])
+        k = df[key].to_numpy()
+        starts = np.concatenate(
+            [[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+        counts = np.diff(np.concatenate([starts, [len(k)]]))
+        ranks = np.maximum(1, np.ceil(q * counts)).astype(np.int64)
+        idx = starts + ranks - 1
+        return pd.DataFrame({key: k[starts],
+                             "p": df[value_col].to_numpy()[idx]})
+
+    if srt.count() <= driver_cap:
+        out = kernel(srt.to_pandas())
+    else:
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df[key].to_numpy()
+            bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = srt.map_batches(
+            lambda df: kernel(split(df, False)), batch_format="pandas"
+        ).to_pandas()
+        boundary = srt.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        if len(boundary):
+            boundary = kernel(
+                boundary.sort_values([key, value_col], kind="stable"))
+        out = pd.concat([interior, boundary], ignore_index=True)
+    return out.sort_values(key, kind="stable").reset_index(drop=True)
+
+
 def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
                   gap_s: float = 3600.0,
                   driver_cap: int = 5_000_000) -> pd.DataFrame:

@@ -507,6 +507,29 @@ def events_head_per_type(sf_dir):
     return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
 
 
+def events_value_p50(sf_dir):
+    """Exact per-type median of integer cents
+    (functions/windows.grouped_percentile_disc) — the hash-green twin of
+    the t-digest quantile sketch; oracle via percentile_disc."""
+    import ray.data as rd
+
+    from ..functions.windows import grouped_percentile_disc
+
+    ds = _read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        return df[["event_type", "cents"]]
+
+    out = grouped_percentile_disc(
+        ds.map_batches(cents, batch_format="pandas"),
+        key="event_type", value_col="cents", q=0.5,
+    )
+    out = out.rename(columns={"p": "p50_cents"})
+    out["p50_cents"] = out["p50_cents"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def events_sessions(sf_dir):
     """Gap-based session windows per user (functions/windows.sessionize:
     sorted-stream partials + boundary stitch — the stateful-windowing
@@ -1162,6 +1185,7 @@ QUERIES = {
     "events_sessions": events_sessions,
     "events_last_view": events_last_view,
     "events_head_per_type": events_head_per_type,
+    "events_value_p50": events_value_p50,
     "cust_orders_join": cust_orders_join,
     "cust_enrich": cust_enrich,
     "part_units": part_units,
@@ -1505,6 +1529,11 @@ WITH m AS (SELECT user_id, ts,
 SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM m GROUP BY user_id ORDER BY user_id""",
+        "events_value_p50": """
+SELECT event_type,
+       percentile_disc(0.5) WITHIN GROUP (
+         ORDER BY CAST(round(value*100) AS BIGINT)) AS p50_cents
+FROM events GROUP BY event_type ORDER BY event_type""",
         "events_head_per_type": """
 SELECT event_type, CAST(event_id AS BIGINT) AS event_id FROM (
   SELECT event_type, event_id,

@@ -168,6 +168,31 @@ def test_grouped_top_n(ray_session):
     pd.testing.assert_frame_equal(out, dist)
 
 
+def test_grouped_percentile_disc(ray_session):
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import (
+        grouped_percentile_disc,
+    )
+
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 1500).astype(str),
+        "v": rng.integers(0, 10**6, 1500),
+    })
+    ds = rd.from_pandas([df.iloc[i:i + 90] for i in range(0, len(df), 90)])
+    for q in (0.5, 0.25, 0.9, 1.0):
+        out = grouped_percentile_disc(ds, key="k", value_col="v", q=q)
+        got = dict(zip(out["k"], out["p"]))
+        for k, grp in df.groupby("k"):
+            s = np.sort(grp["v"].to_numpy())
+            rank = max(1, int(np.ceil(q * s.size)))
+            assert got[k] == s[rank - 1], (q, k)
+        dist = grouped_percentile_disc(ds, key="k", value_col="v", q=q,
+                                       driver_cap=0)
+        pd.testing.assert_frame_equal(out, dist)
+
+
 def test_merge_partials_respects_gap():
     # two partials of one key merge iff the inter-partial gap <= gap
     f = pd.DataFrame({
