@@ -1,0 +1,113 @@
+"""Clean-data export — the gate's PRODUCT: after validation, write the
+surviving rows as partitioned Parquet. The reference only gates (CI fails on
+a rejected dataset, scripts/validation/check_status.py:39-50); at pipeline
+scale the gate should also EMIT the clean view so downstream training jobs
+consume a vetted table.
+
+Survivor semantics (deterministic, SQL-statable — queries.t_clean_rows):
+  - drop whole conversations flagged by any CONVERSATION rule (duplicate
+    turn keys, non-contiguous turns, non-monotonic ts, shard-spanning);
+  - drop rows flagged by any ROW-LOCAL rule (vocabulary, tool pattern/role
+    coupling, empty/null text, turn range, ts window, length band);
+  - collapse whole-row duplicates to one copy (DISTINCT over the data
+    columns + shard — exact per batch because a conversation's rows are
+    file-aligned and shard-spanning conversations are already excluded by
+    the CRITICAL single-shard rule).
+
+The exclusions come straight from the validation run's own violations
+artifact — the export trusts the gate it ships with, and the violation
+rules themselves are hash-checked against DuckDB oracles. Survivors pass
+through BYTE-IDENTICAL (the north-star per-turn text equality rule): the
+export never touches column values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..sources.writers import write_parquet_idempotent
+
+# conversation-scoped rule ids: a violation drops the whole conversation
+CONV_RULES = frozenset({
+    "DUP_002_TURN_KEY", "TXT_TURN_CONTIG", "TXT_TS_MONOTONIC",
+    "TXT_CONV_SINGLE_SHARD",
+})
+# dataset-level rules: never exclude individual rows
+AGG_RULES_PREFIX = ("BIAS_", "STAT_", "DRIFT_")
+ROW_DUP_RULE = "DUP_001_ROW"
+
+DATA_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def exclusions_from_violations(vio: pd.DataFrame
+                               ) -> tuple[frozenset, frozenset]:
+    """(bad conversation ids, bad (conv_id, turn_idx) row keys) from a
+    violations frame. Row-dup violations are ignored here — duplicates are
+    collapsed, not dropped."""
+    conv_mask = vio["rule_id"].isin(CONV_RULES)
+    bad_convs = frozenset(vio.loc[conv_mask, "conv_id"].dropna())
+    row_mask = (
+        ~conv_mask
+        & (vio["rule_id"] != ROW_DUP_RULE)
+        & ~vio["rule_id"].str.startswith(AGG_RULES_PREFIX)
+        & vio["turn_idx"].notna()
+    )
+    bad_rows = frozenset(
+        zip(vio.loc[row_mask, "conv_id"],
+            vio.loc[row_mask, "turn_idx"].astype(np.int64))
+    )
+    return bad_convs, bad_rows
+
+
+def write_clean_output(input_dir: str, out_dir: str, *,
+                       violations: pd.DataFrame,
+                       nparts: int | None = None) -> dict:
+    """Export survivors of a validated run to ``out_dir`` (deterministic
+    idempotent part names). ``violations`` is the run's violation frame
+    (read it back from ``<run_dir>/violations``). Returns summary counts.
+
+    Scale notes: the exclusion sets broadcast once via ray.put (compact —
+    violation keys, not data); each batch filters vectorized and collapses
+    duplicates locally; nothing shuffles and text never leaves the batch."""
+    import ray
+    import ray.data as rd
+
+    from .validate import list_shards
+
+    bad_convs, bad_rows = exclusions_from_violations(violations)
+    convs_ref = ray.put(bad_convs)
+    rows_ref = ray.put(bad_rows)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        bc = ray.get(convs_ref)
+        br = ray.get(rows_ref)
+        if len(df) == 0:
+            return df[DATA_COLS + ["shard"]] if "shard" in df.columns else df
+        df = df.rename(columns={"path": "shard"})
+        df["shard"] = df["shard"].str.rsplit("/", n=1).str[-1]
+        mask = ~df["conv_id"].isin(bc)
+        if br:
+            keys = pd.Series(
+                list(zip(df["conv_id"], df["turn_idx"].astype(np.int64))),
+                index=df.index,
+            )
+            mask &= ~keys.isin(br)
+        out = df.loc[mask, DATA_COLS + ["shard"]]
+        return out.drop_duplicates(DATA_COLS + ["shard"])
+
+    ds = rd.read_parquet(list_shards(input_dir), include_paths=True)
+    survivors = ds.map_batches(keep, batch_format="pandas")
+    if nparts:
+        survivors = survivors.repartition(nparts)
+    survivors = survivors.materialize()
+    write_parquet_idempotent(survivors, out_dir, prefix="clean")
+    n_out = survivors.count()
+    return {
+        "rows_out": int(n_out),
+        "excluded_convs": len(bad_convs),
+        "excluded_row_keys": len(bad_rows),
+        "out_dir": out_dir,
+    }

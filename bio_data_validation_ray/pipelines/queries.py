@@ -451,6 +451,25 @@ def events_daily(sf_dir):
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def t_clean_rows(sf_dir):
+    """The gate's PRODUCT: export the validated-clean view (pipelines/
+    export.write_clean_output — conversation-level and row-level exclusions
+    from the run's own violations artifact, whole-row duplicates collapsed)
+    and count survivors per shard; the oracle restates the full survivor
+    predicate in SQL."""
+    _, vio = run_validation(sf_dir)
+    d = transcripts_dir(sf_dir)
+
+    from .export import write_clean_output
+
+    out_dir = os.path.join("/tmp/bdvr_clean", os.path.basename(d))
+    write_clean_output(d, out_dir, violations=vio)
+    cl = pd.read_parquet(out_dir, columns=["shard"])
+    out = cl.groupby("shard").size().reset_index(name="n")
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def t_textlen_hist(sf_dir):
     """Per-shard exact text-length histogram at fixed edges — the
     deterministic twin of the drift stage's digest-derived PSI bins
@@ -1179,6 +1198,7 @@ QUERIES = {
     "events_by_type": events_by_type,
     "events_props_k": events_props_k,
     "events_daily": events_daily,
+    "t_clean_rows": t_clean_rows,
     "t_textlen_hist": t_textlen_hist,
     "t_turn_gaps": t_turn_gaps,
     "t_distinct_convs_exact": t_distinct_convs_exact,
@@ -1407,6 +1427,29 @@ FROM shards s LEFT JOIN counts c ON s.shard = c.shard"""
                      f"GROUP BY conv_id, turn_idx, role, text, tool, ts "
                      f"HAVING count(*)>1) g)",
         "t_rule_counts": rule_counts,
+        "t_clean_rows": f"""{tq},
+badc AS (
+  SELECT conv_id FROM t GROUP BY conv_id, turn_idx HAVING count(*)>1
+  UNION SELECT conv_id FROM ({contig_sub})
+  UNION SELECT conv_id FROM ({mono_sub})
+  UNION SELECT conv_id FROM ({span_sub})
+),
+ok AS (
+  SELECT DISTINCT shard, conv_id, turn_idx, role, text, tool, ts FROM t
+  WHERE conv_id NOT IN (SELECT conv_id FROM badc)
+    AND NOT coalesce(role NOT IN {ROLE_SET_SQL}, FALSE)
+    AND NOT coalesce(tool IS NOT NULL
+                     AND NOT regexp_matches(tool,{TOOL_RE_SQL}), FALSE)
+    AND NOT coalesce(tool IS NOT NULL AND role <> 'tool', FALSE)
+    AND NOT coalesce(tool IS NULL AND role = 'tool', FALSE)
+    AND NOT coalesce(length(text) = 0, FALSE)
+    AND text IS NOT NULL
+    AND NOT coalesce(turn_idx < 0, FALSE)
+    AND NOT coalesce(ts < TIMESTAMP '2000-01-01'
+                     OR ts > TIMESTAMP '2035-01-01', FALSE)
+    AND NOT coalesce(length(text) > 1000000, FALSE)
+)
+SELECT shard, count(*) AS n FROM ok GROUP BY shard ORDER BY shard""",
         "t_textlen_hist": f"{tq} SELECT shard, "
                           f"CAST((length(text)>=1) AS BIGINT)"
                           f"+CAST((length(text)>=50) AS BIGINT)"

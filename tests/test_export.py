@@ -1,0 +1,53 @@
+"""Clean-data export (pipelines/export.py)."""
+
+import glob
+import os
+
+import pandas as pd
+
+SF = "sf0.001"
+
+
+def test_clean_export_integrity(ray_session, tmp_path):
+    """Survivors carry byte-identical text (north-star per-turn equality),
+    no excluded conversation or flagged row key remains, duplicates
+    collapse to one copy, and the sink rewrite is idempotent."""
+    from bio_data_validation_ray.pipelines.export import (
+        exclusions_from_violations,
+        write_clean_output,
+    )
+    from bio_data_validation_ray.pipelines.queries import run_validation
+    from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+    _, vio = run_validation(f"/root/testdata/{SF}")
+    d = ensure_transcripts(SF)
+    out_dir = str(tmp_path / "clean")
+    summary = write_clean_output(d, out_dir, violations=vio)
+    clean = pd.read_parquet(out_dir)
+    assert summary["rows_out"] == len(clean)
+
+    bad_convs, bad_rows = exclusions_from_violations(vio)
+    assert bad_convs and bad_rows  # the seeded fixture flags both kinds
+    assert not clean["conv_id"].isin(bad_convs).any()
+    keys = set(zip(clean["conv_id"], clean["turn_idx"].astype(int)))
+    assert not (keys & bad_rows)
+    # duplicates collapsed: survivor rows unique on the full data key
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "shard"]
+    assert not clean.duplicated(cols).any()
+
+    # byte-identical passthrough: every survivor row exists verbatim in
+    # the input (join on the full key incl. text)
+    raw = pd.concat(
+        [pd.read_parquet(f).assign(shard=os.path.basename(f))
+         for f in sorted(glob.glob(d + "/*.parquet"))],
+        ignore_index=True,
+    )
+    merged = clean.merge(raw.drop_duplicates(cols), on=cols, how="left",
+                         indicator=True)
+    assert (merged["_merge"] == "both").all()
+
+    # idempotent rewrite
+    files1 = sorted(os.listdir(out_dir))
+    write_clean_output(d, out_dir, violations=vio)
+    assert sorted(os.listdir(out_dir)) == files1
+    assert len(pd.read_parquet(out_dir)) == len(clean)
