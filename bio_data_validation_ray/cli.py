@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--strict", action="store_true",
                    help="reject immediately on CRITICAL row violations "
                         "(reference rules-stage short-circuit)")
+    v.add_argument("--clean-out", default=None,
+                   help="after validation, export the surviving rows "
+                        "(conversation + row exclusions, duplicates "
+                        "collapsed) as parquet to this directory; "
+                        "requires --run-dir")
     v.add_argument("--policy", default="default",
                    choices=["default", "strict", "lenient", "production"],
                    help="decision-table preset (decision_tables.py:258-298 "
@@ -246,6 +251,25 @@ def main(argv: list[str] | None = None) -> int:
             policy=args.policy,
             strict=args.strict,
         )
+    if args.clean_out:
+        if not args.run_dir:
+            print("error: --clean-out requires --run-dir", file=sys.stderr)
+            return 2
+        vdir = os.path.join(args.run_dir, "violations")
+        if not os.path.isdir(vdir):
+            # schema-rejected / short-circuited runs produce no violations
+            # table; exporting would silently keep everything — refuse
+            print("error: no violations artifact (run rejected early?); "
+                  "not exporting", file=sys.stderr)
+        else:
+            import pandas as pd
+
+            from .pipelines.export import write_clean_output
+
+            report["clean_export"] = write_clean_output(
+                args.input_dir, args.clean_out,
+                violations=pd.read_parquet(vdir),
+            )
     if args.format == "json":
         print(json.dumps(report, indent=2, default=str))
     elif args.format == "markdown":

@@ -163,6 +163,27 @@ class TestCli:
         assert len(groups) == len(t)  # one group per distinct text
         assert (groups["n_copies"] == 2).sum() == 1
 
+    def test_cli_validate_clean_out(self, tmp_path):
+        import pandas as pd
+
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        seeded = ensure_transcripts("sf0.001")
+        run = tmp_path / "run"
+        out = tmp_path / "clean"
+        r = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli", "validate",
+             seeded, "--run-dir", str(run), "--no-resume",
+             "--clean-out", str(out), "--format", "json", "--num-cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 1, r.stderr[-500:]  # seeded -> rejected
+        rep = json.loads(r.stdout)
+        exp = rep["clean_export"]
+        clean = pd.read_parquet(out)
+        assert exp["rows_out"] == len(clean) > 0
+        assert exp["excluded_convs"] > 0 and exp["excluded_row_keys"] > 0
+
     def test_cli_curate_subcommand(self, tmp_path):
         import pandas as pd
 
