@@ -495,6 +495,57 @@ class TestStrictMode:
         assert rep["final_decision"] == "accepted"
 
 
+class TestHotConversation:
+    def test_one_million_turn_conversation(self, ray_session, tmp_path):
+        """Heavy-tail stress: ONE conversation of 1M turns spanning 8 shard
+        files. The pipeline must (a) finish quickly — the raw rows never
+        shuffle; the conversation reaches the merge as per-batch segment
+        partials, (b) flag exactly the shard-spanning violation, (c) decide
+        contiguity/monotonicity correctly via the exact fallback."""
+        import time as _time
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n, shards = 1_000_000, 8
+        din = tmp_path / "hot"
+        din.mkdir()
+        per = n // shards
+        t0 = np.datetime64("2024-01-01T00:00:00", "us")
+        for s in range(shards):
+            lo = s * per
+            turns = np.arange(lo, lo + per, dtype=np.int32)
+            tbl = pa.table({
+                "conv_id": pa.array(["hot"] * per),
+                "turn_idx": pa.array(turns),
+                "role": pa.array(
+                    np.where(turns % 2 == 0, "user", "assistant")),
+                "text": pa.array(["ok."] * per),
+                "tool": pa.array([None] * per, type=pa.string()),
+                "ts": pa.array(t0 + turns.astype("timedelta64[us]")),
+            })
+            pq.write_table(tbl, din / f"shard-{s:02d}.parquet")
+
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+
+        t_start = _time.time()
+        rep = validate_dir(str(din), run_dir=str(tmp_path / "r"),
+                           resume=False)
+        wall = _time.time() - t_start
+        assert wall < 60, f"hot conversation took {wall:.1f}s"
+        assert rep["rows_scanned"] == n
+        # exactly one violation: the CRITICAL shard-spanning rule
+        vio = pd.read_parquet(os.path.join(str(tmp_path / "r"),
+                                           "violations"))
+        assert set(vio["rule_id"]) == {"TXT_CONV_SINGLE_SHARD"}
+        assert len(vio) == 1
+        assert rep["final_decision"] == "rejected"  # critical -> rejected
+        # ranges tile without overlap, so the 1M-turn conversation is
+        # decided ENTIRELY from compact segment partials — no exact re-read
+        assert rep["stages"]["conversation"]["exact_fallback_convs"] == 0
+
+
 class TestDistributedPath:
     """The distributed conversation branch (sort + MergeSegments + boundary
     stitch) is the 100 TB path; force it with driver_cap=0 and require
