@@ -546,6 +546,52 @@ class TestHotConversation:
         assert rep["stages"]["conversation"]["exact_fallback_convs"] == 0
 
 
+    def test_duplicated_hot_conversation_exact_path(self, ray_session,
+                                                    tmp_path):
+        """Adversarial twin: the SAME 400k-turn range written to two shards
+        — segments overlap, so the conversation takes the exact-fallback
+        re-read at volume. It must count every duplicate key and whole-row
+        duplicate, within bounded time (the re-read scales with flagged
+        data, which here is the whole conversation by construction)."""
+        import time as _time
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 400_000
+        din = tmp_path / "dup"
+        din.mkdir()
+        t0 = np.datetime64("2024-01-01T00:00:00", "us")
+        turns = np.arange(n, dtype=np.int32)
+        tbl = pa.table({
+            "conv_id": pa.array(["dup"] * n),
+            "turn_idx": pa.array(turns),
+            "role": pa.array(np.where(turns % 2 == 0, "user", "assistant")),
+            "text": pa.array(["ok."] * n),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(t0 + turns.astype("timedelta64[us]")),
+        })
+        pq.write_table(tbl, din / "shard-00.parquet")
+        pq.write_table(tbl, din / "shard-01.parquet")  # byte-identical copy
+
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+
+        t_start = _time.time()
+        rep = validate_dir(str(din), run_dir=str(tmp_path / "r"),
+                           resume=False)
+        wall = _time.time() - t_start
+        assert wall < 90, f"exact path took {wall:.1f}s"
+        assert rep["stages"]["conversation"]["exact_fallback_convs"] == 1
+        vio = pd.read_parquet(os.path.join(str(tmp_path / "r"),
+                                           "violations"))
+        by_rule = vio.groupby("rule_id").size().to_dict()
+        assert by_rule["TXT_CONV_SINGLE_SHARD"] == 1
+        assert by_rule["DUP_002_TURN_KEY"] == 1   # conv-level: n dup keys
+        assert by_rule["DUP_001_ROW"] == n        # one extra copy per turn
+        assert rep["final_decision"] == "rejected"
+
+
 class TestDistributedPath:
     """The distributed conversation branch (sort + MergeSegments + boundary
     stitch) is the 100 TB path; force it with driver_cap=0 and require
