@@ -890,6 +890,29 @@ def doc_curate(sf_dir):
                             require_terminal_punct=False)
 
 
+def doc_sample_per_source(sf_dir):
+    """Deterministic stratified sampling: 2 documents per source, chosen by
+    md5(text) order (a pseudo-random but reproducible draw both engines
+    can state) — grouped_top_n over the fingerprint; oracle via
+    row_number() over md5."""
+    import ray.data as rd
+
+    from ..functions.textstats import add_fingerprint
+    from ..functions.windows import grouped_top_n
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "source", "text"])
+    fp = ds.map_batches(add_fingerprint, batch_format="pandas") \
+        .map_batches(lambda df: df[["source", "fingerprint", "doc_id"]],
+                     batch_format="pandas")
+    out = grouped_top_n(fp, key="source",
+                        order_cols=["fingerprint", "doc_id"], n=2)
+    out = out[["source", "doc_id"]].copy()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def doc_word_counts(sf_dir):
     """Distributed vocabulary building (textstats.word_counts): top-50
     whitespace tokens by frequency; oracle via unnest(string_split_regex)."""
@@ -1229,6 +1252,7 @@ QUERIES = {
     "doc_word_counts": doc_word_counts,
     "doc_quality_filter": doc_quality_filter,
     "doc_curate": doc_curate,
+    "doc_sample_per_source": doc_sample_per_source,
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1711,6 +1735,13 @@ SELECT doc_id,
             WHEN NOT coalesce(terminal, FALSE) THEN 'no_terminal_punct'
             ELSE '' END) = '' AS keep
 FROM m ORDER BY doc_id""",
+        "doc_sample_per_source": """
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents) WHERE rn <= 2
+ORDER BY source, doc_id""",
         "doc_word_counts": r"""
 WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
