@@ -51,3 +51,31 @@ def test_clean_export_integrity(ray_session, tmp_path):
     write_clean_output(d, out_dir, violations=vio)
     assert sorted(os.listdir(out_dir)) == files1
     assert len(pd.read_parquet(out_dir)) == len(clean)
+
+
+def test_clean_export_resumable_parity(ray_session, tmp_path):
+    """The export driven by a RESUMABLE run's violations (group dirs +
+    conv-final) must produce the same survivors as one driven by a direct
+    run."""
+    from bio_data_validation_ray.pipelines.export import write_clean_output
+    from bio_data_validation_ray.pipelines.validate import (
+        validate_dir,
+        validate_resumable,
+    )
+    from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+    d = ensure_transcripts(SF)
+    r1 = str(tmp_path / "direct")
+    validate_dir(d, run_dir=r1, resume=False, concurrency=2)
+    r2 = str(tmp_path / "resumable")
+    validate_resumable(d, run_dir=r2, files_per_pass=3, concurrency=2)
+    out1 = str(tmp_path / "clean1")
+    out2 = str(tmp_path / "clean2")
+    write_clean_output(d, out1,
+                       violations=pd.read_parquet(os.path.join(r1, "violations")))
+    write_clean_output(d, out2,
+                       violations=pd.read_parquet(os.path.join(r2, "violations")))
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "shard"]
+    a = pd.read_parquet(out1)[cols].sort_values(cols).reset_index(drop=True)
+    b = pd.read_parquet(out2)[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
