@@ -161,7 +161,11 @@ def asof_last_marker(ds, *, key: str = "user_id", ts_col: str = "ts",
     re-expression: sort by (key, ts), interior keys finalize vectorized per
     batch, each batch's first/last key's raw rows stitch on the driver —
     identical invariant to sessionize/MergeSegments, so chunking cannot
-    change any answer. Returns ``(interior_ds_or_None, driver_frame)``."""
+    change any answer. NOTE the boundary passthrough here is RAW rows of
+    <= 2 keys per batch (the output is inherently per-row), so a single
+    pathologically hot key bounds driver memory by that key's row count —
+    unlike sessionize/gap_stats, whose boundary units are compact partials.
+    Returns ``(interior_ds_or_None, driver_frame)``."""
     import ray.data as rd
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
@@ -194,27 +198,58 @@ def asof_last_marker(ds, *, key: str = "user_id", ts_col: str = "ts",
     return interior, kernel(boundary_rows)
 
 
-def _gap_frame(df: pd.DataFrame, key: str, ts_col: str) -> pd.DataFrame:
-    """Per-key inter-row timestamp gap stats over a (key, *order_cols)-sorted
-    frame: (key, n_gaps, max_gap_us). Vectorized; single-row keys emit
-    nothing (no gaps)."""
-    cols = {"key": object, "n_gaps": np.int64, "max_gap_us": np.int64}
+GAP_PARTIAL_COLS = ["key", "first_ts", "last_ts", "n_gaps", "max_gap_us"]
+
+
+def _gap_partials(df: pd.DataFrame, key: str, ts_col: str) -> pd.DataFrame:
+    """One COMPACT partial per key inside a sorted batch: (first_ts,
+    last_ts, internal gap count, internal max gap). A key's rows are
+    contiguous in the sorted stream, so partials merge exactly across
+    batches: each stitch adds one bridging gap last_ts(i) -> first_ts(i+1)."""
     if len(df) == 0:
-        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        return pd.DataFrame(columns=GAP_PARTIAL_COLS)
     k = df[key].to_numpy()
     ts = _ts_us(df[ts_col])
-    same = np.concatenate([[False], k[1:] == k[:-1]])
+    newkey = np.concatenate([[True], k[1:] != k[:-1]])
+    starts = np.flatnonzero(newkey)
+    ends = np.concatenate([starts[1:], [len(k)]])
     gap = np.diff(ts, prepend=ts[0])
-    codes, uniq = pd.factorize(k)
-    n_gaps = np.bincount(codes[same], minlength=len(uniq)).astype(np.int64)
-    maxg = np.full(len(uniq), np.int64(-(1 << 62)))
-    np.maximum.at(maxg, codes[same], gap[same])
-    keep = n_gaps > 0
+    gap[starts] = np.int64(-(1 << 62))  # gaps never cross keys
     return pd.DataFrame({
-        "key": np.asarray(uniq, dtype=object)[keep],
-        "n_gaps": n_gaps[keep],
-        "max_gap_us": maxg[keep],
+        "key": k[starts],
+        "first_ts": ts[starts],
+        "last_ts": ts[ends - 1],
+        "n_gaps": (ends - starts - 1).astype(np.int64),
+        "max_gap_us": np.maximum.reduceat(gap, starts),
     })
+
+
+def _merge_gap_partials(frame: pd.DataFrame) -> pd.DataFrame:
+    """Merge gap partials (sorted by (key, first_ts)): per key, total gaps =
+    internal gaps + one bridge per adjacent partial pair; max gap = max of
+    internal maxima and bridge gaps."""
+    if len(frame) == 0:
+        return pd.DataFrame(columns=["key", "n_gaps", "max_gap_us"])
+    frame = frame.sort_values(["key", "first_ts", "last_ts"],
+                              kind="stable").reset_index(drop=True)
+    k = frame["key"].to_numpy()
+    f = frame["first_ts"].to_numpy()
+    last = frame["last_ts"].to_numpy()
+    same = np.concatenate([[False], k[1:] == k[:-1]])
+    bridge = np.where(
+        same, f - np.concatenate([[np.int64(0)], last[:-1]]),
+        np.int64(-(1 << 62)),
+    )
+    starts = np.flatnonzero(~same)
+    n_gaps = (np.add.reduceat(frame["n_gaps"].to_numpy(), starts)
+              + np.add.reduceat(same.astype(np.int64), starts))
+    maxg = np.maximum(
+        np.maximum.reduceat(frame["max_gap_us"].to_numpy(), starts),
+        np.maximum.reduceat(bridge, starts),
+    )
+    out = pd.DataFrame({"key": k[starts], "n_gaps": n_gaps.astype(np.int64),
+                        "max_gap_us": maxg})
+    return out[out["n_gaps"] > 0].reset_index(drop=True)
 
 
 def gap_stats(ds, *, key: str, order_cols: list[str], ts_col: str,
@@ -222,36 +257,43 @@ def gap_stats(ds, *, key: str, order_cols: list[str], ts_col: str,
     """Per-key inter-row gap summary (n_gaps, max_gap_us) in the key's own
     ordering — e.g. per-conversation response latency between consecutive
     turns, the windowed-aggregate analog of the reference's per-group
-    ordering checks (SURVEY.md §2.6). Same sorted-stream + first/last-key
-    boundary-stitch skeleton as asof_last_marker; gaps never cross keys, so
-    a key's stats are exact whether it finalizes in-batch or on the driver.
+    ordering checks (SURVEY.md §2.6). Fully compact at scale: every batch
+    reduces to one partial per key (first/last ts + internal stats), and
+    partials merge exactly — a hot key crossing many batches reaches the
+    merge as #batches tiny rows, never as raw rows.
     -> DataFrame[(key, n_gaps, max_gap_us)] sorted by key."""
-    srt = ds.sort([key] + order_cols + [ts_col]).materialize()
-
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        return _gap_frame(df, key, ts_col)
-
-    if srt.count() <= driver_cap:
-        out = kernel(srt.to_pandas())
+    partials = (
+        ds.sort([key] + order_cols + [ts_col])
+        .map_batches(lambda df: _gap_partials(df, key, ts_col),
+                     batch_format="pandas")
+        .materialize()
+    )
+    if partials.count() <= driver_cap:
+        out = _merge_gap_partials(partials.to_pandas())
     else:
+        # sort the COMPACT partials by (key, first_ts); interior keys merge
+        # to final rows in place, each batch's first/last key's partials
+        # stitch on the driver (same invariant as sessionize)
+        srt2 = partials.sort(["key", "first_ts"]).materialize()
+
         def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
             if len(df) == 0:
                 return df
-            kk = df[key].to_numpy()
-            bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
+            kk = df["key"].to_numpy()
+            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
             return df[bmask] if want_boundary else df[~bmask]
 
-        interior = srt.map_batches(
-            lambda df: kernel(split(df, False)), batch_format="pandas"
+        interior = srt2.map_batches(
+            lambda df: _merge_gap_partials(split(df, False)),
+            batch_format="pandas",
         ).to_pandas()
-        boundary_rows = srt.map_batches(
+        boundary = srt2.map_batches(
             lambda df: split(df, True), batch_format="pandas"
         ).to_pandas()
-        if key not in boundary_rows.columns:
-            boundary_rows = pd.DataFrame(columns=[key, ts_col] + order_cols)
-        boundary_rows = boundary_rows.sort_values(
-            [key] + order_cols + [ts_col], kind="stable")
-        out = pd.concat([interior, kernel(boundary_rows)], ignore_index=True)
+        if "key" not in boundary.columns:
+            boundary = pd.DataFrame(columns=GAP_PARTIAL_COLS)
+        out = pd.concat([interior, _merge_gap_partials(boundary)],
+                        ignore_index=True)
     out["n_gaps"] = out["n_gaps"].astype(np.int64)
     out["max_gap_us"] = out["max_gap_us"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
