@@ -38,12 +38,9 @@ def _derive(t: pa.Table, col: str, quality_kwargs: dict) -> pa.Table:
     """One pass: quality reason + text hash + shingle-set hash per doc."""
     q = add_quality_filter(t, col, **quality_kwargs)
     texts = t[col].to_pylist()
-    set_hash = np.fromiter(
-        (np.int64(_hash64(np.array([char_shingles(s).tobytes()],
-                                   dtype=object))[0].astype(np.int64))
-         for s in texts),
-        dtype=np.int64, count=len(texts),
-    )
+    set_keys = np.array([char_shingles(s).tobytes() for s in texts],
+                        dtype=object)
+    set_hash = _hash64(set_keys).astype(np.int64)
     text_hash = _hash64(np.asarray(texts, dtype=object)).astype(np.int64)
     return pa.table({
         "doc_id": t["doc_id"].cast(pa.int64()),
