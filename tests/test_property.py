@@ -101,6 +101,82 @@ def test_word_ngram_jaccard_symmetry_and_bounds(texts, n):
     assert np.array_equal(word_shingles(a, n), word_shingles(a2, n))
 
 
+@st.composite
+def event_streams(draw):
+    n = draw(st.integers(2, 120))
+    keys = draw(st.lists(st.integers(0, 6), min_size=n, max_size=n))
+    ts = draw(st.lists(st.integers(0, 10**7), min_size=n, max_size=n))
+    return pd.DataFrame({"key": [f"k{v}" for v in keys], "ts": ts})
+
+
+@given(event_streams(), st.integers(1, 10**6), st.integers(1, 5))
+def test_session_partials_merge_is_chunking_invariant(df, gap_us, n_chunks):
+    """Sessionizing partials chunk-by-chunk then merging equals one global
+    merge; sessions partition all rows and respect the gap threshold."""
+    from bio_data_validation_ray.functions.windows import (
+        _merge_partials,
+        _session_partials,
+    )
+
+    df = df.sort_values(["key", "ts"], kind="stable").reset_index(drop=True)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    whole = _merge_partials(
+        _session_partials(df, "key", "ts", gap_us).drop(
+            columns=["__boundary"]), gap_us)
+    parts = [
+        _session_partials(c.reset_index(drop=True), "key", "ts", gap_us)
+        .drop(columns=["__boundary"])
+        for c in np.array_split(df, n_chunks) if len(c)
+    ]
+    chunked = _merge_partials(pd.concat(parts, ignore_index=True), gap_us)
+    key = ["key", "ts_start"]
+    pd.testing.assert_frame_equal(
+        whole.sort_values(key).reset_index(drop=True),
+        chunked.sort_values(key).reset_index(drop=True),
+    )
+    assert whole["n_events"].sum() == len(df)  # sessions partition the rows
+    # consecutive sessions of one key are separated by more than the gap
+    w = whole.sort_values(["key", "ts_start"]).reset_index(drop=True)
+    same = w["key"].to_numpy()[1:] == w["key"].to_numpy()[:-1]
+    gaps = w["ts_start"].to_numpy()[1:] - w["ts_end"].to_numpy()[:-1]
+    assert (gaps[same] > gap_us).all()
+
+
+@given(event_streams(), st.integers(1, 5))
+def test_gap_partials_merge_is_chunking_invariant(df, n_chunks):
+    from bio_data_validation_ray.functions.windows import (
+        _gap_partials,
+        _merge_gap_partials,
+    )
+
+    df = df.sort_values(["key", "ts"], kind="stable").reset_index(drop=True)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    whole = _merge_gap_partials(_gap_partials(df, "key", "ts"))
+    parts = [
+        _gap_partials(c.reset_index(drop=True), "key", "ts")
+        for c in np.array_split(df, n_chunks) if len(c)
+    ]
+    chunked = _merge_gap_partials(pd.concat(parts, ignore_index=True))
+    pd.testing.assert_frame_equal(
+        whole.sort_values("key").reset_index(drop=True),
+        chunked.sort_values("key").reset_index(drop=True),
+    )
+    # truth: per-key gap count and max, in exact integer microseconds
+    # (pd.to_numeric turns NaT into int64-min instead of NA — avoid it)
+    k = df["key"].to_numpy()
+    v = (df["ts"].astype("int64") // 1000).to_numpy()
+    same = np.concatenate([[False], k[1:] == k[:-1]])
+    gaps = np.diff(v, prepend=v[:1])
+    got = whole.set_index("key")
+    for kk in np.unique(k):
+        m = same & (k == kk)
+        if m.any():
+            assert got.loc[kk, "n_gaps"] == int(m.sum())
+            assert got.loc[kk, "max_gap_us"] == int(gaps[m].max())
+        else:
+            assert kk not in got.index  # single-row keys emit no gaps
+
+
 @given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=1,
                 max_size=300),
        st.lists(st.floats(-100, 100, allow_nan=False), min_size=2,
