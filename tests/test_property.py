@@ -123,10 +123,11 @@ def test_session_partials_merge_is_chunking_invariant(df, gap_us, n_chunks):
     whole = _merge_partials(
         _session_partials(df, "key", "ts", gap_us).drop(
             columns=["__boundary"]), gap_us)
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(int)
     parts = [
-        _session_partials(c.reset_index(drop=True), "key", "ts", gap_us)
-        .drop(columns=["__boundary"])
-        for c in np.array_split(df, n_chunks) if len(c)
+        _session_partials(df.iloc[a:b].reset_index(drop=True), "key", "ts",
+                          gap_us).drop(columns=["__boundary"])
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a
     ]
     chunked = _merge_partials(pd.concat(parts, ignore_index=True), gap_us)
     key = ["key", "ts_start"]
@@ -152,9 +153,10 @@ def test_gap_partials_merge_is_chunking_invariant(df, n_chunks):
     df = df.sort_values(["key", "ts"], kind="stable").reset_index(drop=True)
     df["ts"] = pd.to_datetime(df["ts"], unit="us")
     whole = _merge_gap_partials(_gap_partials(df, "key", "ts"))
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(int)
     parts = [
-        _gap_partials(c.reset_index(drop=True), "key", "ts")
-        for c in np.array_split(df, n_chunks) if len(c)
+        _gap_partials(df.iloc[a:b].reset_index(drop=True), "key", "ts")
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a
     ]
     chunked = _merge_gap_partials(pd.concat(parts, ignore_index=True))
     pd.testing.assert_frame_equal(
