@@ -201,13 +201,28 @@ def asof_last_marker(ds, *, key: str = "user_id", ts_col: str = "ts",
 GAP_PARTIAL_COLS = ["key", "first_ts", "last_ts", "n_gaps", "max_gap_us"]
 
 
-def _gap_partials(df: pd.DataFrame, key: str, ts_col: str) -> pd.DataFrame:
+def _ord_cols_of(frame: pd.DataFrame) -> list[str]:
+    """The ``__ord{i}`` order-column snapshots a gap partial carries, in
+    declaration order."""
+    return sorted((c for c in frame.columns if c.startswith("__ord")),
+                  key=lambda c: int(c[5:]))
+
+
+def _gap_partials(df: pd.DataFrame, key: str, ts_col: str,
+                  order_cols: list[str] = ()) -> pd.DataFrame:
     """One COMPACT partial per key inside a sorted batch: (first_ts,
     last_ts, internal gap count, internal max gap). A key's rows are
     contiguous in the sorted stream, so partials merge exactly across
-    batches: each stitch adds one bridging gap last_ts(i) -> first_ts(i+1)."""
+    batches: each stitch adds one bridging gap last_ts(i) -> first_ts(i+1).
+
+    The stream's row order is (key, *order_cols, ts); when timestamps are
+    non-monotonic in that order the partial's first_ts does NOT reflect its
+    stream position, so each partial also snapshots its first row's
+    order-column values (``__ord{i}``) and the merge sorts by those — not by
+    first_ts — restoring the exact single-pass gap sequence."""
     if len(df) == 0:
-        return pd.DataFrame(columns=GAP_PARTIAL_COLS)
+        return pd.DataFrame(columns=GAP_PARTIAL_COLS
+                            + [f"__ord{i}" for i in range(len(order_cols))])
     k = df[key].to_numpy()
     ts = _ts_us(df[ts_col])
     newkey = np.concatenate([[True], k[1:] != k[:-1]])
@@ -215,23 +230,27 @@ def _gap_partials(df: pd.DataFrame, key: str, ts_col: str) -> pd.DataFrame:
     ends = np.concatenate([starts[1:], [len(k)]])
     gap = np.diff(ts, prepend=ts[0])
     gap[starts] = np.int64(-(1 << 62))  # gaps never cross keys
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "key": k[starts],
         "first_ts": ts[starts],
         "last_ts": ts[ends - 1],
         "n_gaps": (ends - starts - 1).astype(np.int64),
         "max_gap_us": np.maximum.reduceat(gap, starts),
     })
+    for i, oc in enumerate(order_cols):
+        out[f"__ord{i}"] = df[oc].to_numpy()[starts]
+    return out
 
 
 def _merge_gap_partials(frame: pd.DataFrame) -> pd.DataFrame:
-    """Merge gap partials (sorted by (key, first_ts)): per key, total gaps =
-    internal gaps + one bridge per adjacent partial pair; max gap = max of
-    internal maxima and bridge gaps."""
+    """Merge gap partials in stream order — (key, *__ord snapshots,
+    first_ts) — per key: total gaps = internal gaps + one bridge per
+    adjacent partial pair; max gap = max of internal maxima and bridges."""
     if len(frame) == 0:
         return pd.DataFrame(columns=["key", "n_gaps", "max_gap_us"])
-    frame = frame.sort_values(["key", "first_ts", "last_ts"],
-                              kind="stable").reset_index(drop=True)
+    frame = frame.sort_values(
+        ["key", *_ord_cols_of(frame), "first_ts", "last_ts"],
+        kind="stable").reset_index(drop=True)
     k = frame["key"].to_numpy()
     f = frame["first_ts"].to_numpy()
     last = frame["last_ts"].to_numpy()
@@ -264,17 +283,20 @@ def gap_stats(ds, *, key: str, order_cols: list[str], ts_col: str,
     -> DataFrame[(key, n_gaps, max_gap_us)] sorted by key."""
     partials = (
         ds.sort([key] + order_cols + [ts_col])
-        .map_batches(lambda df: _gap_partials(df, key, ts_col),
+        .map_batches(lambda df: _gap_partials(df, key, ts_col, order_cols),
                      batch_format="pandas")
         .materialize()
     )
+    ord_snap = [f"__ord{i}" for i in range(len(order_cols))]
     if partials.count() <= driver_cap:
         out = _merge_gap_partials(partials.to_pandas())
     else:
-        # sort the COMPACT partials by (key, first_ts); interior keys merge
-        # to final rows in place, each batch's first/last key's partials
+        # sort the COMPACT partials into stream order — (key, order-column
+        # snapshots, first_ts), NOT bare first_ts, which lies when ts is
+        # non-monotonic in the key's own ordering; interior keys merge to
+        # final rows in place, each batch's first/last key's partials
         # stitch on the driver (same invariant as sessionize)
-        srt2 = partials.sort(["key", "first_ts"]).materialize()
+        srt2 = partials.sort(["key", *ord_snap, "first_ts"]).materialize()
 
         def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
             if len(df) == 0:

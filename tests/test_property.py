@@ -179,6 +179,81 @@ def test_gap_partials_merge_is_chunking_invariant(df, n_chunks):
             assert kk not in got.index  # single-row keys emit no gaps
 
 
+@st.composite
+def ordered_event_streams(draw):
+    """Streams ordered by an order column INDEPENDENT of ts (turn_idx-style)
+    so timestamps may be non-monotonic within a key — the case where gap
+    partials must merge by order snapshot, not by first_ts."""
+    n = draw(st.integers(2, 120))
+    keys = sorted(draw(st.lists(st.integers(0, 6), min_size=n, max_size=n)))
+    ts = draw(st.lists(st.integers(0, 10**7), min_size=n, max_size=n))
+    df = pd.DataFrame({"key": [f"k{v}" for v in keys], "ts": ts})
+    df["ord"] = df.groupby("key").cumcount()
+    return df.reset_index(drop=True)
+
+
+@given(ordered_event_streams(), st.integers(1, 8))
+def test_gap_partials_merge_invariant_under_order_col(df, n_chunks):
+    """Chunked gap partials over a (key, ord)-sorted stream with arbitrary
+    (non-monotonic) ts merge to the single-pass answer — the merge must
+    order partials by the ord snapshot, not first_ts."""
+    from bio_data_validation_ray.functions.windows import (
+        _gap_partials,
+        _merge_gap_partials,
+    )
+
+    df = df.copy()
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    whole = _merge_gap_partials(_gap_partials(df, "key", "ts", ["ord"]))
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(int)
+    parts = [
+        _gap_partials(df.iloc[a:b].reset_index(drop=True), "key", "ts",
+                      ["ord"])
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    chunked = _merge_gap_partials(pd.concat(parts, ignore_index=True))
+    pd.testing.assert_frame_equal(
+        whole.sort_values("key").reset_index(drop=True),
+        chunked.sort_values("key").reset_index(drop=True),
+    )
+    # truth from the stream in (key, ord) order
+    k = df["key"].to_numpy()
+    v = (df["ts"].astype("int64") // 1000).to_numpy()
+    same = np.concatenate([[False], k[1:] == k[:-1]])
+    gaps = np.diff(v, prepend=v[:1])
+    got = whole.set_index("key")
+    for kk in np.unique(k):
+        m = same & (k == kk)
+        if m.any():
+            assert got.loc[kk, "n_gaps"] == int(m.sum())
+            assert got.loc[kk, "max_gap_us"] == int(gaps[m].max())
+        else:
+            assert kk not in got.index
+
+
+def test_gap_partials_nonmonotonic_ts_per_row_chunks():
+    """The ADVICE repro: one key, turn-ordered ts [100, 50, 200] split one
+    row per chunk must give max_gap 150 (50 -> 200), not 100."""
+    from bio_data_validation_ray.functions.windows import (
+        _gap_partials,
+        _merge_gap_partials,
+    )
+
+    df = pd.DataFrame({
+        "key": ["c", "c", "c"],
+        "ord": [0, 1, 2],
+        "ts": pd.to_datetime([100, 50, 200], unit="us"),
+    })
+    parts = [
+        _gap_partials(df.iloc[i:i + 1].reset_index(drop=True), "key", "ts",
+                      ["ord"])
+        for i in range(3)
+    ]
+    out = _merge_gap_partials(pd.concat(parts, ignore_index=True))
+    assert out["n_gaps"].tolist() == [2]
+    assert out["max_gap_us"].tolist() == [150]
+
+
 @given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=1,
                 max_size=300),
        st.lists(st.floats(-100, 100, allow_nan=False), min_size=2,

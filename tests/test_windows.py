@@ -145,6 +145,33 @@ def test_gap_stats_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(out, dist)
 
 
+def test_gap_stats_nonmonotonic_ts_distributed(ray_session):
+    """Keys ordered by an order column with NON-monotonic timestamps: the
+    distributed merge must order partials by the order snapshot, not
+    first_ts (ADVICE r3 high). Blocks are tiny so every key spans many."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import gap_stats
+
+    rng = np.random.default_rng(41)
+    n, nk = 600, 12
+    df = pd.DataFrame({
+        "user_id": np.sort(rng.integers(0, nk, n)),
+        "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="us"),
+    })
+    df["ord"] = df.groupby("user_id").cumcount()
+    ds = rd.from_pandas([df.iloc[i:i + 7] for i in range(0, len(df), 7)])
+    srt = df.sort_values(["user_id", "ord"], kind="stable")
+    g = (srt["ts"].astype("int64") // 1000).groupby(srt["user_id"].to_numpy())
+    truth = g.agg(lambda v: int(np.diff(v).max()))
+    for cap in (5_000_000, 0):
+        out = gap_stats(ds, key="user_id", order_cols=["ord"], ts_col="ts",
+                        driver_cap=cap).set_index("key")
+        assert out["max_gap_us"].to_dict() == truth.to_dict()
+        assert out["n_gaps"].to_dict() == (
+            srt.groupby("user_id").size() - 1).to_dict()
+
+
 def test_grouped_top_n(ray_session):
     import ray.data as rd
 
