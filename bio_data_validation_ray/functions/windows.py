@@ -149,24 +149,108 @@ def _asof_frame(df: pd.DataFrame, key: str, ts_col: str, out_cols: list[str],
     return out[per_row > np.int64(-(1 << 61))].reset_index(drop=True)
 
 
+_SENTINEL = np.int64(-(1 << 62))
+
+
+def _split_boundary(df: pd.DataFrame, key: str, want_boundary: bool
+                    ) -> pd.DataFrame:
+    """Rows of the batch's FIRST and LAST key (boundary) or everything else
+    (interior) — every sorted-stream window op's partitioning rule: a key is
+    interior to a batch XOR boundary of some batch."""
+    if len(df) == 0:
+        return df
+    kk = df[key].to_numpy()
+    bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
+    return df[bmask] if want_boundary else df[~bmask]
+
+
+def _asof_partials(df: pd.DataFrame, key: str, ts_col: str, marker_col: str,
+                   marker_value) -> pd.DataFrame:
+    """One COMPACT partial per key run in a (key, ts)-sorted batch slice:
+    (key, first_ts, last_ts, max marker ts [sentinel when none], and whether
+    a marker sits exactly at first_ts — the tie the next-batch stitch needs
+    under RANGE semantics)."""
+    cols = {"key": object, "first_ts": np.int64, "last_ts": np.int64,
+            "m": np.int64, "mk_first": bool}
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    k = df[key].to_numpy()
+    ts = _ts_us(df[ts_col])
+    is_mark = (df[marker_col] == marker_value).to_numpy()
+    v = np.where(is_mark, ts, _SENTINEL)
+    newkey = np.concatenate([[True], k[1:] != k[:-1]])
+    starts = np.flatnonzero(newkey)
+    ends = np.concatenate([starts[1:], [len(k)]])
+    first_ts = ts[starts]
+    gid = np.cumsum(newkey) - 1
+    mk_first = np.zeros(starts.size, dtype=bool)
+    np.logical_or.at(mk_first, gid[is_mark & (ts == first_ts[gid])], True)
+    return pd.DataFrame({
+        "key": k[starts],
+        "first_ts": first_ts,
+        "last_ts": ts[ends - 1],
+        "m": np.maximum.reduceat(v, starts),
+        "mk_first": mk_first,
+    })
+
+
+def _asof_carry_map(partials: pd.DataFrame) -> dict:
+    """Driver stitch over compact as-of partials: for every (key, first_ts,
+    last_ts) batch-run signature, the marker carry-in from earlier runs and
+    whether a marker ties at the run's last_ts from a later run. Runs with
+    identical (t, t) signatures are interchangeable (all rows at ts t) and
+    share one merged entry."""
+    if len(partials) == 0:
+        return {}
+    p = partials.sort_values(["key", "first_ts", "last_ts"],
+                             kind="stable").reset_index(drop=True)
+    k = p["key"].to_numpy()
+    newkey = np.concatenate([[True], k[1:] != k[:-1]])
+    m = p["m"].to_numpy()
+    # carry_in = running max of m over the key's EARLIER runs: shift m down
+    # one run, reset at key starts, per-key cummax
+    carry = np.concatenate([[_SENTINEL], m[:-1]])
+    carry[newkey] = _SENTINEL
+    carry = pd.Series(carry).groupby(np.cumsum(newkey)).cummax().to_numpy()
+    out: dict = {}
+    first = p["first_ts"].to_numpy()
+    last = p["last_ts"].to_numpy()
+    mkf = p["mk_first"].to_numpy()
+    # per key: ts values where some run starts with a marker at its first_ts
+    tie_ts: dict = {}
+    for i in range(len(p)):
+        if mkf[i]:
+            tie_ts.setdefault(k[i], set()).add(int(first[i]))
+    for i in range(len(p)):
+        sig = (k[i], int(first[i]), int(last[i]))
+        tie = int(last[i]) in tie_ts.get(k[i], ())
+        if sig in out:  # merged (t, t) group keeps the earliest carry
+            out[sig] = (min(out[sig][0], int(carry[i])), out[sig][1] or tie)
+        else:
+            out[sig] = (int(carry[i]), tie)
+    return out
+
+
 def asof_last_marker(ds, *, key: str = "user_id", ts_col: str = "ts",
                      marker_col: str, marker_value, out_cols: list[str],
                      out_name: str = "last_marker_us",
                      driver_cap: int = 5_000_000):
     """As-of join against the stream itself: for every row, attach the
     latest marker-row timestamp of the same key at-or-before the row's own
-    ts (rows with no prior marker are dropped). The as-of/range-join class
-    is absent from both the reference and Ray Data's relational API
-    (SURVEY.md §2.4 has no joins at all); this is the sorted-stream
-    re-expression: sort by (key, ts), interior keys finalize vectorized per
-    batch, each batch's first/last key's raw rows stitch on the driver —
-    identical invariant to sessionize/MergeSegments, so chunking cannot
-    change any answer. NOTE the boundary passthrough here is RAW rows of
-    <= 2 keys per batch (the output is inherently per-row), so a single
-    pathologically hot key bounds driver memory by that key's row count —
-    unlike sessionize/gap_stats, whose boundary units are compact partials.
-    Returns ``(interior_ds_or_None, driver_frame)``."""
-    import ray.data as rd
+    ts (RANGE semantics: timestamp ties share one answer; rows with no
+    prior marker are dropped). The as-of/range-join class is absent from
+    both the reference and Ray Data's relational API (SURVEY.md §2.4 has no
+    joins at all); this is the sorted-stream re-expression: sort by
+    (key, ts), interior keys finalize vectorized per batch, and boundary
+    keys exchange only COMPACT per-(batch, key) partials with the driver —
+    (first_ts, last_ts, max marker ts, marker-at-first flag), O(batches)
+    rows — never raw rows, so a pathologically hot key costs the driver a
+    few bytes per batch. The driver computes each batch-run's marker
+    carry-in (+ the RANGE tie at its last_ts from later batches), broadcasts
+    the tiny map, and a second pass over the SAME materialized blocks
+    finalizes boundary rows distributed. Returns ``(Dataset, frame)`` whose
+    union is the result; the frame is empty on the distributed path."""
+    import ray
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         return _asof_frame(df, key, ts_col, out_cols, out_name,
@@ -178,24 +262,65 @@ def asof_last_marker(ds, *, key: str = "user_id", ts_col: str = "ts",
         # global frame is fully sorted -> one kernel pass decides every key
         return None, kernel(allrows)
 
-    def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-        if len(df) == 0:
-            return df
-        kk = df[key].to_numpy()
-        bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
-        return df[bmask] if want_boundary else df[~bmask]
-
+    # batch_size=None pins batches to the materialized blocks so both passes
+    # see identical (key-run -> signature) boundaries
     interior = srt.map_batches(
-        lambda df: kernel(split(df, False)), batch_format="pandas"
+        lambda df: kernel(_split_boundary(df, key, False)),
+        batch_format="pandas", batch_size=None,
     )
-    boundary_rows = srt.map_batches(
-        lambda df: split(df, True), batch_format="pandas"
+    partials = srt.map_batches(
+        lambda df: _asof_partials(_split_boundary(df, key, True), key,
+                                  ts_col, marker_col, marker_value),
+        batch_format="pandas", batch_size=None,
     ).to_pandas()
-    if key not in boundary_rows.columns:
-        boundary_rows = pd.DataFrame(
-            columns=list(dict.fromkeys([key, ts_col, marker_col] + out_cols)))
-    boundary_rows = boundary_rows.sort_values([key, ts_col], kind="stable")
-    return interior, kernel(boundary_rows)
+    if "key" not in partials.columns:
+        partials = pd.DataFrame(columns=["key", "first_ts", "last_ts", "m",
+                                         "mk_first"])
+    carry_ref = ray.put(_asof_carry_map(partials))
+
+    def finalize_boundary(df: pd.DataFrame) -> pd.DataFrame:
+        carry_map = ray.get(carry_ref)
+        b = _split_boundary(df, key, True)
+        res = kernel_with_carry(b, carry_map)
+        return res
+
+    def kernel_with_carry(b: pd.DataFrame, carry_map: dict) -> pd.DataFrame:
+        if len(b) == 0:
+            out = pd.DataFrame(columns=out_cols)
+            out[out_name] = pd.Series(dtype=np.int64)
+            return out
+        kk = b[key].to_numpy()
+        ts = _ts_us(b[ts_col])
+        is_mark = (b[marker_col] == marker_value).to_numpy()
+        v = np.where(is_mark, ts, _SENTINEL)
+        newkey = np.concatenate([[True], kk[1:] != kk[:-1]])
+        brk = newkey | np.concatenate([[True], ts[1:] != ts[:-1]])
+        starts = np.flatnonzero(brk)
+        gid = np.cumsum(brk) - 1
+        gmax = np.maximum.reduceat(v, starts)
+        gkey = pd.factorize(kk[starts])[0]
+        within = pd.Series(gmax).groupby(gkey).cummax().to_numpy()[gid]
+        # per-run carry / tie from the driver map
+        kstarts = np.flatnonzero(newkey)
+        kends = np.concatenate([kstarts[1:], [len(kk)]])
+        ans = within.copy()
+        for s, e in zip(kstarts, kends):
+            sig = (kk[s], int(ts[s]), int(ts[e - 1]))
+            carry, tie = carry_map.get(sig, (_SENTINEL, False))
+            seg = ans[s:e]
+            np.maximum(seg, np.int64(carry), out=seg)
+            if tie:
+                at_last = ts[s:e] == ts[e - 1]
+                seg[at_last] = np.maximum(seg[at_last], ts[e - 1])
+        out = b[out_cols].copy()
+        out[out_name] = ans
+        return out[ans > np.int64(-(1 << 61))].reset_index(drop=True)
+
+    boundary_done = srt.map_batches(
+        finalize_boundary, batch_format="pandas", batch_size=None,
+    )
+    empty = pd.DataFrame(columns=out_cols + [out_name])
+    return interior.union(boundary_done), empty
 
 
 GAP_PARTIAL_COLS = ["key", "first_ts", "last_ts", "n_gaps", "max_gap_us"]
@@ -326,10 +451,13 @@ def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
     """Deterministic top-``n`` rows per key in (order_cols) order — the
     stratified-head / per-group ranking op (SQL row_number() <= n). Same
     sorted-stream skeleton as the other window ops: keys interior to a
-    batch take their head vectorized in place; each batch's first/last
-    key's rows stitch on the driver (bounded by rows-per-key, and only for
-    2 keys per batch). order_cols + the sort's stability must give a total
-    order per key for determinism (include a tiebreaker id column)."""
+    batch take their head vectorized in place; boundary keys send the
+    driver only their per-batch head-``n`` (the global head-n of a key is a
+    prefix of its concatenated batch runs, and a length-n prefix intersects
+    each run in a prefix of length <= n), so a hot key costs the driver
+    O(n) rows per batch, never its full row set. order_cols + the sort's
+    stability must give a total order per key for determinism (include a
+    tiebreaker id column)."""
     srt = ds.sort([key] + order_cols).materialize()
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
@@ -340,18 +468,14 @@ def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
     if srt.count() <= driver_cap:
         out = kernel(srt.to_pandas())
     else:
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df[key].to_numpy()
-            bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
-
         interior = srt.map_batches(
-            lambda df: kernel(split(df, False)), batch_format="pandas"
+            lambda df: kernel(_split_boundary(df, key, False)),
+            batch_format="pandas",
         ).to_pandas()
+        # compact boundary partial: this batch's head-n per boundary key
         boundary = srt.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
+            lambda df: kernel(_split_boundary(df, key, True)),
+            batch_format="pandas",
         ).to_pandas()
         if len(boundary):
             boundary = kernel(
@@ -361,15 +485,67 @@ def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
         .reset_index(drop=True)
 
 
+def _pdisc_partials(df: pd.DataFrame, key: str, value_col: str
+                    ) -> pd.DataFrame:
+    """One COMPACT partial per key run in a (key, value)-sorted batch
+    slice: (key, n_rows, first value, last value)."""
+    if len(df) == 0:
+        return pd.DataFrame({"key": pd.Series(dtype=object),
+                             "n_rows": pd.Series(dtype=np.int64),
+                             "v_first": pd.Series(dtype=np.float64),
+                             "v_last": pd.Series(dtype=np.float64)})
+    k = df[key].to_numpy()
+    v = df[value_col].to_numpy()
+    newkey = np.concatenate([[True], k[1:] != k[:-1]])
+    starts = np.flatnonzero(newkey)
+    ends = np.concatenate([starts[1:], [len(k)]])
+    return pd.DataFrame({"key": k[starts],
+                         "n_rows": (ends - starts).astype(np.int64),
+                         "v_first": v[starts], "v_last": v[ends - 1]})
+
+
+def _pdisc_resolve(partials: pd.DataFrame, q: float
+                   ) -> tuple[pd.DataFrame, dict]:
+    """Driver stitch over compact percentile partials: per key, total count
+    -> 1-based rank max(1, ceil(q*n)) -> the batch run containing the rank.
+    Runs with v_first == v_last decide immediately (the answer IS that
+    value); otherwise the run's unique (key, v_first, v_last) signature maps
+    to the in-run offset for a targeted second-pass extraction."""
+    done_rows: list = []
+    need: dict = {}
+    if len(partials) == 0:
+        return pd.DataFrame(columns=["key", "p"]), need
+    p = partials.sort_values(["key", "v_first", "v_last"],
+                             kind="stable").reset_index(drop=True)
+    for kk, grp in p.groupby("key", sort=False):
+        counts = grp["n_rows"].to_numpy()
+        total = int(counts.sum())
+        rank = max(1, int(np.ceil(q * total)))
+        ends = np.cumsum(counts)
+        i = int(np.searchsorted(ends, rank))
+        off = rank - (int(ends[i - 1]) if i else 0)  # 1-based within run
+        vf, vl = grp["v_first"].iloc[i], grp["v_last"].iloc[i]
+        if vf == vl:
+            done_rows.append((kk, vf))
+        else:
+            need[(kk, vf, vl)] = off
+    return pd.DataFrame(done_rows, columns=["key", "p"]), need
+
+
 def grouped_percentile_disc(ds, *, key: str, value_col: str, q: float,
                             driver_cap: int = 5_000_000) -> pd.DataFrame:
     """EXACT per-key discrete percentile (SQL percentile_disc semantics:
     the value at 1-based rank max(1, ceil(q*n)) of the key's sorted values)
     — the hash-green exact twin of the t-digest quantile sketch. Sorted-
     stream skeleton: interior keys hold all their rows in one batch, so the
-    rank row selects locally; boundary keys stitch on the driver.
-    -> DataFrame[(key, p)] sorted by key."""
-    import math
+    rank row selects locally; boundary keys exchange only COMPACT
+    per-(batch, key) count partials (key, n_rows, v_first, v_last) with the
+    driver — O(batches) rows, never raw rows or value runs. The driver
+    locates each key's rank inside one batch run; when that run spans a
+    single value the answer is immediate, otherwise a targeted second pass
+    over the SAME materialized blocks extracts exactly one row per pending
+    key. -> DataFrame[(key, p)] sorted by key."""
+    import ray
 
     srt = ds.sort([key, value_col]).materialize()
 
@@ -388,23 +564,50 @@ def grouped_percentile_disc(ds, *, key: str, value_col: str, q: float,
     if srt.count() <= driver_cap:
         out = kernel(srt.to_pandas())
     else:
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df[key].to_numpy()
-            bmask = df[key].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
-
+        # batch_size=None pins batches to the materialized blocks so the
+        # partial pass and the extraction pass see identical key runs
         interior = srt.map_batches(
-            lambda df: kernel(split(df, False)), batch_format="pandas"
+            lambda df: kernel(_split_boundary(df, key, False)),
+            batch_format="pandas", batch_size=None,
         ).to_pandas()
-        boundary = srt.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
+        partials = srt.map_batches(
+            lambda df: _pdisc_partials(
+                _split_boundary(df, key, True), key, value_col),
+            batch_format="pandas", batch_size=None,
         ).to_pandas()
-        if len(boundary):
-            boundary = kernel(
-                boundary.sort_values([key, value_col], kind="stable"))
-        out = pd.concat([interior, boundary], ignore_index=True)
+        if "key" not in partials.columns:
+            partials = pd.DataFrame(
+                columns=["key", "n_rows", "v_first", "v_last"])
+        done, need = _pdisc_resolve(partials, q)
+        frames = [interior]
+        if len(done):
+            frames.append(done.rename(columns={"key": key}))
+        if need:
+            need_ref = ray.put(need)
+
+            def extract(df: pd.DataFrame) -> pd.DataFrame:
+                todo = ray.get(need_ref)
+                b = _split_boundary(df, key, True)
+                if len(b) == 0:
+                    return pd.DataFrame(columns=[key, "p"])
+                k = b[key].to_numpy()
+                v = b[value_col].to_numpy()
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+                ends = np.concatenate([starts[1:], [len(k)]])
+                rows = []
+                for s, e in zip(starts, ends):
+                    off = todo.get((k[s], v[s], v[e - 1]))
+                    if off is not None:
+                        rows.append((k[s], v[s + off - 1]))
+                return pd.DataFrame(rows, columns=[key, "p"])
+
+            frames.append(srt.map_batches(
+                extract, batch_format="pandas", batch_size=None,
+            ).to_pandas())
+        frames = [f for f in frames if len(f)]
+        out = (pd.concat(frames, ignore_index=True)
+               if frames else pd.DataFrame(columns=[key, "p"]))
     return out.sort_values(key, kind="stable").reset_index(drop=True)
 
 

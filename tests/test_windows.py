@@ -220,6 +220,103 @@ def test_grouped_percentile_disc(ray_session):
         pd.testing.assert_frame_equal(out, dist)
 
 
+def test_hot_key_boundary_traffic_is_compact_and_exact(ray_session):
+    """VERDICT r3 #2: ONE pathologically hot key spanning every block must
+    cost the driver O(batches) compact partial rows — never its raw rows —
+    across asof / top-n / percentile_disc, with answers unchanged."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import (
+        _asof_partials,
+        _pdisc_partials,
+        _split_boundary,
+        asof_last_marker,
+        grouped_percentile_disc,
+        grouped_top_n,
+    )
+
+    rng = np.random.default_rng(67)
+    n, chunk = 3000, 40
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, dtype=np.int64),  # one hot key
+        "event_id": np.arange(n),
+        "event_type": rng.choice(["view", "click", "buy"], n),
+        "ts": pd.to_datetime(np.sort(rng.integers(0, 10**8, n)), unit="us"),
+        "v": rng.integers(0, 50, n),  # small domain -> long value runs
+    })
+    chunks = [df.iloc[i:i + chunk].reset_index(drop=True)
+              for i in range(0, n, chunk)]
+
+    # --- compactness: per-chunk boundary partials are O(1) rows each ---
+    asof_parts = [
+        _asof_partials(_split_boundary(c, "user_id", True), "user_id", "ts",
+                       "event_type", "view")
+        for c in chunks
+    ]
+    assert all(len(p) <= 2 for p in asof_parts)  # <= 2 boundary keys/batch
+    dfv = df.sort_values(["user_id", "v"], kind="stable")
+    pdisc_parts = [
+        _pdisc_partials(
+            _split_boundary(dfv.iloc[i:i + chunk].reset_index(drop=True),
+                            "user_id", True), "user_id", "v")
+        for i in range(0, n, chunk)
+    ]
+    assert all(len(p) <= 2 for p in pdisc_parts)
+
+    # --- exactness through the distributed (driver_cap=0) path ---
+    ds = rd.from_pandas(chunks)
+    srt = df.sort_values(["user_id", "ts"], kind="stable")
+    is_view = (srt["event_type"] == "view").to_numpy()
+    tsus = srt["ts"].astype("int64").to_numpy() // 1000
+    # RANGE-tie truth: per row, max view-ts at-or-before its ts
+    expect = {}
+    for eid, t in zip(srt["event_id"], tsus):
+        cand = tsus[is_view & (tsus <= t)]
+        if cand.size:
+            expect[int(eid)] = int(cand.max())
+    interior, drv = asof_last_marker(
+        ds, key="user_id", ts_col="ts", marker_col="event_type",
+        marker_value="view", out_cols=["event_id"], out_name="lv",
+        driver_cap=0,
+    )
+    full = pd.concat([interior.to_pandas(), drv], ignore_index=True)
+    assert dict(zip(full["event_id"].astype(int),
+                    full["lv"].astype(int))) == expect
+
+    top = grouped_top_n(ds, key="user_id", order_cols=["ts", "event_id"],
+                        n=5, driver_cap=0)
+    t5 = (df.sort_values(["ts", "event_id"], kind="stable").head(5)
+          ["event_id"].tolist())
+    assert top["event_id"].tolist() == t5
+
+    for q in (0.25, 0.5, 0.9):
+        got = grouped_percentile_disc(ds, key="user_id", value_col="v",
+                                      q=q, driver_cap=0)
+        s = np.sort(df["v"].to_numpy())
+        rank = max(1, int(np.ceil(q * s.size)))
+        assert got["p"].tolist() == [s[rank - 1]]
+
+
+def test_pdisc_extraction_path(ray_session):
+    """Percentile rank landing strictly inside a multi-value batch run must
+    route through the targeted one-row extraction pass."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import (
+        grouped_percentile_disc,
+    )
+
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({"k": ["h"] * 1000,
+                       "v": rng.permutation(1000)})  # all-distinct values
+    ds = rd.from_pandas([df.iloc[i:i + 30] for i in range(0, 1000, 30)])
+    for q in (0.31, 0.5, 0.77):
+        got = grouped_percentile_disc(ds, key="k", value_col="v", q=q,
+                                      driver_cap=0)
+        rank = max(1, int(np.ceil(q * 1000)))
+        assert got["p"].tolist() == [rank - 1]  # values are 0..999
+
+
 def test_merge_partials_respects_gap():
     # two partials of one key merge iff the inter-partial gap <= gap
     f = pd.DataFrame({
