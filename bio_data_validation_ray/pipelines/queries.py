@@ -32,6 +32,17 @@ TOOL_RE_SQL = "'^[a-z][a-z0-9_]{0,63}$'"
 ORACLE_SF = "sf0.01"  # the driver compares at sf=0.01
 
 
+def _round_half_away(v) -> np.ndarray:
+    """SQL round() semantics — half AWAY from zero. np.round is
+    half-to-even and silently diverges from the DuckDB oracles when a
+    scaled value lands on a representable .5 tie (the same divergence
+    profile.column_pair_stats pins with Arrow round_mode=
+    'half_towards_infinity'). Every integer cents/qty derivation paired
+    with a round() oracle must come through here."""
+    v = np.asarray(v, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+
 def _nblocks() -> int:
     """Single-file tables arrive as ONE block, serializing every per-batch
     kernel; split the read across the session's CPUs."""
@@ -387,7 +398,7 @@ def events_by_type(sf_dir):
                      columns=["event_type", "value", "user_id"])
 
     def add_cents(df: pd.DataFrame) -> pd.DataFrame:
-        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        df["cents"] = _round_half_away(df["value"] * 100).astype(np.int64)
         return df[["event_type", "cents", "user_id"]]
 
     out = combine_low_card(
@@ -438,7 +449,7 @@ def events_daily(sf_dir):
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         df["day"] = df["ts"].dt.floor("D")
-        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        df["cents"] = _round_half_away(df["value"] * 100).astype(np.int64)
         return df[["event_type", "day", "cents"]]
 
     out = combine_low_card(
@@ -537,7 +548,7 @@ def events_value_p50(sf_dir):
     ds = _read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df["cents"] = np.round(df["value"] * 100).astype(np.int64)
+        df["cents"] = _round_half_away(df["value"] * 100).astype(np.int64)
         return df[["event_type", "cents"]]
 
     out = grouped_percentile_disc(
@@ -607,7 +618,7 @@ def cust_orders_join(sf_dir):
 
     def joined(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(seg_of)  # vectorized hash merge, not per-row .map
-        df["cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        df["cents"] = _round_half_away(df["o_totalprice"] * 100).astype(np.int64)
         df = df.merge(m, left_on="o_custkey", right_on="c_custkey", how="left")
         return df[["c_mktsegment", "cents"]]
 
@@ -749,7 +760,7 @@ def li_orders_join(sf_dir):
                      columns=["l_orderkey", "l_quantity"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        df["qty"] = np.round(df["l_quantity"]).astype(np.int64)
+        df["qty"] = _round_half_away(df["l_quantity"]).astype(np.int64)
         return df[["l_orderkey", "qty"]]
 
     interior, boundary = keyed_reduce(
@@ -1178,9 +1189,9 @@ def li_pricing(sf_dir):
     )
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df["qty"] = np.round(df["l_quantity"]).astype(np.int64)
-        df["price_cents"] = np.round(df["l_extendedprice"] * 100).astype(np.int64)
-        df["disc_bp"] = np.round(df["l_discount"] * 10000).astype(np.int64)
+        df["qty"] = _round_half_away(df["l_quantity"]).astype(np.int64)
+        df["price_cents"] = _round_half_away(df["l_extendedprice"] * 100).astype(np.int64)
+        df["disc_bp"] = _round_half_away(df["l_discount"] * 10000).astype(np.int64)
         return df[["l_returnflag", "l_linestatus", "qty", "price_cents", "disc_bp"]]
 
     out = combine_low_card(

@@ -573,3 +573,22 @@ class TestMultimodal:
         ).to_pandas()
         assert len(out) == n_videos * 4
         assert set(out["frame_idx"]) == {0, 1, 2, 3}
+
+
+def test_round_half_away_matches_sql_round():
+    """Integer-scaling derivations paired with DuckDB round() oracles must
+    round .5 ties AWAY from zero, not to-even (ADVICE r3: a value*100
+    landing on a representable .5 flips the percentile input)."""
+    import duckdb
+
+    from bio_data_validation_ray.pipelines.queries import _round_half_away
+
+    vals = np.array([12.5, 13.5, -12.5, -0.5, 0.5, 2.675, 1.0, 0.0])
+    got = _round_half_away(vals).astype(np.int64)
+    exp = duckdb.sql(
+        "SELECT list_transform(?::DOUBLE[], v -> CAST(round(v) AS BIGINT))",
+        params=[vals.tolist()],
+    ).fetchone()[0]
+    assert got.tolist() == exp
+    # the classic to-even divergence
+    assert _round_half_away([12.5])[0] == 13 and np.round(12.5) == 12
