@@ -10,9 +10,12 @@ Survivor semantics (deterministic, SQL-statable — queries.t_clean_rows):
   - drop rows flagged by any ROW-LOCAL rule (vocabulary, tool pattern/role
     coupling, empty/null text, turn range, ts window, length band);
   - collapse whole-row duplicates to one copy (DISTINCT over the data
-    columns + shard — exact per batch because a conversation's rows are
-    file-aligned and shard-spanning conversations are already excluded by
-    the CRITICAL single-shard rule).
+    columns + shard). The collapse is GLOBAL: per-batch drop_duplicates
+    handles copies inside a block, and copies that straddle blocks (Ray
+    splits large files at row-group boundaries and big blocks dynamically)
+    are found via compact (key, row-hash) count partials — only the few
+    rows in actual cross-block dup groups ever reach the driver; clean
+    rows stream straight through.
 
 The exclusions come straight from the validation run's own violations
 artifact — the export trusts the gate it ships with, and the violation
@@ -62,6 +65,87 @@ def exclusions_from_violations(vio: pd.DataFrame
     return bad_convs, bad_rows
 
 
+_DUP_KEY = ["shard", "conv_id", "turn_idx", "h"]
+
+
+def _row_hashes(df: pd.DataFrame) -> np.ndarray:
+    """Deterministic 64-bit whole-row hash over the export columns (pandas'
+    unseeded hash — stable across processes for identical values/dtypes)."""
+    return (pd.util.hash_pandas_object(df[DATA_COLS + ["shard"]],
+                                       index=False)
+            .to_numpy().view(np.int64))
+
+
+def collapse_cross_block_dups(survivors, *, already_local_deduped: bool = True):
+    """Exact GLOBAL whole-row dup collapse over a per-batch-deduplicated
+    stream (ADVICE r3 medium: a dup pair straddling a Ray block boundary
+    survives per-batch drop_duplicates — blocks are NOT files).
+
+    Shape at scale: every batch emits one COMPACT (shard, conv_id,
+    turn_idx, row-hash) key row per surviving row — no text — and a keyed
+    reduce counts copies per key; only keys seen in 2+ blocks (rare: they
+    are whole-row dup violations by definition) have their rows routed to
+    a driver-side DISTINCT, while every other row streams through
+    untouched. Returns a Dataset."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import keyed_reduce
+
+    def key_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "shard": df["shard"] if len(df) else pd.Series(dtype=object),
+            "conv_id": df["conv_id"] if len(df) else pd.Series(dtype=object),
+            "turn_idx": (df["turn_idx"].astype(np.int64) if len(df)
+                         else pd.Series(dtype=np.int64)),
+            "h": (_row_hashes(df) if len(df)
+                  else pd.Series(dtype=np.int64)),
+        })
+        out["n"] = np.int64(1)
+        return out
+
+    survivors = survivors.materialize()
+    interior, boundary = keyed_reduce(
+        survivors.map_batches(key_partial, batch_format="pandas"),
+        _DUP_KEY, {"n": ("n", "sum")}, partial_applied=True,
+    )
+    dup_frames = [
+        interior.map_batches(lambda df: df[df["n"] > 1],
+                             batch_format="pandas").to_pandas()
+    ]
+    if len(boundary):
+        dup_frames.append(boundary[boundary["n"] > 1])
+    dup_keys = pd.concat(dup_frames, ignore_index=True)
+    if len(dup_keys) == 0:
+        return survivors
+    dup_set = frozenset(zip(dup_keys["shard"], dup_keys["conv_id"],
+                            dup_keys["turn_idx"].astype(np.int64),
+                            dup_keys["h"].astype(np.int64)))
+    dup_ref = ray.put(dup_set)
+
+    def in_dup_group(df: pd.DataFrame) -> np.ndarray:
+        dups = ray.get(dup_ref)
+        keys = zip(df["shard"], df["conv_id"],
+                   df["turn_idx"].astype(np.int64), _row_hashes(df))
+        return np.fromiter((k in dups for k in keys), dtype=bool,
+                           count=len(df))
+
+    clean = survivors.map_batches(
+        lambda df: df[~in_dup_group(df)] if len(df) else df,
+        batch_format="pandas",
+    )
+    # the dup-group rows are violations-scale by construction; collapse
+    # them once on the driver (exact DISTINCT over the full row)
+    dup_rows = survivors.map_batches(
+        lambda df: df[in_dup_group(df)] if len(df) else df,
+        batch_format="pandas",
+    ).to_pandas()
+    if "shard" not in dup_rows.columns:  # all-empty schema quirk
+        return clean
+    collapsed = dup_rows.drop_duplicates(DATA_COLS + ["shard"])
+    return clean.union(rd.from_pandas(collapsed))
+
+
 def write_clean_output(input_dir: str, out_dir: str, *,
                        violations: pd.DataFrame,
                        nparts: int | None = None) -> dict:
@@ -85,7 +169,7 @@ def write_clean_output(input_dir: str, out_dir: str, *,
         bc = ray.get(convs_ref)
         br = ray.get(rows_ref)
         if len(df) == 0:
-            return df[DATA_COLS + ["shard"]] if "shard" in df.columns else df
+            return pd.DataFrame(columns=DATA_COLS + ["shard"])
         df = df.rename(columns={"path": "shard"})
         df["shard"] = df["shard"].str.rsplit("/", n=1).str[-1]
         mask = ~df["conv_id"].isin(bc)
@@ -100,6 +184,7 @@ def write_clean_output(input_dir: str, out_dir: str, *,
 
     ds = rd.read_parquet(list_shards(input_dir), include_paths=True)
     survivors = ds.map_batches(keep, batch_format="pandas")
+    survivors = collapse_cross_block_dups(survivors)
     if nparts:
         survivors = survivors.repartition(nparts)
     survivors = survivors.materialize()

@@ -53,6 +53,39 @@ def test_clean_export_integrity(ray_session, tmp_path):
     assert len(pd.read_parquet(out_dir)) == len(clean)
 
 
+def test_cross_block_dup_collapse(ray_session):
+    """A whole-row duplicate pair that STRADDLES two Ray blocks (each block
+    locally deduped already) collapses to one copy — per-batch
+    drop_duplicates alone would miss it because blocks are not files
+    (row-group splits / dynamic block splitting)."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.pipelines.export import (
+        DATA_COLS,
+        collapse_cross_block_dups,
+    )
+
+    def mk(rows):
+        return pd.DataFrame(rows, columns=DATA_COLS + ["shard"])
+
+    dup = ("c1", 0, "user", "same text", None,
+           pd.Timestamp("2024-01-01"), "s0.parquet")
+    blk_a = mk([dup, ("c1", 1, "assistant", "uniq a", None,
+                      pd.Timestamp("2024-01-01"), "s0.parquet")])
+    blk_b = mk([dup, ("c2", 0, "user", "uniq b", "search",
+                      pd.Timestamp("2024-01-02"), "s1.parquet")])
+    # two from_pandas datasets union → the dup pair sits in separate blocks
+    ds = rd.from_pandas(blk_a).union(rd.from_pandas(blk_b))
+    out = collapse_cross_block_dups(ds).to_pandas()
+    cols = DATA_COLS + ["shard"]
+    assert len(out) == 3
+    assert not out.duplicated(cols).any()
+    expected = (pd.concat([blk_a, blk_b]).drop_duplicates(cols)
+                .sort_values(cols).reset_index(drop=True))
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected)
+
+
 def test_clean_export_resumable_parity(ray_session, tmp_path):
     """The export driven by a RESUMABLE run's violations (group dirs +
     conv-final) must produce the same survivors as one driven by a direct
