@@ -25,6 +25,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -1081,9 +1082,12 @@ def validate_resumable(
             shard_counts[r["shard"]] = SeverityCounts(**kw2)
     if run_dir and (len(conv_vio) or vio_conv_ds is not None):
         fdir = os.path.join(run_dir, "violations", "conv-final")
+        # always start from an empty directory: a re-merge can switch
+        # between the distributed and driver branches (e.g. driver_cap
+        # changed), and stale conv-*.parquet parts from a prior
+        # distributed write would double-count conversation violations
+        shutil.rmtree(fdir, ignore_errors=True)
         os.makedirs(fdir, exist_ok=True)
-        # overwrite-mode Dataset write first (it clears the directory),
-        # the driver-side boundary/exact rows second
         if vio_conv_ds is not None:
             write_parquet_idempotent(vio_conv_ds, fdir, prefix="conv")
         if len(conv_vio):

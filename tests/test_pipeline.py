@@ -337,6 +337,35 @@ class TestResumable:
         assert len(blobs) == full["shards_total"]
 
 
+    def test_remerge_branch_switch_no_stale_conv_parts(self, ray_session,
+                                                       tmp_path):
+        """A re-merge that switches from the distributed conv-final branch
+        (driver_cap=0) to the driver branch (default cap) must not leave the
+        distributed run's conv-*.parquet parts beside the fresh part-0 —
+        stale parts would double-count conversation violations for
+        consumers like --clean-out."""
+        import glob as g
+        import os as o
+
+        import pyarrow.dataset as pads
+
+        from bio_data_validation_ray.pipelines.validate import validate_resumable
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF)
+        run = str(tmp_path / "r")
+        dist = validate_resumable(d, run_dir=run, files_per_pass=3,
+                                  concurrency=2, driver_cap=0)
+        fdir = o.path.join(run, "violations", "conv-final")
+        assert g.glob(o.path.join(fdir, "conv-*.parquet"))  # distributed ran
+        n_dist = len(pads.dataset(fdir).to_table())
+        # all shards committed → re-running only re-merges, now driver-side
+        redo = validate_resumable(d, run_dir=run, files_per_pass=3,
+                                  concurrency=2)
+        assert redo["severity_counts"] == dist["severity_counts"]
+        assert not g.glob(o.path.join(fdir, "conv-*.parquet"))
+        assert len(pads.dataset(fdir).to_table()) == n_dist
+
     def test_crash_mid_commit_loop_is_exact(self, ray_session, tmp_path):
         """A crash DURING the per-shard commit loop leaves the pass's group
         artifacts on disk with some shards uncommitted; the resumed run must
