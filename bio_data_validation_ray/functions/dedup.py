@@ -66,6 +66,83 @@ def char_shingles(s: str, k: int = 5) -> np.ndarray:
     return np.unique(h)
 
 
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def char_shingle_windows_batch(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Batched char-shingle MULTISET over a whole column: ONE rolling-hash
+    pass over the concatenated UTF-8 buffer of all texts (Arrow encodes the
+    column at C speed), then gather the windows that don't cross a doc
+    boundary — no per-doc Python/numpy calls, no sort. Returns
+    ``(hashes, lens)``: ``hashes`` concatenates each doc's window hashes in
+    stream order, ``lens[i]`` its count.
+
+    Per doc this is ``char_shingles(s, k)`` WITHOUT the ``np.unique`` —
+    ``np.unique(segment_i)`` equals ``char_shingles(texts[i], k)`` exactly.
+    MinHash consumes it directly: min over the multiset == min over the
+    set, so skipping the per-doc sort is free exactness. Texts shorter than
+    ``k`` bytes contribute the ``_hash64([s])`` singleton, matching the
+    per-doc function."""
+    texts = np.asarray(texts, dtype=object)
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    try:
+        arr = pa.array(texts, type=pa.large_string())
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        # non-encodable input (lone surrogates): per-doc fallback keeps the
+        # errors="ignore" semantics
+        sets = [char_shingles(s, k) for s in texts]
+        lens = np.array([s.size for s in sets], dtype=np.int64)
+        cat = np.concatenate(sets) if lens.sum() else np.zeros(0, np.uint64)
+        return cat, lens
+    buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    buf_off = buf_off[arr.offset: arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.zeros(0, np.uint8)
+    doc_len = np.diff(buf_off)
+    short = doc_len < k
+    if short.any():
+        # rare path: splice per-doc singletons between window runs — fall
+        # back to segment assembly only for the affected docs
+        singles = _hash64(texts[np.flatnonzero(short)])
+    m = data.size - k + 1
+    if m > 0:
+        h_all = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h_all = h_all * _FNV_PRIME + data[j:j + m]
+    else:
+        h_all = np.zeros(0, np.uint64)
+    n_win = np.where(short, 1, doc_len - k + 1)
+    total = int(n_win.sum())
+    run_start = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(run_start, n_win)
+    src = np.repeat(buf_off[:-1], n_win) + pos
+    if short.any():
+        hashes = np.empty(total, dtype=np.uint64)
+        is_short_slot = np.repeat(short, n_win)
+        hashes[~is_short_slot] = h_all[src[~is_short_slot]]
+        hashes[is_short_slot] = singles
+    else:
+        hashes = h_all[src]
+    return hashes, n_win.astype(np.int64)
+
+
+def char_shingles_batch(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Batched ``char_shingles``: the whole column's windows come from the
+    one-pass kernel above, then each doc's segment gets a single
+    ``np.unique`` — one numpy call per doc instead of encode + window
+    indexing + k-round hashing per doc. Returns ``(hashes, lens)`` with
+    ``hashes`` the concatenation of each doc's sorted unique shingle
+    hashes; bit-identical to ``[char_shingles(s, k) for s in texts]``."""
+    cat, lens = char_shingle_windows_batch(texts, k)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    sets = [np.unique(cat[off[i]:off[i + 1]]) for i in range(len(lens))]
+    out_lens = np.array([s.size for s in sets], dtype=np.int64)
+    out = (np.concatenate(sets) if out_lens.sum()
+           else np.zeros(0, np.uint64))
+    return out, out_lens
+
+
 def word_shingles(s: str, n: int = 3) -> np.ndarray:
     """Hashed word n-gram set (n-gram Jaccard's feature space): whitespace
     tokens -> n-grams of consecutive words -> 64-bit hashes, unique. Texts
@@ -102,7 +179,15 @@ class MinHashBands:
         self.col, self.id_col = col, id_col
         self.k, self.n_perm, self.bands = k, n_perm, bands
         self.rows_per_band = n_perm // bands
-        self.shingle_fn = shingle_fn or functools.partial(char_shingles, k=k)
+        # the default char path shingles the whole batch in one kernel;
+        # a custom shingle_fn (e.g. word_shingles) runs per doc
+        self.shingle_fn = shingle_fn
+        if shingle_fn is None:
+            self.shingle_fn = functools.partial(char_shingles, k=k)
+            self.shingle_batch_fn = functools.partial(char_shingles_batch,
+                                                      k=k)
+        else:
+            self.shingle_batch_fn = None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -110,10 +195,14 @@ class MinHashBands:
             return pd.DataFrame({self.id_col: [], "band": [], "band_hash": []})
         # batch-vectorized minhash: concatenate every doc's shingle set and
         # min-reduce per (permutation, doc) with reduceat — no per-doc loop
-        shingle_sets = [self.shingle_fn(s) for s in batch[self.col]]
-        lens = np.array([s.size for s in shingle_sets], dtype=np.int64)
+        if self.shingle_batch_fn is not None:
+            allsh, lens = self.shingle_batch_fn(batch[self.col])
+        else:
+            shingle_sets = [self.shingle_fn(s) for s in batch[self.col]]
+            lens = np.array([s.size for s in shingle_sets], dtype=np.int64)
+            allsh = (np.concatenate(shingle_sets) if lens.sum()
+                     else np.zeros(0, np.uint64))
         offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        allsh = np.concatenate(shingle_sets) if lens.sum() else np.zeros(0, np.uint64)
         sigs = np.empty((n, self.n_perm), dtype=np.uint64)
         if allsh.size:
             for p0 in range(0, self.n_perm, 16):  # chunk perms to bound memory

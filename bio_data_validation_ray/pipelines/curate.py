@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.dedup import char_shingles
+from ..functions.dedup import char_shingles_batch
 from ..functions.textstats import add_quality_filter
 from ..sketches import _hash64
 
@@ -38,8 +38,10 @@ def _derive(t: pa.Table, col: str, quality_kwargs: dict) -> pa.Table:
     """One pass: quality reason + text hash + shingle-set hash per doc."""
     q = add_quality_filter(t, col, **quality_kwargs)
     texts = t[col].to_pylist()
-    set_keys = np.array([char_shingles(s).tobytes() for s in texts],
-                        dtype=object)
+    cat, lens = char_shingles_batch(texts)
+    off = np.concatenate([[0], np.cumsum(lens)])
+    set_keys = np.array([cat[off[i]:off[i + 1]].tobytes()
+                         for i in range(len(lens))], dtype=object)
     set_hash = _hash64(set_keys).astype(np.int64)
     text_hash = _hash64(np.asarray(texts, dtype=object)).astype(np.int64)
     return pa.table({

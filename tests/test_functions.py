@@ -207,6 +207,38 @@ class TestDedup:
         ref = [np.int64(simhash64(s).astype(np.int64)) for s in texts]
         assert (df["simhash"].to_numpy() == np.array(ref)).all()
 
+    def test_char_shingle_windows_batch_matches_per_doc(self):
+        """Per-doc unique of the batched window-multiset kernel is
+        bit-identical to char_shingles, including short (<k bytes), empty
+        and multibyte unicode docs — so a min-reduce over the multiset
+        equals a min over the shingle set."""
+        from bio_data_validation_ray.functions.dedup import (
+            char_shingle_windows_batch,
+            char_shingles,
+        )
+
+        rng = np.random.default_rng(7)
+        texts = ["".join(rng.choice(list("abcdef "), rng.integers(0, 60)))
+                 for _ in range(80)]
+        texts += ["", "ab", "abcd", "abcde", "héllo wörld ünïcode",
+                  "日本語のテキスト", "x" * 4, "y" * 5]
+        from bio_data_validation_ray.functions.dedup import char_shingles_batch
+
+        for k in (3, 5, 9):
+            cat, lens = char_shingle_windows_batch(texts, k)
+            off = np.concatenate([[0], np.cumsum(lens)])
+            assert off[-1] == cat.size
+            for i, s in enumerate(texts):
+                np.testing.assert_array_equal(
+                    np.unique(cat[off[i]:off[i + 1]]), char_shingles(s, k))
+            # the set variant is bit-identical to the per-doc concatenation
+            ref = [char_shingles(s, k) for s in texts]
+            ucat, ulens = char_shingles_batch(texts, k)
+            assert ulens.tolist() == [r.size for r in ref]
+            np.testing.assert_array_equal(ucat, np.concatenate(ref))
+        cat, lens = char_shingle_windows_batch([], 5)
+        assert cat.size == 0 and lens.size == 0
+
     def test_jaccard_exact(self):
         from bio_data_validation_ray.functions.dedup import jaccard
 
