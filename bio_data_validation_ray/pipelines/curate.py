@@ -98,11 +98,11 @@ def curate_documents(ds, *, col: str = "text", out_dir: str | None = None,
     )
     set_min = keyed_reduce_pandas(
         kept, ["set_hash"], {"set_canon": ("doc_id", "min")},
-        driver_cap=driver_cap,
+        driver_cap=driver_cap, batch_format="pyarrow",
     )
     text_min = keyed_reduce_pandas(
         kept, ["text_hash"], {"text_canon": ("doc_id", "min")},
-        driver_cap=driver_cap,
+        driver_cap=driver_cap, batch_format="pyarrow",
     )
     # an all-quality-failed input leaves the minima frames without columns
     if "set_hash" not in set_min.columns:

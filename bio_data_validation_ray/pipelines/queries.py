@@ -242,6 +242,7 @@ def t_conv_stats(sf_dir):
         {"n_turns": ("turn_idx", "count"),
          "turn_min": ("turn_idx", "min"),
          "turn_max": ("turn_idx", "max")},
+        batch_format="pyarrow",
     )
     for c in ("n_turns", "turn_min", "turn_max"):
         out[c] = out[c].astype(np.int64)
@@ -302,7 +303,8 @@ def t_distinct_convs_exact(sf_dir):
 
     ds = rd.read_parquet(transcripts_dir(sf_dir), columns=["conv_id"])
     interior, boundary = keyed_reduce(ds, ["conv_id"],
-                                      {"c": ("conv_id", "count")})
+                                      {"c": ("conv_id", "count")},
+                                      batch_format="pyarrow")
     n = interior.count() + len(boundary)
     return pd.DataFrame({"n_convs": pd.array([n], dtype=np.int64)})
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 MERGE_HOW = {"sum": "sum", "min": "min", "max": "max", "count": "sum",
              "first": "first"}
@@ -45,6 +46,60 @@ def make_partial(keys: list[str], spec: dict[str, tuple[str, str]]):
     return partial
 
 
+def make_partial_arrow(keys: list[str], spec: dict[str, tuple[str, str]]):
+    """Arrow-native twin of ``make_partial``: prunes the batch to the key +
+    source columns and aggregates with ``pa.Table.group_by`` — zero-copy
+    from the object store, no Arrow→pandas conversion paying for string
+    columns the agg never touches. Same semantics as the pandas partial:
+    count = row count (``count_all``), first = first non-null, null-key
+    rows dropped (pandas ``groupby`` default)."""
+    agg_of = {}  # (src, arrow_how) -> output name arrow will give it
+    for out, (src, how) in spec.items():
+        ahow = "count_all" if how == "count" else how
+        agg_of[(src if how != "count" else "", ahow)] = None
+    aggs = []
+    for (src, ahow) in agg_of:
+        if ahow == "count_all":
+            aggs.append(([], "count_all"))
+            agg_of[(src, ahow)] = "count_all"
+        else:
+            aggs.append((src, ahow))
+            agg_of[(src, ahow)] = f"{src}_{ahow}"
+    need = list(dict.fromkeys(
+        keys + [src for _, (src, how) in spec.items() if how != "count"]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if any(k not in t.column_names for k in need):
+            return pa.table({c: pa.array([], type=pa.null())
+                             for c in keys + list(spec)})
+        t = t.select(need)
+        if any(t[k].null_count for k in keys):
+            import pyarrow.compute as pc
+
+            mask = None
+            for k in keys:
+                v = pc.is_valid(t[k])
+                mask = v if mask is None else pc.and_(mask, v)
+            t = t.filter(mask)
+        g = t.group_by(keys, use_threads=False).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
+        for out, (src, how) in spec.items():
+            ahow = "count_all" if how == "count" else how
+            cols[out] = g[agg_of[(src if how != "count" else "", ahow)]]
+        return pa.table(cols)
+
+    return partial
+
+
+def _apply_partial(ds, keys, spec, batch_format: str):
+    """Map the right partial flavor over ``ds`` for ``batch_format``."""
+    if batch_format == "pyarrow":
+        return ds.map_batches(make_partial_arrow(keys, spec),
+                              batch_format="pyarrow")
+    return ds.map_batches(make_partial(keys, spec),
+                          batch_format=batch_format)
+
+
 def _merge_frame(df: pd.DataFrame, keys: list[str],
                  spec: dict[str, tuple[str, str]]) -> pd.DataFrame:
     agg = {out: (out, MERGE_HOW[how]) for out, (_, how) in spec.items()}
@@ -56,9 +111,7 @@ def combine_low_card(ds, keys: list[str], spec: dict[str, tuple[str, str]],
     """Partial-per-batch + driver combine. Use when the number of distinct
     keys is small (event types, severities, roles): partial rows are
     O(#batches x #keys), so no shuffle is ever needed."""
-    partials = ds.map_batches(
-        make_partial(keys, spec), batch_format=batch_format
-    ).to_pandas()
+    partials = _apply_partial(ds, keys, spec, batch_format).to_pandas()
     if len(partials) == 0:
         return partials
     return _merge_frame(partials, keys, spec)
@@ -104,7 +157,7 @@ def keyed_reduce(ds, keys: list[str], spec: dict[str, tuple[str, str]],
     a collected result."""
     partials = (
         ds if partial_applied
-        else ds.map_batches(make_partial(keys, spec), batch_format=batch_format)
+        else _apply_partial(ds, keys, spec, batch_format)
     )
     merged = partials.sort(keys).map_batches(
         _InteriorReduce(keys, spec), batch_format="pandas"
@@ -136,8 +189,7 @@ def keyed_reduce_pandas(ds, keys: list[str], spec: dict[str, tuple[str, str]],
     it) the sort + boundary-stitch path runs unchanged."""
     partials = (
         ds if partial_applied
-        else ds.map_batches(make_partial(keys, spec),
-                            batch_format=batch_format)
+        else _apply_partial(ds, keys, spec, batch_format)
     ).materialize()
     if partials.count() <= driver_cap:
         df = partials.to_pandas()

@@ -96,6 +96,62 @@ class TestKeyedReduce:
         assert got["n"].tolist() == want["n"].tolist()
         assert got["s"].tolist() == want["s"].tolist()
 
+    def test_arrow_partial_matches_pandas_partial(self, ray_session):
+        """make_partial_arrow agrees with the pandas partial on a frame with
+        an untouched wide string column (which the Arrow path never
+        converts), null values in the agg source, null keys (dropped by
+        both), and every supported how."""
+        import pyarrow as pa
+
+        from bio_data_validation_ray.stages.keyed_reduce import (
+            make_partial,
+            make_partial_arrow,
+        )
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c", None], 2000),
+            "v": rng.integers(0, 100, 2000).astype(np.int64),
+            "w": rng.normal(size=2000),
+            "noise": ["x" * 50] * 2000,  # never touched by the agg
+        })
+        df.loc[rng.choice(2000, 50, replace=False), "v"] = None
+        spec = {"n": ("k", "count"), "s": ("v", "sum"),
+                "mn": ("w", "min"), "mx": ("w", "max"),
+                "f": ("v", "first")}
+        pd_out = make_partial(["k"], spec)(df).sort_values("k") \
+            .reset_index(drop=True)
+        ar_out = make_partial_arrow(["k"], spec)(
+            pa.Table.from_pandas(df)).to_pandas().sort_values("k") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            ar_out.astype({"s": float}), pd_out.astype({"s": float}),
+            check_dtype=False)
+
+    def test_keyed_reduce_pyarrow_batch_format(self, ray_session):
+        """End-to-end keyed_reduce_pandas with batch_format='pyarrow' over
+        Arrow blocks matches the pandas-format result."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.stages.keyed_reduce import keyed_reduce_pandas
+
+        rng = np.random.default_rng(12)
+        df = pd.DataFrame(
+            {"k": rng.integers(0, 800, 10_000),
+             "v": rng.integers(0, 50, 10_000)}
+        )
+        spec = {"n": ("v", "count"), "s": ("v", "sum"), "mn": ("v", "min")}
+        ds = rd.from_pandas([df.iloc[i::5].copy() for i in range(5)])
+        a = keyed_reduce_pandas(ds, ["k"], spec, batch_format="pyarrow")
+        b = keyed_reduce_pandas(ds, ["k"], spec, batch_format="pandas")
+        pd.testing.assert_frame_equal(
+            a.astype(np.int64), b.astype(np.int64))
+        # the sorted/stitched path too
+        c = keyed_reduce_pandas(ds, ["k"], spec, batch_format="pyarrow",
+                                driver_cap=0)
+        pd.testing.assert_frame_equal(
+            c.astype(np.int64), b.astype(np.int64))
+
     def test_multi_key(self, ray_session):
         import ray.data as rd
 
