@@ -329,6 +329,36 @@ def t_drift(sf_dir):
     return pd.DataFrame(rows)
 
 
+def t_drift_exact(sf_dir):
+    """Per-shard EXACT drift verdict — the hash-green twin of the digest
+    t_drift: fixed-edge text-length histograms (the t_textlen_hist
+    building block) feed drift.psi_from_counts against the all-shards
+    baseline. Output keeps the float PSI OUT of the hashed columns: per
+    shard the exact row count and the threshold indicator (margin to the
+    0.005 threshold is >2x at both fixture SFs; the pytest suite pins the
+    PSI values themselves)."""
+    from ..drift import psi_from_counts
+
+    hist = t_textlen_hist(sf_dir)
+    n_bins = 7  # edges [1,50,100,200,400,800] -> bins 0..6
+    shards = sorted(hist["shard"].unique())
+    vecs = {}
+    for s in shards:
+        v = np.zeros(n_bins)
+        sub = hist[hist["shard"] == s]
+        v[sub["bin"].to_numpy()] = sub["n"].to_numpy()
+        vecs[s] = v
+    base = sum(vecs.values())
+    return pd.DataFrame({
+        "shard": shards,
+        "n_rows": pd.array([int(vecs[s].sum()) for s in shards],
+                           dtype=np.int64),
+        "drifted": pd.array(
+            [int(psi_from_counts(vecs[s], base) > 0.005) for s in shards],
+            dtype=np.int64),
+    })
+
+
 # ---------------------------------------------------------------------------
 # generic-table validation + data-pipeline operators over the testdata
 # ---------------------------------------------------------------------------
@@ -1230,6 +1260,7 @@ QUERIES = {
     "t_role_stats": t_role_stats,
     "t_distinct_convs": t_distinct_convs,
     "t_drift": t_drift,
+    "t_drift_exact": t_drift_exact,
     "events_validate": events_validate,
     "events_by_type": events_by_type,
     "events_props_k": events_props_k,
@@ -1487,6 +1518,29 @@ ok AS (
     AND NOT coalesce(length(text) > 1000000, FALSE)
 )
 SELECT shard, count(*) AS n FROM ok GROUP BY shard ORDER BY shard""",
+        "t_drift_exact": f"""{tq},
+h AS (SELECT shard,
+  CAST((length(text)>=1) AS BIGINT)+CAST((length(text)>=50) AS BIGINT)
+  +CAST((length(text)>=100) AS BIGINT)+CAST((length(text)>=200) AS BIGINT)
+  +CAST((length(text)>=400) AS BIGINT)+CAST((length(text)>=800) AS BIGINT)
+  AS bin, count(*) AS n
+  FROM t WHERE text IS NOT NULL GROUP BY 1, 2),
+dense AS (SELECT s.shard, b.bin, coalesce(h.n, 0) AS n
+  FROM (SELECT DISTINCT shard FROM h) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS bin) b
+  LEFT JOIN h ON h.shard = s.shard AND h.bin = b.bin),
+tot AS (SELECT shard, sum(n) AS tn FROM dense GROUP BY shard),
+base AS (SELECT bin, sum(n) AS bn FROM dense GROUP BY bin),
+btot AS (SELECT sum(bn) AS bt FROM base),
+psi AS (SELECT d.shard,
+  sum((greatest(d.n / tt.tn, 1e-6) - greatest(b.bn / bt.bt, 1e-6))
+      * ln(greatest(d.n / tt.tn, 1e-6) / greatest(b.bn / bt.bt, 1e-6)))
+      AS v
+  FROM dense d JOIN tot tt USING (shard) JOIN base b USING (bin)
+  CROSS JOIN btot bt GROUP BY d.shard)
+SELECT p.shard, CAST(tt.tn AS BIGINT) AS n_rows,
+  CAST(p.v > 0.005 AS BIGINT) AS drifted
+FROM psi p JOIN tot tt USING (shard) ORDER BY p.shard""",
         "t_textlen_hist": f"{tq} SELECT shard, "
                           f"CAST((length(text)>=1) AS BIGINT)"
                           f"+CAST((length(text)>=50) AS BIGINT)"
