@@ -30,12 +30,29 @@ verified/unverified/degraded verdicts (bio_lookups.py:742-789).
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 import pandas as pd
 
 STATUS_COL = "enrich_status"
 HIT, FALLBACK, MISS = "hit", "fallback", "miss"
+
+
+def enrich_dataset(ds, *, concurrency=(1, 4), batch_size: int | None = None,
+                   num_cpus: float | None = None, **stage_kwargs):
+    """Size-the-pool-at-the-callsite wrapper: maps ``EnrichStage`` over
+    ``ds`` with the actor-pool knobs (``concurrency``, ``batch_size``,
+    ``num_cpus``) exposed as first-class parameters instead of living in
+    the caller's ``map_batches`` boilerplate. ``stage_kwargs`` go to the
+    ``EnrichStage`` constructor."""
+    opts = dict(fn_constructor_kwargs=stage_kwargs, batch_format="pandas",
+                concurrency=concurrency)
+    if batch_size is not None:
+        opts["batch_size"] = batch_size
+    if num_cpus is not None:
+        opts["num_cpus"] = num_cpus
+    return ds.map_batches(EnrichStage, **opts)
 
 
 class EnrichStage:
@@ -51,6 +68,7 @@ class EnrichStage:
         ref_data=None,
         ref_columns: list[str] | None = None,
         fallback: Callable[[pd.Series], pd.DataFrame] | None = None,
+        ref_ttl_s: float | None = None,
     ):
         """``ref_path``: parquet file/dir read ONCE in this constructor (the
         at-scale pattern for a big shared reference on common storage);
@@ -58,11 +76,25 @@ class EnrichStage:
         fetched zero-copy from the local object store) or a plain DataFrame
         for tests. ``fallback(keys) -> DataFrame[ref_key, *add_cols]`` is
         consulted for keys the reference missed (the Ensembl-fallback
-        analog); remaining keys are marked ``miss``."""
+        analog); remaining keys are marked ``miss``.
+
+        ``ref_ttl_s``: cache time-to-live (cache_manager.py:173-180
+        semantics): when the ``ref_path`` index is older than this many
+        seconds at the start of a batch, it is reloaded from storage — so a
+        long-lived actor picks up reference updates instead of serving
+        stale entries forever. Only meaningful with ``ref_path``
+        (a broadcast ``ref_data`` object is immutable by construction)."""
         if (ref_path is None) == (ref_data is None):
             raise ValueError("exactly one of ref_path / ref_data required")
+        if ref_ttl_s is not None and ref_path is None:
+            raise ValueError("ref_ttl_s requires ref_path (a broadcast "
+                             "ref_data object cannot go stale)")
+        self.key_col, self.ref_key, self.add_cols = key_col, ref_key, add_cols
+        self.fallback = fallback
+        self.ref_path, self.ref_columns = ref_path, ref_columns
+        self.ref_ttl_s = ref_ttl_s
         if ref_path is not None:
-            ref = pd.read_parquet(ref_path, columns=ref_columns)
+            self._load_index()
         else:
             try:
                 import ray
@@ -71,21 +103,31 @@ class EnrichStage:
                     ref_data = ray.get(ref_data)
             except ImportError:
                 pass
-            ref = ref_data
-        self.key_col, self.ref_key, self.add_cols = key_col, ref_key, add_cols
-        self.fallback = fallback
-        # one indexed frame per actor; duplicate reference keys keep the
-        # first occurrence (deterministic)
-        self._index = (
-            ref[[ref_key] + add_cols]
-            .drop_duplicates(ref_key, keep="first")
-            .set_index(ref_key)
-        )
+            self._set_index(ref_data)
         self.hits = 0
         self.misses = 0
         self.fallback_hits = 0
+        self.ref_reloads = 0
+
+    def _set_index(self, ref: pd.DataFrame) -> None:
+        # one indexed frame per actor; duplicate reference keys keep the
+        # first occurrence (deterministic)
+        self._index = (
+            ref[[self.ref_key] + self.add_cols]
+            .drop_duplicates(self.ref_key, keep="first")
+            .set_index(self.ref_key)
+        )
+
+    def _load_index(self) -> None:
+        self._set_index(pd.read_parquet(self.ref_path,
+                                        columns=self.ref_columns))
+        self._loaded_at = time.monotonic()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if (self.ref_ttl_s is not None
+                and time.monotonic() - self._loaded_at > self.ref_ttl_s):
+            self._load_index()
+            self.ref_reloads += 1
         if len(batch) == 0:
             out = batch.copy()
             for c in self.add_cols:
@@ -123,4 +165,5 @@ class EnrichStage:
     def stats(self) -> dict:
         """Hit/miss counters (cache_manager.py stats analog)."""
         return {"hits": self.hits, "misses": self.misses,
-                "fallback_hits": self.fallback_hits}
+                "fallback_hits": self.fallback_hits,
+                "ref_reloads": self.ref_reloads}
