@@ -36,7 +36,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .. import drift as drift_mod
-from ..policy import SeverityCounts, decide, needs_review, passed
+from ..policy import (SeverityCounts, decide, needs_review, passed,
+                      select_top_issues)
 from ..registry import RuleRegistry, transcript_registry
 from ..schema import check_schema
 from ..stages.convstage import (
@@ -521,24 +522,25 @@ def validate_dir(
     report["passed"] = passed(global_counts)
     report["rationale"] = _rationale(report["final_decision"], global_counts)
 
-    # top issues for human review: severity-prioritized, capped at 20 —
-    # the driver-side analog of HumanReviewCoordinator's selection
-    # (human_review_coordinator.py:319-393); it flags, never decides.
+    # top issues for human review: severity- and novelty-prioritized,
+    # capped at 20 — the driver-side analog of HumanReviewCoordinator's
+    # active-learning selection (human_review_coordinator.py:319-434); it
+    # flags, never decides. Rule rarity comes from the RUN-WIDE per-rule
+    # counts (one extra zero-shuffle combine in distributed mode), not the
+    # driver sample, so a rare rule surfaces even if the sample is
+    # dominated by a hot one.
     if driver_mode:
         sample = all_vio
+        rule_totals = (all_vio.groupby("rule_id").size().to_dict()
+                       if len(all_vio) else {})
     else:
         sample = vio_all.limit(2000).to_pandas()
-    if len(sample):
-        rank = {"CRITICAL": 3, "ERROR": 2, "WARNING": 1, "INFO": 0}
-        top = sample.assign(_r=sample["severity"].map(rank)).sort_values(
-            ["_r", "rule_id"], ascending=[False, True], kind="stable"
-        ).head(20)
-        report["top_issues"] = [
-            {k: (None if pd.isna(v) else v) for k, v in row.items() if k != "_r"}
-            for row in top.to_dict("records")
-        ]
-    else:
-        report["top_issues"] = []
+        from ..stages.keyed_reduce import combine_low_card as _clc
+
+        rt = _clc(vio_all, ["rule_id"], {"n": ("rule_id", "count")})
+        rule_totals = (dict(zip(rt["rule_id"], rt["n"].astype(int)))
+                       if len(rt) else {})
+    report["top_issues"] = select_top_issues(sample, rule_totals, cap=20)
 
     # ---- lineage commits (idempotent, per shard) ----
     wall = time.time() - t0

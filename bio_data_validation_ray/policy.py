@@ -102,6 +102,59 @@ def needs_review(counts: SeverityCounts, thresholds: dict | None = None) -> bool
     )
 
 
+SEVERITY_RANK = {"CRITICAL": 3, "ERROR": 2, "WARNING": 1, "INFO": 0}
+
+# active-learning-free default: the reference returns 0.8 uncertainty for
+# patterns with <=2 recorded feedbacks (human_review_coordinator.py:396-416)
+# and the batch engine keeps no feedback store, so every issue sits there
+DEFAULT_UNCERTAINTY = 0.8
+
+
+def novelty_score(rule_count: int) -> float:
+    """Novelty from within-run rule_id frequency — the batch analog of the
+    reference's seen_count step function
+    (human_review_coordinator.py:417-434): rules that fired rarely are more
+    informative to a reviewer than the one that fired 100k times."""
+    if rule_count > 100:
+        return 0.1
+    if rule_count > 50:
+        return 0.3
+    if rule_count > 10:
+        return 0.5
+    return 0.7
+
+
+def select_top_issues(sample, rule_totals: dict[str, int],
+                      cap: int = 20) -> list[dict]:
+    """Severity- AND novelty-prioritized review selection
+    (human_review_coordinator.py:364-395): CRITICAL always leads; within a
+    severity band, issues from RARER rules rank first by
+    informativeness = 0.6 * uncertainty + 0.4 * novelty. ``sample`` is a
+    violations DataFrame; ``rule_totals`` the run-wide per-rule counts.
+    Returns at most ``cap`` issue dicts with the scores attached."""
+    import pandas as pd
+
+    if not len(sample):
+        return []
+    nov = sample["rule_id"].map(
+        lambda r: novelty_score(int(rule_totals.get(r, 0))))
+    info = 0.6 * DEFAULT_UNCERTAINTY + 0.4 * nov
+    ranked = sample.assign(
+        _r=sample["severity"].map(SEVERITY_RANK),
+        _info=info,
+    ).sort_values(["_r", "_info", "rule_id"],
+                  ascending=[False, False, True], kind="stable").head(cap)
+    out = []
+    for row in ranked.to_dict("records"):
+        d = {k: (None if pd.isna(v) else v) for k, v in row.items()
+             if k not in ("_r", "_info")}
+        d["novelty"] = round(novelty_score(
+            int(rule_totals.get(row["rule_id"], 0))), 3)
+        d["informativeness"] = round(float(row["_info"]), 3)
+        out.append(d)
+    return out
+
+
 def counts_from_pairs(pairs: list[tuple[str, int]]) -> SeverityCounts:
     """Build SeverityCounts from (severity, n) pairs (groupby output)."""
     m = {"CRITICAL": 0, "ERROR": 0, "WARNING": 0, "INFO": 0}

@@ -240,3 +240,36 @@ class TestReviewPrioritization:
         assert rs == sorted(rs, reverse=True)
         assert top[0]["severity"] == "CRITICAL"
         assert rep["rationale"].startswith("rejected")
+        assert all("novelty" in t and "informativeness" in t for t in top)
+
+    def test_novelty_ranks_rare_rules_first(self):
+        import pandas as pd
+
+        from bio_data_validation_ray.policy import (novelty_score,
+                                                    select_top_issues)
+
+        # same severity band: the rule that fired 500x must rank BELOW the
+        # one that fired twice (human_review_coordinator.py:364-434 analog)
+        sample = pd.DataFrame({
+            "rule_id": ["HOT_001"] * 10 + ["RARE_001"] * 2,
+            "severity": ["ERROR"] * 12,
+            "message": [f"m{i}" for i in range(12)],
+        })
+        totals = {"HOT_001": 500, "RARE_001": 2}
+        top = select_top_issues(sample, totals, cap=5)
+        assert top[0]["rule_id"] == "RARE_001"
+        assert top[0]["novelty"] == 0.7
+        assert top[0]["informativeness"] > top[-1]["informativeness"]
+        # severity still dominates novelty: one CRITICAL from the hot rule
+        # leads the list anyway
+        sample2 = pd.concat(
+            [sample, pd.DataFrame({"rule_id": ["HOT_001"],
+                                   "severity": ["CRITICAL"],
+                                   "message": ["c"]})],
+            ignore_index=True)
+        top2 = select_top_issues(sample2, totals, cap=5)
+        assert top2[0]["severity"] == "CRITICAL"
+        # the seen-count step function mirrors the reference bands
+        assert [novelty_score(n) for n in (1, 11, 51, 101)] == \
+            [0.7, 0.5, 0.3, 0.1]
+        assert select_top_issues(sample.iloc[:0], totals) == []
