@@ -57,18 +57,23 @@ def _fmt_text(report: dict) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="bio_data_validation_ray")
+    ap.add_argument("--config", default=None, metavar="PATH",
+                    help="YAML config file supplying flag defaults "
+                         "(default: $BDVR_CONFIG or ~/.bdvr/config.yml; "
+                         "explicit flags always win)")
     sub = ap.add_subparsers(dest="cmd", required=True)
     v = sub.add_parser("validate", help="validate a directory of Parquet shards")
     v.add_argument("input_dir")
     v.add_argument("--run-dir", default=None)
     v.add_argument("--rules", default=None, help="YAML ruleset path")
     v.add_argument("--baseline", default=None, help="baseline digests JSON path")
-    v.add_argument("--format", choices=["text", "json", "markdown", "html"], default="text")
+    v.add_argument("--format", choices=["text", "json", "markdown", "html"],
+                   default=None)
     v.add_argument("--no-resume", action="store_true")
     v.add_argument("--resumable", action="store_true",
                    help="chunked per-pass commits (crash-resumable); "
                         "requires --run-dir")
-    v.add_argument("--files-per-pass", type=int, default=64)
+    v.add_argument("--files-per-pass", type=int, default=None)
     v.add_argument("--strict", action="store_true",
                    help="reject immediately on CRITICAL row violations "
                         "(reference rules-stage short-circuit)")
@@ -77,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                         "(conversation + row exclusions, duplicates "
                         "collapsed) as parquet to this directory; "
                         "requires --run-dir")
-    v.add_argument("--policy", default="default",
+    v.add_argument("--policy", default=None,
                    choices=["default", "strict", "lenient", "production"],
                    help="decision-table preset (decision_tables.py:258-298 "
                         "analog)")
@@ -124,14 +129,57 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-digit-pct", type=int, default=30)
     c.add_argument("--no-terminal-punct-rule", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
+    g = sub.add_parser("config",
+                       help="show or edit the CLI config file (the "
+                            "reference's setup/info command analog)")
+    g.add_argument("action", choices=["show", "set"])
+    g.add_argument("key", nargs="?",
+                   help="dotted path for set, e.g. output.format")
+    g.add_argument("value", nargs="?", help="value for set (YAML scalar)")
     args = ap.parse_args(argv)
+
+    from .config import load_config, parse_scalar
+
+    cfg = load_config(args.config)
+    if cfg.load_error:
+        print(f"warning: config {cfg.config_path} unreadable "
+              f"({cfg.load_error}); using defaults", file=sys.stderr)
+
+    if args.cmd == "config":
+        if args.action == "show":
+            print(json.dumps({"config_path": str(cfg.config_path),
+                              "exists": cfg.config_path.exists(),
+                              "effective": cfg.to_dict()}, indent=2))
+            return 0
+        if not args.key or args.value is None:
+            print("error: config set requires KEY VALUE", file=sys.stderr)
+            return 2
+        cfg.set(*args.key.split("."), parse_scalar(args.value))
+        print(f"set {args.key} = {args.value} in {cfg.config_path}")
+        return 0
+
+    # flag > config file > built-in default (reference config.py contract)
+    num_cpus = (args.num_cpus if args.num_cpus is not None
+                else cfg.get("performance", "num_cpus"))
+    if args.cmd == "validate":
+        args.format = args.format or cfg.get("output", "format",
+                                             default="text")
+        args.policy = args.policy or cfg.get("validation", "policy",
+                                             default="default")
+        args.run_dir = args.run_dir or cfg.get("output", "run_dir")
+        args.rules = args.rules or cfg.get("validation", "rules")
+        args.baseline = args.baseline or cfg.get("validation", "baseline")
+        args.strict = args.strict or bool(cfg.get("validation", "strict"))
+        if args.files_per_pass is None:
+            args.files_per_pass = int(cfg.get("validation", "files_per_pass",
+                                              default=64))
 
     import ray
 
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=args.num_cpus,
+            num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
@@ -247,7 +295,8 @@ def main(argv: list[str] | None = None) -> int:
             registry=registry,
             run_dir=args.run_dir,
             baseline_json=baseline_json,
-            resume=not args.no_resume,
+            resume=(not args.no_resume
+                    and bool(cfg.get("validation", "resume", default=True))),
             policy=args.policy,
             strict=args.strict,
         )

@@ -142,6 +142,8 @@ def validate_dir(
         "validation_id": uuid.uuid4().hex,
         "input_dir": input_dir,
         "ruleset_metadata": registry.metadata(),
+        "policy": policy if isinstance(policy, str) else
+                  ("custom" if policy else "default"),
         "stages": {},
     }
 
@@ -1145,6 +1147,8 @@ def validate_resumable(
         "mode": "resumable",
         "input_dir": input_dir,
         "ruleset_metadata": registry.metadata(),
+        "policy": policy if isinstance(policy, str) else
+                  ("custom" if policy else "default"),
         "shards_total": len(all_files),
         "shards_committed": len(committed),
         "passes_this_run": n_pass,
