@@ -1207,6 +1207,57 @@ def emb_near_dups(sf_dir):
     return out[["id_a", "id_b"]]
 
 
+def _pii_augmented_docs(sf_dir):
+    """documents with deterministic PII planted by doc_id % 4 (the fixture's
+    token-soup text contains none) — the oracle SQL states the identical
+    concatenation, so detection/redaction compare exactly."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "text"])
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(np.int64)
+        m = (ids % 4).to_numpy()
+        s1 = (" reach u" + ids.astype(str) +
+              "@example.com or +1-202-555-0147")
+        s2 = " ssn 123-45-6789 ip 10.0.3." + (ids % 200).astype(str)
+        suffix = np.select(
+            [m == 1, m == 2, m == 3],
+            [s1.to_numpy(), s2.to_numpy(),
+             " mail a.b-c@x.co.uk call +44-700-900-1234"],
+            default="",
+        )
+        return pd.DataFrame({"doc_id": ids,
+                             "text": df["text"].to_numpy() + suffix})
+
+    return ds.map_batches(augment, batch_format="pandas")
+
+
+def doc_pii(sf_dir):
+    """Per-doc PII counts (email / phone / SSN-shaped / IPv4) via Arrow RE2
+    kernels over the planted corpus — row-local scan, no shuffle."""
+    from ..functions.pii import scan_pii
+
+    out = (
+        scan_pii(_pii_augmented_docs(sf_dir))
+        .select_columns(["doc_id", "n_email", "n_phone", "n_ssn",
+                         "n_ipv4", "n_pii"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_pii_redact(sf_dir):
+    """Sequential PII redaction ([EMAIL]/[PHONE]/[SSN]/[IPV4] placeholders);
+    the redacted text itself is the compared value."""
+    from ..functions.pii import redact_dataset
+
+    out = redact_dataset(_pii_augmented_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def li_pricing(sf_dir):
     """lineitem pricing summary (classic GA sanity pipeline) with exact
     integer money/quantity columns."""
@@ -1297,6 +1348,8 @@ QUERIES = {
     "doc_quality_filter": doc_quality_filter,
     "doc_curate": doc_curate,
     "doc_sample_per_source": doc_sample_per_source,
+    "doc_pii": doc_pii,
+    "doc_pii_redact": doc_pii_redact,
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1338,6 +1391,48 @@ s AS (SELECT doc_id,
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.sh = b.sh
 ORDER BY 1, 2"""
+
+
+_PII_DOCS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       text || CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 1 THEN ' reach u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-202-555-0147'
+         WHEN 2 THEN ' ssn 123-45-6789 ip 10.0.3.'
+                  || CAST(doc_id % 200 AS VARCHAR)
+         WHEN 3 THEN ' mail a.b-c@x.co.uk call +44-700-900-1234'
+         ELSE '' END AS text
+FROM documents"""
+
+
+def _pii_oracles() -> dict[str, str]:
+    """Oracles stated from the SAME pattern strings the engine compiles
+    (both RE2) over the same planted concatenation."""
+    from ..functions.pii import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        f"AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"length(regexp_extract_all(text, '{pat}'))"
+        for _, pat in PII_PATTERNS
+    )
+    redacted = "text"
+    for name, pat in PII_PATTERNS:
+        redacted = (f"regexp_replace({redacted}, '{pat}', "
+                    f"'[{name.upper()}]', 'g')")
+    return {
+        "doc_pii": f"""
+WITH d AS ({_PII_DOCS_SQL})
+SELECT doc_id, {counts},
+       CAST({total} AS BIGINT) AS n_pii
+FROM d ORDER BY doc_id""",
+        "doc_pii_redact": f"""
+WITH d AS ({_PII_DOCS_SQL})
+SELECT doc_id, {redacted} AS text FROM d ORDER BY doc_id""",
+    }
 
 
 def oracles(sf: str = ORACLE_SF) -> dict[str, str]:
@@ -1463,6 +1558,7 @@ SELECT s.shard,
 FROM shards s LEFT JOIN counts c ON s.shard = c.shard"""
 
     return {
+        **_pii_oracles(),
         "t_verdicts": verdicts,
         "t_role_vocab": f"{tq} SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, "
                         f"role FROM t WHERE role NOT IN {ROLE_SET_SQL}",

@@ -624,3 +624,78 @@ def test_round_half_away_matches_sql_round():
     assert got.tolist() == exp
     # the classic to-even divergence
     assert _round_half_away([12.5])[0] == 13 and np.round(12.5) == 12
+
+
+class TestPII:
+    def _table(self):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "mail a@b.com and c.d-e@f.org now",
+                "call +1-202-555-0147 then ssn 123-45-6789 at 10.0.0.1",
+                "no pii at all",
+                "weird 999.999.999.999 still counts as ipv4-shaped",
+            ],
+        })
+
+    def test_counts(self):
+        from bio_data_validation_ray.functions.pii import pii_stats
+
+        s = pii_stats(self._table())
+        assert s["n_email"].to_pylist() == [2, 0, 0, 0]
+        assert s["n_phone"].to_pylist() == [0, 1, 0, 0]
+        assert s["n_ssn"].to_pylist() == [0, 1, 0, 0]
+        assert s["n_ipv4"].to_pylist() == [0, 1, 0, 1]
+        assert s["n_pii"].to_pylist() == [2, 3, 0, 1]
+
+    def test_redaction_order_and_placeholders(self):
+        from bio_data_validation_ray.functions.pii import redact_pii
+
+        r = redact_pii(self._table())["text"].to_pylist()
+        assert r[0] == "mail [EMAIL] and [EMAIL] now"
+        assert r[1] == "call [PHONE] then ssn [SSN] at [IPV4]"
+        assert r[2] == "no pii at all"
+        # the phone pass must run before SSN: a phone's 3-2-4-shaped
+        # substring never leaks into the SSN screen
+        assert "[SSN]" not in r[1].replace("ssn [SSN]", "")
+
+    def test_redact_to_new_column_keeps_original(self):
+        from bio_data_validation_ray.functions.pii import redact_pii
+
+        r = redact_pii(self._table(), out="clean")
+        assert "a@b.com" in r["text"].to_pylist()[0]
+        assert "[EMAIL]" in r["clean"].to_pylist()[0]
+
+    def test_dataset_scan_and_redact(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.pii import (redact_dataset,
+                                                           scan_pii)
+
+        ds = rd.from_arrow(self._table())
+        got = scan_pii(ds).to_pandas().sort_values("doc_id")
+        assert got["n_pii"].tolist() == [2, 3, 0, 1]
+        red = redact_dataset(ds).to_pandas().sort_values("doc_id")
+        assert "[PHONE]" in red["text"].iloc[1]
+
+    def test_matches_duckdb_semantics(self):
+        """RE2 count/replace parity with DuckDB on adversarial strings
+        (overlap candidates, placeholder-adjacent digits)."""
+        import duckdb
+
+        from bio_data_validation_ray.functions.pii import (PII_PATTERNS,
+                                                           pii_stats)
+        import pyarrow as pa
+
+        texts = ["x 1.2.3.4.5.6 y", "a@b.cd@e.fg", "+12-345-678-9012 9",
+                 "123-45-6789-123-45-6789", "....", "a@b.c"]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        s = pii_stats(t)
+        con = duckdb.connect()
+        for name, pat in PII_PATTERNS:
+            exp = [con.execute(
+                "SELECT length(regexp_extract_all(?, ?))",
+                [txt, pat]).fetchone()[0] for txt in texts]
+            assert s[f"n_{name}"].to_pylist() == exp, name
