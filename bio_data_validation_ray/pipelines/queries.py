@@ -1207,6 +1207,27 @@ def emb_near_dups(sf_dir):
     return out[["id_a", "id_b"]]
 
 
+def doc_repetition(sf_dir):
+    """Gopher-style repetition signals (word/2-gram totals, distincts, and
+    max frequency per doc) — integer-exact against the unnest/group SQL."""
+    import ray.data as rd
+
+    from ..functions.textstats import repetition_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "text"])
+    out = (
+        repetition_stats(ds)
+        .select_columns(["doc_id", "n_words", "n_distinct_words",
+                         "top_word_n", "n_bigrams", "n_distinct_bigrams",
+                         "top_bigram_n"])
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _pii_augmented_docs(sf_dir):
     """documents with deterministic PII planted by doc_id % 4 (the fixture's
     token-soup text contains none) — the oracle SQL states the identical
@@ -1350,6 +1371,7 @@ QUERIES = {
     "doc_sample_per_source": doc_sample_per_source,
     "doc_pii": doc_pii,
     "doc_pii_redact": doc_pii_redact,
+    "doc_repetition": doc_repetition,
     "emb_topk": emb_topk,
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
@@ -1910,6 +1932,31 @@ WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
 SELECT word, count(*) AS n FROM w
 GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        "doc_repetition": r"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS word FROM base),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+wstat AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+                 max(c) AS top_word_n FROM wc GROUP BY doc_id),
+b AS (SELECT doc_id,
+        unnest([ws[i] || chr(1) || ws[i+1]
+                for i in generate_series(1, len(ws)-1)]) AS bg
+      FROM base WHERE len(ws) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+bstat AS (SELECT doc_id, sum(c) AS n_bigrams,
+                 count(*) AS n_distinct_bigrams,
+                 max(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
+       CAST(coalesce(top_word_n, 0) AS BIGINT) AS top_word_n,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM base LEFT JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
+ORDER BY doc_id""",
         "doc_token_bpe": r"""
 SELECT doc_id, CAST(length(regexp_extract_all(text,
        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe

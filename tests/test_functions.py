@@ -699,3 +699,71 @@ class TestPII:
                 "SELECT length(regexp_extract_all(?, ?))",
                 [txt, pat]).fetchone()[0] for txt in texts]
             assert s[f"n_{name}"].to_pylist() == exp, name
+
+
+class TestRepetition:
+    def test_known_answers(self):
+        import pyarrow as pa
+
+        from bio_data_validation_ray.functions.textstats import (
+            repetition_metrics,
+        )
+
+        t = pa.table({"doc_id": [0, 1, 2, 3],
+                      "text": ["a b a b a", "x", "", "p q  p q r\tp"]})
+        r = repetition_metrics(t)
+        assert r["n_words"].to_pylist() == [5, 1, 0, 6]
+        assert r["n_distinct_words"].to_pylist() == [2, 1, 0, 3]
+        assert r["top_word_n"].to_pylist() == [3, 1, 0, 3]
+        assert r["n_bigrams"].to_pylist() == [4, 0, 0, 5]
+        assert r["n_distinct_bigrams"].to_pylist() == [2, 0, 0, 4]
+        assert r["top_bigram_n"].to_pylist() == [2, 0, 0, 2]
+
+    def test_batch_composition_invariance(self):
+        """Row-local by construction: any batch split gives the same rows
+        (vocab codes are per-batch but identities are per-doc)."""
+        import pyarrow as pa
+
+        from bio_data_validation_ray.functions.textstats import (
+            repetition_metrics,
+        )
+
+        texts = [f"w{i % 7} w{i % 3} w{i % 7} end" for i in range(40)]
+        t = pa.table({"doc_id": list(range(40)), "text": texts})
+        whole = repetition_metrics(t).to_pandas()
+        parts = pd.concat(
+            [repetition_metrics(t.slice(i, 13)).to_pandas()
+             for i in range(0, 40, 13)],
+            ignore_index=True,
+        )
+        pd.testing.assert_frame_equal(whole, parts)
+
+    def test_matches_duckdb_unnest_semantics(self):
+        import duckdb
+        import pyarrow as pa
+
+        from bio_data_validation_ray.functions.textstats import (
+            repetition_metrics,
+        )
+
+        texts = ["  lead and trail  ", "one", "dup dup dup",
+                 "a\nb\r\nc\ta  a", "solo pair solo pair solo"]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        got = repetition_metrics(t).to_pandas().sort_values("doc_id")
+        con = duckdb.connect()
+        con.register("docs", t)
+        exp = con.sql(r"""
+            WITH base AS (SELECT doc_id,
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '') AS ws FROM docs),
+            w AS (SELECT doc_id, unnest(ws) AS word FROM base),
+            wc AS (SELECT doc_id, word, count(*) AS c FROM w
+                   GROUP BY doc_id, word)
+            SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+                   max(c) AS top_word_n
+            FROM wc GROUP BY doc_id ORDER BY doc_id""").df()
+        assert got["n_words"].tolist() == exp["n_words"].astype(int).tolist()
+        assert (got["n_distinct_words"].tolist()
+                == exp["n_distinct_words"].astype(int).tolist())
+        assert (got["top_word_n"].tolist()
+                == exp["top_word_n"].astype(int).tolist())
