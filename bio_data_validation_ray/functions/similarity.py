@@ -178,3 +178,119 @@ class IVFStore:
         pruned = rd.read_parquet(files)
         return topk_cosine(pruned, query, k, id_col=self.id_col,
                            vec_col=self.vec_col)
+
+
+def _quantize_rows(V: np.ndarray) -> np.ndarray:
+    """Row-wise symmetric int8-scale quantization (same arithmetic as
+    quantize_embeddings: float64, half-away rounding) as an int64 matrix."""
+    if V.size == 0:
+        return V.astype(np.int64)
+    mx = np.abs(V).max(axis=1)
+    scale = np.where(mx == 0, 1.0, mx)
+    y = 127.0 * V / scale[:, None]
+    return (np.floor(np.abs(y) + 0.5) * np.sign(y)).astype(np.int64)
+
+
+def _seed_centroids(ds, n_clusters: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic centroid seed set: the quantized vectors of the
+    ``n_clusters`` lowest ids (SQL-statable, so assignment gets an exact
+    oracle). Only the seed rows are collected — the scan is column-pruned
+    and the result is tiny."""
+    import pyarrow.compute as pc
+
+    seed = ds.map_batches(
+        lambda t: t.filter(pc.less(t[id_col], n_clusters)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    return _quantize_rows(np.stack(seed[vec_col].to_numpy()).astype(np.float64))
+
+
+def cluster_assign(ds, *, n_clusters: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Nearest-centroid cluster assignment over quantized embeddings —
+    integer-exact squared-L2, ties to the lowest centroid id (np.argmin
+    takes the first minimum). The centroid matrix broadcasts once via
+    ray.put; per batch one int64 matmul. Returns Dataset[(vec_id, cluster)].
+
+    This is the bucketing step of SemDeDup-style semantic dedup (Abbas et
+    al. 2023): clusters bound the pairwise-comparison cost downstream."""
+    import pyarrow as pa
+    import ray
+
+    cref = ray.put(_seed_centroids(ds, n_clusters, id_col, vec_col))
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        C = ray.get(cref)
+        Q = _quantize_rows(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+        d2 = ((Q * Q).sum(1)[:, None] - 2 * (Q @ C.T)
+              + (C * C).sum(1)[None, :])
+        return pa.table({"vec_id": ids,
+                         "cluster": d2.argmin(1).astype(np.int64)})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(ds, *, n_clusters: int = 8, radius2: int = 50,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             chunk: int = 1024):
+    """SemDeDup-style semantic dedup: drop a vector when an EARLIER (lower
+    id) member of its cluster lies within integer squared-L2 ``radius2``
+    on the quantized vectors. Returns Dataset[(vec_id, cluster, keep)].
+
+    Scale shape: pairwise work happens ONLY within a cluster
+    (groupby(cluster).map_groups — the SemDeDup partitioning assumption:
+    one cluster fits in a worker block; n_clusters should grow with data so
+    cluster sizes stay bounded). The within-group kernel is a chunked int64
+    matmul, O(chunk x n_c) memory, no Python loop over rows."""
+    import pyarrow as pa
+    import ray
+
+    cref = ray.put(_seed_centroids(ds, n_clusters, id_col, vec_col))
+
+    def assign_q(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = len(ray.get(cref)[0])
+        if len(ids) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "q": pa.array([], pa.list_(pa.int64(), d)),
+            })
+        C = ray.get(cref)
+        Q = _quantize_rows(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
+        d2 = ((Q * Q).sum(1)[:, None] - 2 * (Q @ C.T)
+              + (C * C).sum(1)[None, :])
+        return pa.table({
+            "vec_id": ids,
+            "cluster": d2.argmin(1).astype(np.int64),
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(Q.reshape(-1), pa.int64()), Q.shape[1]),
+        })
+
+    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        Q = np.stack(df["q"].to_numpy()).astype(np.int64)
+        sq = (Q * Q).sum(1)
+        drop = np.zeros(len(ids), dtype=bool)
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            d2 = (sq[lo:hi, None] - 2 * (Q[lo:hi] @ Q.T) + sq[None, :])
+            close = d2 <= radius2
+            # earlier = strictly lower id == strictly lower sorted position
+            col = np.arange(len(ids))[None, :]
+            row = np.arange(lo, hi)[:, None]
+            drop[lo:hi] = (close & (col < row)).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": df["cluster"].to_numpy().astype(np.int64),
+            "keep": ~drop,
+        })
+
+    assigned = ds.map_batches(assign_q, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(dedup_group,
+                                                  batch_format="pandas")

@@ -1177,6 +1177,51 @@ def emb_quantize(sf_dir):
     return quantize_embeddings(ds)
 
 
+def emb_cluster_assign(sf_dir):
+    """Nearest-centroid assignment over quantized embeddings (centroids =
+    the 8 lowest vec_ids, integer squared-L2, ties to lowest centroid) —
+    the SemDeDup bucketing step, exact against the exploded-join oracle."""
+    import ray.data as rd
+
+    from ..functions.similarity import cluster_assign
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["vec_id", "embedding"])
+    out = cluster_assign(ds, n_clusters=8).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def emb_semdedup(sf_dir):
+    """SemDeDup over the union-shifted table: each planted copy (vec_id +
+    100000, identical vector) must land in its original's cluster at
+    distance 0 and be dropped (keep = false); originals survive unless a
+    natural earlier neighbor sits within the radius."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.similarity import semdedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["vec_id", "embedding"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": pc.add(t["vec_id"].cast(pa.int64()), 100000),
+            "embedding": t["embedding"],
+        })
+
+    both = ds.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
+                            "embedding": t["embedding"]}),
+        batch_format="pyarrow",
+    ).union(ds.map_batches(shift, batch_format="pyarrow"))
+    out = semdedup(both, n_clusters=8, radius2=50).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def emb_near_dups(sf_dir):
     """LSH-bucketed embedding near-dup pairs, DuckDB-oracle-checked: the
     fixture has no natural pairs above 0.9, so the query plants exact
@@ -1378,6 +1423,8 @@ QUERIES = {
     "emb_ivf_topk_full": emb_ivf_topk_full,
     "emb_near_dups": emb_near_dups,
     "emb_quantize": emb_quantize,
+    "emb_cluster_assign": emb_cluster_assign,
+    "emb_semdedup": emb_semdedup,
     "li_pricing": li_pricing,
 }
 
@@ -1989,6 +2036,58 @@ SELECT vec_id,
        CAST(CASE WHEN mx = 0 THEN 0
                  ELSE round(127 * unnest(v) / mx) END AS BIGINT) AS q
 FROM m ORDER BY vec_id, dim""",
+        "emb_cluster_assign": """
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+q AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS dim,
+             CAST(CASE WHEN mx = 0 THEN 0
+                       ELSE round(127 * unnest(v) / mx) END AS BIGINT) AS qv
+      FROM m),
+c AS (SELECT vec_id AS cid, dim, qv AS cq FROM q WHERE vec_id < 8),
+d AS (SELECT q.vec_id, c.cid, sum((q.qv - c.cq)*(q.qv - c.cq)) AS d2
+      FROM q JOIN c USING (dim) GROUP BY q.vec_id, c.cid),
+a AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+FROM a WHERE rn = 1 ORDER BY vec_id""",
+        "emb_semdedup": """
+WITH e0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+            FROM embeddings
+            UNION ALL
+            SELECT CAST(vec_id AS BIGINT)+100000, embedding
+            FROM embeddings),
+e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM e0),
+m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+q AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS dim,
+             CAST(CASE WHEN mx = 0 THEN 0
+                       ELSE round(127 * unnest(v) / mx) END AS BIGINT) AS qv
+      FROM m),
+c AS (SELECT vec_id AS cid, dim, qv AS cq FROM q WHERE vec_id < 8),
+d AS (SELECT q.vec_id, c.cid, sum((q.qv - c.cq)*(q.qv - c.cq)) AS d2
+      FROM q JOIN c USING (dim) GROUP BY q.vec_id, c.cid),
+a AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d),
+asg AS (SELECT vec_id, cid AS cluster FROM a WHERE rn = 1),
+p AS (SELECT x.vec_id AS vid, y.vec_id AS prev
+      FROM asg x JOIN asg y
+      ON x.cluster = y.cluster AND y.vec_id < x.vec_id),
+pd AS (SELECT p.vid, sum((qa.qv - qb.qv)*(qa.qv - qb.qv)) AS d2
+       FROM p JOIN q qa ON qa.vec_id = p.vid
+              JOIN q qb ON qb.vec_id = p.prev AND qb.dim = qa.dim
+       GROUP BY p.vid, p.prev),
+drp AS (SELECT DISTINCT vid FROM pd WHERE d2 <= 50)
+SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+       (drp.vid IS NULL) AS keep
+FROM asg LEFT JOIN drp ON asg.vec_id = drp.vid
+ORDER BY asg.vec_id""",
         "emb_ivf_topk_full": """
 SELECT vec_id FROM embeddings
 ORDER BY list_cosine_similarity(embedding,

@@ -767,3 +767,63 @@ class TestRepetition:
                 == exp["n_distinct_words"].astype(int).tolist())
         assert (got["top_word_n"].tolist()
                 == exp["top_word_n"].astype(int).tolist())
+
+
+class TestSemDedup:
+    def _ds(self, vecs, ids=None):
+        import pyarrow as pa
+        import ray.data as rd
+
+        ids = ids if ids is not None else list(range(len(vecs)))
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([[float(x) for x in v] for v in vecs]),
+        }))
+
+    def test_assign_ties_to_lowest_centroid(self, ray_session):
+        from bio_data_validation_ray.functions.similarity import cluster_assign
+
+        # centroids = ids 0,1 at (127,0) and (0,127) after quantization;
+        # id 2 is equidistant -> must take centroid 0
+        ds = self._ds([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+        out = cluster_assign(ds, n_clusters=2).to_pandas().sort_values("vec_id")
+        assert out["cluster"].tolist() == [0, 1, 0]
+
+    def test_planted_duplicate_dropped_original_kept(self, ray_session):
+        from bio_data_validation_ray.functions.similarity import semdedup
+
+        vecs = [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7], [1.0, 0.0]]
+        out = (semdedup(self._ds(vecs), n_clusters=2, radius2=0)
+               .to_pandas().sort_values("vec_id"))
+        # id 3 duplicates id 0 exactly -> dropped; everyone else kept
+        assert out["keep"].tolist() == [True, True, True, False]
+        assert out.loc[out.vec_id == 3, "cluster"].item() == \
+            out.loc[out.vec_id == 0, "cluster"].item()
+
+    def test_radius_widens_the_ball(self, ray_session):
+        from bio_data_validation_ray.functions.similarity import semdedup
+
+        # quantized: (127,0) vs (127,13) -> d2 = 169
+        vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.1]]
+        tight = (semdedup(self._ds(vecs), n_clusters=2, radius2=100)
+                 .to_pandas().sort_values("vec_id"))
+        loose = (semdedup(self._ds(vecs), n_clusters=2, radius2=200)
+                 .to_pandas().sort_values("vec_id"))
+        assert tight["keep"].tolist() == [True, True, True]
+        assert loose["keep"].tolist() == [True, True, False]
+
+    def test_chunked_kernel_matches_unchunked(self, ray_session):
+        import numpy as np
+
+        from bio_data_validation_ray.functions.similarity import semdedup
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(60, 8)).tolist()
+        vecs += vecs[:10]  # ten exact dups with higher ids
+        ds = self._ds(vecs)
+        a = (semdedup(ds, n_clusters=4, radius2=0, chunk=3)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        b = (semdedup(ds, n_clusters=4, radius2=0, chunk=4096)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert (~a["keep"]).sum() == 10
