@@ -494,6 +494,48 @@ def events_daily(sf_dir):
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
 
+def events_rollup(sf_dir):
+    """Multi-level rollup (GROUPING SETS analog): ONE finest-grain
+    distributed aggregate over (event_type, day), then the three
+    super-aggregate levels derived from the compact finest frame on the
+    driver — the scale-right rollup shape (the second pass touches ~150
+    partial rows, never the log). Rolled-up keys are marked '__all__' /
+    day_us = -1 so every level stays in one integer-exact result."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card
+
+    ds = _read_table(sf_dir, "events",
+                     columns=["event_type", "ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.floor("D")
+        df["cents"] = _round_half_away(df["value"] * 100).astype(np.int64)
+        return df[["event_type", "day", "cents"]]
+
+    finest = combine_low_card(
+        ds.map_batches(bucket, batch_format="pandas"),
+        ["event_type", "day"],
+        {"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    finest["day_us"] = finest["day"].astype("datetime64[us]") \
+        .astype(np.int64)
+    finest = finest[["event_type", "day_us", "n", "sum_cents"]]
+    by_type = finest.groupby("event_type", as_index=False)[
+        ["n", "sum_cents"]].sum().assign(day_us=np.int64(-1))
+    by_day = finest.groupby("day_us", as_index=False)[
+        ["n", "sum_cents"]].sum().assign(event_type="__all__")
+    total = pd.DataFrame({"event_type": ["__all__"],
+                          "day_us": np.array([-1], np.int64),
+                          "n": [finest["n"].sum()],
+                          "sum_cents": [finest["sum_cents"].sum()]})
+    out = pd.concat([finest, by_type, by_day, total], ignore_index=True)
+    for c in ("day_us", "n", "sum_cents"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["event_type", "day_us", "n", "sum_cents"]]
+            .sort_values(["event_type", "day_us"]).reset_index(drop=True))
+
+
 def t_clean_rows(sf_dir):
     """The gate's PRODUCT: export the validated-clean view (pipelines/
     export.write_clean_output — conversation-level and row-level exclusions
@@ -820,6 +862,86 @@ def li_orders_join(sf_dir):
     for c in ("n_orders", "n_items", "sum_qty"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def cust_top_orders(sf_dir):
+    """TPC-H Q3-shaped 3-table pipeline (shipping-priority analog):
+    BUILDING-segment customers ⋈ pre-cutoff orders ⋈ post-cutoff lineitems,
+    integer revenue (price_cents x (10000 - disc_bp)), global top 10 by
+    revenue. Shape: the filtered customer KEY SET broadcasts once (small
+    side), orders filter vectorized per batch against it, lineitem
+    pre-aggregates per order through the keyed reduce, one hash join
+    attaches order attributes, and the top-10 is local-per-block + a tiny
+    driver merge — no global sort, nothing large collected."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import keyed_reduce
+
+    cutoff = np.datetime64("1998-01-01")
+    cust = _read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"])
+    keys = (
+        cust.map_batches(
+            lambda df: df.loc[df["c_mktsegment"] == "BUILDING",
+                              ["c_custkey"]],
+            batch_format="pandas")
+        .to_pandas()["c_custkey"].to_numpy()
+    )
+    keys_ref = ray.put(np.sort(keys.astype(np.int64)))
+
+    orders = _read_table(sf_dir, "orders",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_orderpriority"])
+
+    def o_filter(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keys_ref)
+        m = (df["o_orderdate"].to_numpy() < cutoff) & np.isin(
+            df["o_custkey"].to_numpy().astype(np.int64), ks,
+            assume_unique=False)
+        out = df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        out["o_date_us"] = out["o_orderdate"].astype("datetime64[us]") \
+            .astype(np.int64)
+        return out[["o_orderkey", "o_date_us", "o_orderpriority"]]
+
+    li = _read_table(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice", "l_discount",
+                              "l_shipdate"])
+
+    def l_prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"].to_numpy() > cutoff]
+        price = _round_half_away(df["l_extendedprice"] * 100).astype(np.int64)
+        disc = _round_half_away(df["l_discount"] * 10000).astype(np.int64)
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"].astype(np.int64),
+                             "rev": price * (10000 - disc)})
+
+    interior, boundary = keyed_reduce(
+        li.map_batches(l_prep, batch_format="pandas"),
+        ["l_orderkey"], {"revenue_u": ("rev", "sum")},
+    )
+    per_order = interior
+    if len(boundary):
+        per_order = per_order.union(rd.from_pandas(boundary))
+    nparts = 8
+    j = per_order.repartition(nparts).join(
+        orders.map_batches(o_filter, batch_format="pandas")
+        .repartition(nparts),
+        "inner", nparts, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["revenue_u", "l_orderkey"],
+                            ascending=[False, True], kind="stable")
+        return df.head(10)
+
+    out = (j.map_batches(local_top, batch_format="pandas").to_pandas()
+           .sort_values(["revenue_u", "l_orderkey"],
+                        ascending=[False, True], kind="stable").head(10))
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["revenue_u"] = out["revenue_u"].astype(np.int64)
+    return out[["o_orderkey", "revenue_u", "o_date_us",
+                "o_orderpriority"]].reset_index(drop=True)
 
 
 def doc_dedup_exact(sf_dir):
@@ -1382,6 +1504,7 @@ QUERIES = {
     "events_by_type": events_by_type,
     "events_props_k": events_props_k,
     "events_daily": events_daily,
+    "events_rollup": events_rollup,
     "t_clean_rows": t_clean_rows,
     "t_textlen_hist": t_textlen_hist,
     "t_turn_gaps": t_turn_gaps,
@@ -1398,6 +1521,7 @@ QUERIES = {
     "li_col_profile": li_col_profile,
     "li_corr_pairs": li_corr_pairs,
     "li_orders_join": li_orders_join,
+    "cust_top_orders": cust_top_orders,
     "doc_dedup_exact": doc_dedup_exact,
     "doc_token_count": doc_token_count,
     "doc_quality": doc_quality,
@@ -1893,6 +2017,31 @@ SELECT o_orderstatus,
        CAST(sum(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus""",
+        "events_rollup": """
+WITH e AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(round(value*100) AS BIGINT) AS cents FROM events)
+SELECT coalesce(event_type, '__all__') AS event_type,
+       coalesce(epoch_us(day), -1) AS day_us,
+       count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM e
+GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+ORDER BY 1, 2""",
+        "cust_top_orders": """
+SELECT CAST(l_orderkey AS BIGINT) AS o_orderkey,
+       CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)
+              * (10000 - CAST(round(l_discount*10000,0) AS BIGINT)))
+            AS BIGINT) AS revenue_u,
+       epoch_us(o_orderdate) AS o_date_us,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_u DESC, o_orderkey
+LIMIT 10""",
         "events_props_k": """
 SELECT event_type,
        CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
