@@ -644,3 +644,145 @@ def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
     out["n_sessions"] = out["n_sessions"].astype(np.int64)
     out["n_events"] = out["n_events"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+# --- rolling (sliding row-window) aggregate -------------------------------
+
+_ROLL_SENT = np.int64(-(1 << 62))
+
+
+def _roll_partials(df: pd.DataFrame, key: str, value_col: str, k: int
+                   ) -> pd.DataFrame:
+    """One COMPACT partial per key-run of a sorted batch for a k-row
+    rolling-sum maximum: run length / total sum / max over FULL k-windows
+    contained in the batch, plus the run's first and last (k-1) values as
+    fixed columns (h0..h{k-2} chronological head, t0..t{k-2} tail with t0 =
+    last row). A hot key crossing many batches costs O(k) values per batch —
+    never its raw rows (the compact-partial discipline of gap_stats /
+    sessionize; SURVEY.md §2.6 windowed aggregates)."""
+    cols = (["key", "n", "total", "interior_max"]
+            + [f"h{j}" for j in range(k - 1)]
+            + [f"t{j}" for j in range(k - 1)])
+    if len(df) == 0:
+        return pd.DataFrame(columns=cols)
+    kcol = df[key].to_numpy()
+    v = df[value_col].to_numpy(dtype=np.int64)
+    newkey = np.concatenate([[True], kcol[1:] != kcol[:-1]])
+    starts = np.flatnonzero(newkey)
+    ends = np.concatenate([starts[1:], [len(kcol)]])
+    n = ends - starts
+    run_start_of_row = np.repeat(starts, n)
+    cum0 = np.concatenate([[np.int64(0)], np.cumsum(v)])
+    idx = np.arange(len(v))
+    valid = (idx - run_start_of_row) >= (k - 1)
+    winsum = np.where(valid, cum0[idx + 1] - cum0[np.maximum(idx + 1 - k, 0)],
+                      _ROLL_SENT)
+    out = pd.DataFrame({
+        "key": kcol[starts],
+        "n": n.astype(np.int64),
+        "total": (cum0[ends] - cum0[starts]).astype(np.int64),
+        "interior_max": np.maximum.reduceat(winsum, starts),
+    })
+    for j in range(k - 1):
+        hidx = starts + j
+        out[f"h{j}"] = np.where(j < n, v[np.minimum(hidx, len(v) - 1)],
+                                np.int64(0))
+        tidx = ends - 1 - j
+        out[f"t{j}"] = np.where(j < n, v[np.maximum(tidx, 0)], np.int64(0))
+    return out
+
+
+def _merge_roll_partials(frame: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Merge rolling partials per key in stream order (partials arrive
+    already stream-ordered within each key: the partial stream is produced
+    by one pass over the key-sorted input, and the caller preserves or
+    restores that order). Keys living in a single partial resolve fully
+    vectorized; only keys that span batch boundaries walk the O(k) stitch."""
+    if len(frame) == 0:
+        return pd.DataFrame(columns=["key", "max_roll"])
+    counts = frame["key"].value_counts()
+    singles = counts[counts == 1].index
+    one = frame[frame["key"].isin(singles)]
+    res_one = pd.DataFrame({
+        "key": one["key"].to_numpy(),
+        "max_roll": np.where(one["n"].to_numpy() >= k,
+                             one["interior_max"].to_numpy(),
+                             one["total"].to_numpy()),
+    })
+    multi = frame[~frame["key"].isin(singles)]
+    rows = []
+    hcols = [f"h{j}" for j in range(k - 1)]
+    tcols = [f"t{j}" for j in range(k - 1)]
+    for key_val, g in multi.groupby("key", sort=False):
+        carry: list[int] = []
+        best = int(_ROLL_SENT)
+        tot_n = 0
+        tot_s = 0
+        for _, p in g.iterrows():
+            pn = int(p["n"])
+            m = min(pn, k - 1)
+            head = [int(p[hcols[j]]) for j in range(m)]
+            if carry:
+                for j in range(m):
+                    need = k - 1 - j
+                    if need > 0 and len(carry) >= need:
+                        s = sum(carry[-need:]) + sum(head[: j + 1])
+                        best = max(best, s)
+            best = max(best, int(p["interior_max"]))
+            if pn >= k - 1:
+                carry = [int(p[tcols[j]]) for j in range(k - 2, -1, -1)]
+            else:
+                carry = (carry + head)[-(k - 1):]
+            tot_n += pn
+            tot_s += int(p["total"])
+        rows.append((key_val, best if tot_n >= k else tot_s))
+    res_multi = pd.DataFrame(rows, columns=["key", "max_roll"])
+    out = pd.concat([res_one, res_multi], ignore_index=True)
+    out["max_roll"] = out["max_roll"].astype(np.int64)
+    return out
+
+
+def rolling_sum_max(ds, *, key: str, order_cols: list[str], value_col: str,
+                    k: int = 3, driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Per-key maximum of the k-row rolling sum of ``value_col`` in the
+    key's own ordering — SQL ``max(sum(v) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW))``.
+
+    Requires value_col >= 0 (leading partial windows are then dominated by
+    the first full window, so only full k-windows — plus the whole-key total
+    when the key has < k rows — can carry the max). Distributed shape: one
+    sorted scan emitting O(k) bytes per (batch, key); keys interior to a
+    batch finalize vectorized; boundary keys stitch from compact partials
+    only, so a 10^9-row hot key reaches the driver as #batches tiny rows.
+    -> DataFrame[(key, max_roll)] sorted by key."""
+    partials = (
+        ds.sort([key] + list(order_cols))
+        .map_batches(lambda df: _roll_partials(df, key, value_col, k),
+                     batch_format="pandas")
+        .materialize()
+    )
+    if partials.count() <= driver_cap:
+        # the partial stream is tiny; collect in block order. Ray preserves
+        # block order for order-preserving ops, and each key's partials are
+        # stream-contiguous after the range sort, so per-key stream order
+        # survives collection.
+        out = _merge_roll_partials(partials.to_pandas(), k)
+    else:
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df["key"].to_numpy()
+            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = partials.map_batches(
+            lambda df: _merge_roll_partials(split(df, False), k),
+            batch_format="pandas",
+        ).to_pandas()
+        boundary = partials.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        out = pd.concat([interior, _merge_roll_partials(boundary, k)],
+                        ignore_index=True)
+    out["max_roll"] = out["max_roll"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)

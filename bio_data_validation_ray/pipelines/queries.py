@@ -249,6 +249,34 @@ def t_conv_stats(sf_dir):
     return out
 
 
+def t_rolling_max(sf_dir):
+    """Per-conversation MAX of the 3-turn rolling text-length sum — the
+    sliding row-window aggregate (SURVEY.md §2.6 windowed aggregates;
+    reference computes per-group windowed stats in pandas). One sorted scan,
+    O(k) compact partial bytes per (batch, conv) — a hot conversation never
+    ships raw rows to the driver. Ordering matches the SQL window ORDER BY
+    (turn_idx, ts, len) exactly; null text orders as -1 and sums as 0."""
+    import ray.data as rd
+
+    from ..functions.windows import rolling_sum_max
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir),
+                         columns=["conv_id", "turn_idx", "ts", "text"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["text"].str.len()
+        df["ord_len"] = ln.fillna(-1).astype(np.int64)
+        df["len"] = ln.fillna(0).astype(np.int64)
+        return df[["conv_id", "turn_idx", "ts", "ord_len", "len"]]
+
+    out = rolling_sum_max(
+        ds.map_batches(derive, batch_format="pandas"),
+        key="conv_id", order_cols=["turn_idx", "ts", "ord_len"],
+        value_col="len", k=3,
+    )
+    return out.rename(columns={"key": "conv_id", "max_roll": "max_roll3"})
+
+
 def t_role_stats(sf_dir):
     """Per-role text-length stats with exact integer aggregates: low-
     cardinality key -> per-batch partials combined driver-side, no shuffle
@@ -1496,6 +1524,7 @@ QUERIES = {
     "t_rule_counts": t_rule_counts,
     "t_verdicts": t_verdicts,
     "t_conv_stats": t_conv_stats,
+    "t_rolling_max": t_rolling_max,
     "t_role_stats": t_role_stats,
     "t_distinct_convs": t_distinct_convs,
     "t_drift": t_drift,
@@ -1854,6 +1883,13 @@ FROM psi p JOIN tot tt USING (shard) ORDER BY p.shard""",
                         f"CAST(min(turn_idx) AS BIGINT) AS turn_min, "
                         f"CAST(max(turn_idx) AS BIGINT) AS turn_max "
                         f"FROM t GROUP BY conv_id",
+        "t_rolling_max": f"{tq} SELECT conv_id, "
+                         f"CAST(max(s) AS BIGINT) AS max_roll3 FROM ("
+                         f"SELECT conv_id, sum(coalesce(length(text),0)) "
+                         f"OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, "
+                         f"coalesce(length(text),-1) "
+                         f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s "
+                         f"FROM t) GROUP BY conv_id",
         "t_role_stats": f"{tq} SELECT role, count(*) AS n, "
                         f"CAST(sum(coalesce(length(text),0)) AS BIGINT) AS sum_len, "
                         f"CAST(min(coalesce(length(text),0)) AS BIGINT) AS min_len, "

@@ -270,3 +270,45 @@ def test_histogram_fixed_partials_sum_to_whole(values, edges):
                                minlength=len(edges) + 1)
     assert (whole == chunked).all()
     assert whole.sum() == arr.size
+
+
+@st.composite
+def keyed_value_streams(draw):
+    n = draw(st.integers(1, 120))
+    keys = draw(st.lists(st.integers(0, 6), min_size=n, max_size=n))
+    ts = draw(st.lists(st.integers(0, 10**6), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(0, 500), min_size=n, max_size=n))
+    return pd.DataFrame({"key": [f"k{v}" for v in keys], "ts": ts,
+                         "v": vals})
+
+
+@given(keyed_value_streams(), st.integers(1, 6), st.integers(2, 5))
+def test_roll_partials_merge_is_chunking_invariant(df, n_chunks, k):
+    """Splitting the sorted stream anywhere (including mid-key, per-row)
+    and merging rolling partials equals the brute-force per-key max of the
+    k-row rolling sum."""
+    from bio_data_validation_ray.functions.windows import (
+        _merge_roll_partials,
+        _roll_partials,
+    )
+
+    df = df.sort_values(["key", "ts", "v"], kind="stable").reset_index(
+        drop=True)
+    # brute force via pandas rolling (min_periods=1 == SQL k-1 PRECEDING)
+    brute = (
+        df.groupby("key")["v"]
+        .apply(lambda s: s.rolling(k, min_periods=1).sum().max())
+        .astype(np.int64)
+        .reset_index(name="max_roll")
+    )
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(int)
+    parts = [
+        _roll_partials(df.iloc[a:b].reset_index(drop=True), "key", "v", k)
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    merged = _merge_roll_partials(pd.concat(parts, ignore_index=True), k)
+    pd.testing.assert_frame_equal(
+        merged.sort_values("key").reset_index(drop=True),
+        brute.sort_values("key").reset_index(drop=True),
+        check_like=True,
+    )

@@ -330,3 +330,36 @@ def test_merge_partials_respects_gap():
     assert len(a) == 1 and int(a["n_events"].iloc[0]) == 5
     split = _merge_partials(f, gap_us=999_999)     # 1 µs short -> split
     assert len(split[split["key"] == "a"]) == 2
+
+
+def test_rolling_hot_key_compact_and_exact(ray_session):
+    """One hot key across every block: rolling partials stay O(1) rows per
+    chunk and the distributed (driver_cap=0) answer equals brute force."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import (
+        _roll_partials,
+        rolling_sum_max,
+    )
+
+    rng = np.random.default_rng(41)
+    n, chunk, k = 3000, 40, 3
+    df = pd.DataFrame({
+        "key": ["hot"] * n,
+        "ord": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    parts = [
+        _roll_partials(df.iloc[i:i + chunk].reset_index(drop=True),
+                       "key", "v", k)
+        for i in range(0, n, chunk)
+    ]
+    assert all(len(p) == 1 for p in parts)  # one compact row per chunk
+
+    brute = int(df["v"].rolling(k, min_periods=1).sum().max())
+    ds = rd.from_pandas([df.iloc[i:i + chunk].reset_index(drop=True)
+                         for i in range(0, n, chunk)])
+    out = rolling_sum_max(ds, key="key", order_cols=["ord"], value_col="v",
+                          k=k, driver_cap=0)
+    assert list(out["key"]) == ["hot"]
+    assert int(out["max_roll"].iloc[0]) == brute
