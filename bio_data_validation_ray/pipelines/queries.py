@@ -1508,6 +1508,152 @@ def li_pricing(sf_dir):
 # registry of queries + oracles
 # ---------------------------------------------------------------------------
 
+def cust_order_dist(sf_dir):
+    """TPC-H Q13-shaped outer-join distribution: how many customers placed
+    exactly k URGENT orders, INCLUDING the zero bucket. Scale shape: the
+    fact side pre-aggregates to one (custkey, count) partial per batch, the
+    keyed reduce shuffles only those compact partials, and the distribution
+    is a second low-card combine over the per-customer counts — the
+    customer table itself contributes only its row count (never joined
+    row-by-row). Reference analog: per-group frequency audits
+    (sample_metadata_validator batch-imbalance family)."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card, keyed_reduce
+
+    ds = _read_table(sf_dir, "orders",
+                     columns=["o_custkey", "o_orderpriority"])
+
+    def urgent(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["o_orderpriority"] == "1-URGENT", ["o_custkey"]]
+
+    interior, boundary = keyed_reduce(
+        ds.map_batches(urgent, batch_format="pandas"),
+        ["o_custkey"], {"n_orders": ("o_custkey", "count")},
+    )
+    dist = combine_low_card(interior, ["n_orders"],
+                            {"n_custs": ("n_orders", "count")})
+    if len(boundary):
+        bd = (boundary.groupby("n_orders").size()
+              .reset_index(name="n_custs"))
+        dist = (pd.concat([dist, bd], ignore_index=True)
+                .groupby("n_orders", as_index=False)["n_custs"].sum())
+    n_cust_total = _read_table(sf_dir, "customer",
+                               columns=["c_custkey"]).count()
+    zero = int(n_cust_total) - int(dist["n_custs"].sum())
+    if zero:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"n_orders": [0], "n_custs": [zero]})],
+            ignore_index=True)
+    dist["n_orders"] = dist["n_orders"].astype(np.int64)
+    dist["n_custs"] = dist["n_custs"].astype(np.int64)
+    return dist.sort_values("n_orders").reset_index(drop=True)
+
+
+def orders_pivot(sf_dir):
+    """Pivot / cross-tab: order count + totalprice cents by priority x
+    status, assembled wide. The wide step touches only the ~15-row compact
+    combine result; the scan itself is one low-card partial+final pass with
+    zero shuffle."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card
+
+    ds = _read_table(sf_dir, "orders",
+                     columns=["o_orderpriority", "o_orderstatus",
+                              "o_totalprice"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["cents"] = _round_half_away(df["o_totalprice"] * 100
+                                       ).astype(np.int64)
+        return df[["o_orderpriority", "o_orderstatus", "cents"]]
+
+    long = combine_low_card(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["o_orderpriority", "o_orderstatus"],
+        {"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    out = pd.DataFrame(
+        {"o_orderpriority": sorted(long["o_orderpriority"].unique())})
+    for st in ("F", "O", "P"):
+        sub = long.loc[long["o_orderstatus"] == st,
+                       ["o_orderpriority", "n", "sum_cents"]]
+        out = out.merge(
+            sub.rename(columns={"n": f"n_{st.lower()}",
+                                "sum_cents": f"cents_{st.lower()}"}),
+            on="o_orderpriority", how="left")
+    for c in out.columns[1:]:
+        out[c] = out[c].fillna(0).astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def cust_nation_region(sf_dir):
+    """TPC-H Q5-shaped two-hop dimension join: customer -> nation -> region
+    rolled up to account balance per region. Both dimensions are pre-joined
+    driver-side (25 x 5 rows) and broadcast ONCE via ray.put; each batch
+    does a vectorized hash merge — no shuffle at any width."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card
+
+    nat = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(os.path.join(sf_dir, "region.parquet"),
+                          columns=["r_regionkey", "r_name"])
+    dim = nat.merge(reg, left_on="n_regionkey",
+                    right_on="r_regionkey")[["n_nationkey", "r_name"]]
+    dim_ref = ray.put(dim)
+    ds = _read_table(sf_dir, "customer",
+                     columns=["c_nationkey", "c_acctbal"])
+
+    def joined(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(dim_ref)
+        df["cents"] = _round_half_away(df["c_acctbal"] * 100
+                                       ).astype(np.int64)
+        df = df.merge(m, left_on="c_nationkey", right_on="n_nationkey",
+                      how="left")
+        return df[["r_name", "cents"]]
+
+    out = combine_low_card(
+        ds.map_batches(joined, batch_format="pandas"),
+        ["r_name"],
+        {"n_custs": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def orders_distinct_cust(sf_dir):
+    """Exact grouped COUNT(DISTINCT) at any key cardinality: level 1
+    dedups (status, custkey) pairs through the keyed reduce (per-batch
+    partials shrink each batch to its distinct pairs before the compact
+    shuffle), level 2 counts surviving pairs per status with a zero-shuffle
+    combine. The distinct-key set itself never materializes on the driver
+    — only the interior dataset's per-status counts plus <= 2 boundary
+    rows per batch do."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card, keyed_reduce
+
+    ds = _read_table(sf_dir, "orders",
+                     columns=["o_orderstatus", "o_custkey"])
+    interior, boundary = keyed_reduce(
+        ds, ["o_orderstatus", "o_custkey"],
+        {"c": ("o_custkey", "count")}, batch_format="pyarrow",
+    )
+    per = combine_low_card(interior, ["o_orderstatus"],
+                           {"n_custs": ("c", "count")})
+    if len(boundary):
+        bd = (boundary.groupby("o_orderstatus").size()
+              .reset_index(name="n_custs"))
+        per = (pd.concat([per, bd], ignore_index=True)
+               .groupby("o_orderstatus", as_index=False)["n_custs"].sum())
+    per["n_custs"] = per["n_custs"].astype(np.int64)
+    return per.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 QUERIES = {
     "t_role_vocab": t_role_vocab,
     "t_tool_pattern": t_tool_pattern,
@@ -1551,6 +1697,10 @@ QUERIES = {
     "li_corr_pairs": li_corr_pairs,
     "li_orders_join": li_orders_join,
     "cust_top_orders": cust_top_orders,
+    "cust_order_dist": cust_order_dist,
+    "orders_pivot": orders_pivot,
+    "cust_nation_region": cust_nation_region,
+    "orders_distinct_cust": orders_distinct_cust,
     "doc_dedup_exact": doc_dedup_exact,
     "doc_token_count": doc_token_count,
     "doc_quality": doc_quality,
@@ -1920,6 +2070,40 @@ SELECT c_mktsegment, count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "cust_order_dist": """
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_custs
+FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN (
+        SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY 1 ORDER BY 1""",
+        "orders_pivot": """
+SELECT o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+  CAST(sum(CASE WHEN o_orderstatus='F'
+    THEN CAST(round(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS cents_f,
+  CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+  CAST(sum(CASE WHEN o_orderstatus='O'
+    THEN CAST(round(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS cents_o,
+  CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+  CAST(sum(CASE WHEN o_orderstatus='P'
+    THEN CAST(round(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS cents_p
+FROM orders GROUP BY 1 ORDER BY 1""",
+        "cust_nation_region": """
+SELECT r_name, count(*) AS n_custs,
+       CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""",
+        "orders_distinct_cust": """
+SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+FROM orders GROUP BY 1 ORDER BY 1""",
         "part_units": r"""
 SELECT regexp_extract(p_name, '(\w+)$', 1) AS unit, count(*) AS n
 FROM part GROUP BY 1 ORDER BY 1""",
