@@ -786,3 +786,85 @@ def rolling_sum_max(ds, *, key: str, order_cols: list[str], value_col: str,
                         ignore_index=True)
     out["max_roll"] = out["max_roll"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+# --- ordered per-key document assembly ------------------------------------
+
+
+def _assemble_partials(df: pd.DataFrame, key: str, text_col: str,
+                       order_cols: list[str], sep: str) -> pd.DataFrame:
+    """One partial per key-run of a sorted batch: the run's texts joined
+    with ``sep`` plus the first row's order-column snapshot (``__ord{i}``)
+    so partials of a key re-order exactly even after a shuffle."""
+    cols = ["key", "seg"] + [f"__ord{i}" for i in range(len(order_cols))]
+    if len(df) == 0:
+        return pd.DataFrame(columns=cols)
+    k = df[key].to_numpy()
+    starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    txt = df[text_col].fillna("").astype(str)
+    seg = (txt.groupby(k, sort=False).agg(sep.join)
+           .reindex(k[starts]).to_numpy())
+    out = pd.DataFrame({"key": k[starts], "seg": seg})
+    for i, oc in enumerate(order_cols):
+        out[f"__ord{i}"] = df[oc].to_numpy()[starts]
+    return out
+
+
+def _finalize_docs(frame: pd.DataFrame, sep: str) -> pd.DataFrame:
+    """Join each key's segments in stream order and reduce to the compact
+    (doc_len, doc_md5) summary — the raw document never leaves this step."""
+    import hashlib
+
+    if len(frame) == 0:
+        return pd.DataFrame(columns=["key", "doc_len", "doc_md5"])
+    frame = frame.sort_values(["key", *_ord_cols_of(frame)],
+                              kind="stable")
+    docs = frame.groupby("key", sort=False)["seg"].agg(sep.join)
+    return pd.DataFrame({
+        "key": docs.index.to_numpy(),
+        "doc_len": docs.str.len().to_numpy(np.int64),
+        "doc_md5": [hashlib.md5(d.encode("utf-8")).hexdigest()
+                    for d in docs.to_numpy()],
+    })
+
+
+def assemble_docs(ds, *, key: str, order_cols: list[str], text_col: str,
+                  sep: str = "\n",
+                  driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Ordered per-key text assembly (conversation -> training document,
+    SQL ``string_agg(text, sep ORDER BY order_cols)``), summarized as
+    (key, doc_len, doc_md5). One sorted scan emits one joined segment per
+    (batch, key); keys interior to a block finalize inside map_batches —
+    their assembled text reduces to len+md5 WITHOUT crossing to the driver
+    — and only boundary keys' segments stitch centrally. Per-key locality
+    is inherent to assembly (a conversation's bytes must meet somewhere);
+    the partitioning assumption is that one key's text fits a worker."""
+    partials = (
+        ds.sort([key] + list(order_cols))
+        .map_batches(
+            lambda df: _assemble_partials(df, key, text_col, order_cols,
+                                          sep),
+            batch_format="pandas")
+        .materialize()
+    )
+    if partials.count() <= driver_cap:
+        out = _finalize_docs(partials.to_pandas(), sep)
+    else:
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df["key"].to_numpy()
+            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = partials.map_batches(
+            lambda df: _finalize_docs(split(df, False), sep),
+            batch_format="pandas",
+        ).to_pandas()
+        boundary = partials.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        out = pd.concat([interior, _finalize_docs(boundary, sep)],
+                        ignore_index=True)
+    out["doc_len"] = out["doc_len"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)

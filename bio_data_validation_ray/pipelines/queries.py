@@ -1508,6 +1508,63 @@ def li_pricing(sf_dir):
 # registry of queries + oracles
 # ---------------------------------------------------------------------------
 
+def t_conv_doc(sf_dir):
+    """Per-conversation ordered document assembly (turns -> one training
+    document, the LLM-pipeline packing step): texts joined with newline in
+    exact (turn_idx, ts, text) order, summarized as length + md5 so only
+    compact rows reach the compare. Interior conversations assemble and
+    hash inside map_batches; the driver stitches boundary conversations
+    only (functions/windows.assemble_docs)."""
+    import ray.data as rd
+
+    from ..functions.windows import assemble_docs
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir),
+                         columns=["conv_id", "turn_idx", "ts", "text"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["text"] = df["text"].fillna("")
+        return df
+
+    out = assemble_docs(
+        ds.map_batches(derive, batch_format="pandas"),
+        key="conv_id", order_cols=["turn_idx", "ts", "text"],
+        text_col="text",
+    )
+    return out.rename(columns={"key": "conv_id"})
+
+
+def events_hopping(sf_dir):
+    """Hopping-window aggregate (size 2h, hop 1h): each event lands in the
+    two windows covering it via a vectorized window-assignment flat-map,
+    then a zero-shuffle low-card combine per (window_start, type) — the
+    streaming-window shape at batch semantics (SURVEY.md §2.6)."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card
+
+    ds = _read_table(sf_dir, "events",
+                     columns=["event_type", "ts", "value"])
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _round_half_away(df["value"] * 100).astype(np.int64)
+        h = df["ts"].dt.floor("h")
+        a = pd.DataFrame({"wstart": h, "event_type": df["event_type"],
+                          "cents": cents})
+        b = a.copy()
+        b["wstart"] = h - pd.Timedelta(hours=1)
+        return pd.concat([a, b], ignore_index=True)
+
+    out = combine_low_card(
+        ds.map_batches(windows, batch_format="pandas"),
+        ["wstart", "event_type"],
+        {"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return out.sort_values(["wstart", "event_type"]).reset_index(drop=True)
+
+
 def cust_order_dist(sf_dir):
     """TPC-H Q13-shaped outer-join distribution: how many customers placed
     exactly k URGENT orders, INCLUDING the zero bucket. Scale shape: the
@@ -1698,6 +1755,8 @@ QUERIES = {
     "li_orders_join": li_orders_join,
     "cust_top_orders": cust_top_orders,
     "cust_order_dist": cust_order_dist,
+    "t_conv_doc": t_conv_doc,
+    "events_hopping": events_hopping,
     "orders_pivot": orders_pivot,
     "cust_nation_region": cust_nation_region,
     "orders_distinct_cust": orders_distinct_cust,
@@ -2070,6 +2129,23 @@ SELECT c_mktsegment, count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
+        "t_conv_doc": f"{tq} SELECT conv_id, "
+                      f"CAST(length(string_agg(coalesce(text,''), chr(10) "
+                      f"ORDER BY turn_idx, ts, coalesce(text,''))) AS BIGINT)"
+                      f" AS doc_len, "
+                      f"md5(string_agg(coalesce(text,''), chr(10) "
+                      f"ORDER BY turn_idx, ts, coalesce(text,''))) AS doc_md5"
+                      f" FROM t GROUP BY conv_id",
+        "events_hopping": """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS wstart, event_type,
+         CAST(round(value*100,0) AS BIGINT) AS cents FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type,
+         CAST(round(value*100,0) AS BIGINT) FROM events)
+SELECT wstart, event_type, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         "cust_order_dist": """
 SELECT CAST(n_orders AS BIGINT) AS n_orders,
        CAST(count(*) AS BIGINT) AS n_custs

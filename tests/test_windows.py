@@ -363,3 +363,37 @@ def test_rolling_hot_key_compact_and_exact(ray_session):
                           k=k, driver_cap=0)
     assert list(out["key"]) == ["hot"]
     assert int(out["max_roll"].iloc[0]) == brute
+
+
+def test_assemble_docs_distributed_matches_driver_path(ray_session):
+    """Documents assembled through the distributed (driver_cap=0) path are
+    byte-identical (same md5) to the collected path, with keys spanning
+    chunk boundaries."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import assemble_docs
+
+    rng = np.random.default_rng(7)
+    n, chunk = 900, 37
+    df = pd.DataFrame({
+        "key": np.sort(rng.integers(0, 60, n)).astype(str),
+        "ord": np.arange(n, dtype=np.int64),
+        "text": [f"w{i}" * (i % 5) for i in range(n)],
+    })
+    ds = rd.from_pandas([df.iloc[i:i + chunk].reset_index(drop=True)
+                         for i in range(0, n, chunk)])
+    a = assemble_docs(ds, key="key", order_cols=["ord"], text_col="text")
+    b = assemble_docs(ds, key="key", order_cols=["ord"], text_col="text",
+                      driver_cap=0)
+    pd.testing.assert_frame_equal(a, b)
+    # and equals a plain pandas string_agg
+    brute = (df.sort_values(["key", "ord"]).groupby("key")["text"]
+             .agg("\n".join))
+    import hashlib
+    exp = pd.DataFrame({
+        "key": brute.index.to_numpy(),
+        "doc_len": brute.str.len().to_numpy(np.int64),
+        "doc_md5": [hashlib.md5(d.encode()).hexdigest()
+                    for d in brute.to_numpy()],
+    }).sort_values("key", kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, exp)
