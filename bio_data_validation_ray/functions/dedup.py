@@ -1019,3 +1019,47 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
         return empty
     out = out.drop_duplicates(["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def dup_clusters(pairs: pd.DataFrame, *, a_col: str = "id_a",
+                 b_col: str = "id_b") -> pd.DataFrame:
+    """Connected components over a COMPACT duplicate-pair list -> one
+    (doc_id, cluster_id) row per member, cluster_id = smallest doc_id in
+    the component (the canonical-keeper convention of every dedup stage
+    here). Union-find runs driver-side because the pair list is already
+    o(corpus): only verified duplicates survive the banded LSH + verify
+    funnel, so even a 10^12-doc corpus reaches this step as |dup pairs|
+    rows, not |docs|. (A corpus that is MOSTLY one duplicate cluster
+    degrades — the scale path for that regime is pointer-doubling label
+    propagation over the pair Dataset, trading ~log(diameter) extra
+    shuffles; not needed while pairs fit the driver, which bucket_cap
+    already bounds.) Reference ancestor: duplicate GROUP reporting in
+    rule_validator.py DUP_* result assembly."""
+    cols = ["doc_id", "cluster_id"]
+    if len(pairs) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    a = pairs[a_col].to_numpy(np.int64)
+    b = pairs[b_col].to_numpy(np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by smaller root so the root IS the component minimum
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64,
+                         count=len(nodes))
+    return pd.DataFrame({"doc_id": nodes, "cluster_id": labels})

@@ -1508,6 +1508,19 @@ def li_pricing(sf_dir):
 # registry of queries + oracles
 # ---------------------------------------------------------------------------
 
+def doc_dup_clusters(sf_dir):
+    """Duplicate CLUSTERS, not just pairs: connected components over the
+    deterministic exact-Jaccard pair graph (planted corpus), cluster id =
+    component minimum — the canonical-keeper assignment a curation pass
+    consumes. The component step runs on the compact verified-pair list
+    only (functions/dedup.dup_clusters); the oracle restates reachability
+    with a recursive CTE."""
+    from ..functions.dedup import dup_clusters, ngram_jaccard_dups
+
+    pairs = ngram_jaccard_dups(_planted_docs(sf_dir), threshold=1.0, n=3)
+    return dup_clusters(pairs)
+
+
 def t_conv_doc(sf_dir):
     """Per-conversation ordered document assembly (turns -> one training
     document, the LLM-pipeline packing step): texts joined with newline in
@@ -1756,6 +1769,7 @@ QUERIES = {
     "cust_top_orders": cust_top_orders,
     "cust_order_dist": cust_order_dist,
     "t_conv_doc": t_conv_doc,
+    "doc_dup_clusters": doc_dup_clusters,
     "events_hopping": events_hopping,
     "orders_pivot": orders_pivot,
     "cust_nation_region": cust_nation_region,
@@ -2459,6 +2473,17 @@ FROM documents""",
         # are identical — stated in SQL as group-by-shingle-set over the
         # union-shifted table (byte-shingles == char-substrings: the
         # documents fixture is pure ASCII)
+        "doc_dup_clusters": f"""
+WITH RECURSIVE p AS ({_WORD_NGRAM_PAIRS_SQL.replace('ORDER BY 1, 2', '')}),
+bidir AS (SELECT id_a AS u, id_b AS v FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM bidir
+  UNION
+  SELECT r.u, b.v FROM reach r JOIN bidir b ON r.v = b.u
+  WHERE b.v <> r.u)
+SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u ORDER BY 1""",
         "doc_minhash_planted": _SHINGLE_SET_PAIRS_SQL,
         "doc_ngram_planted": _WORD_NGRAM_PAIRS_SQL,
         "doc_simhash_planted": _SHINGLE_SET_PAIRS_SQL,

@@ -827,3 +827,44 @@ class TestSemDedup:
              .to_pandas().sort_values("vec_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
         assert (~a["keep"]).sum() == 10
+
+
+class TestDupClusters:
+    def test_transitive_chain_and_min_label(self):
+        from bio_data_validation_ray.functions.dedup import dup_clusters
+
+        pairs = pd.DataFrame({"id_a": [9, 2, 5, 1], "id_b": [2, 3, 6, 9]})
+        out = dup_clusters(pairs).set_index("doc_id")["cluster_id"]
+        assert out.loc[[1, 2, 3, 9]].tolist() == [1, 1, 1, 1]
+        assert out.loc[[5, 6]].tolist() == [5, 5]
+
+    def test_empty_pairs(self):
+        from bio_data_validation_ray.functions.dedup import dup_clusters
+
+        out = dup_clusters(pd.DataFrame({"id_a": [], "id_b": []}))
+        assert list(out.columns) == ["doc_id", "cluster_id"]
+        assert len(out) == 0
+
+    def test_random_graph_matches_networkx_free_reference(self):
+        from bio_data_validation_ray.functions.dedup import dup_clusters
+
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 200, 300)
+        b = rng.integers(0, 200, 300)
+        pairs = pd.DataFrame({"id_a": a, "id_b": b})
+        out = dup_clusters(pairs)
+        # reference: O(n^2) label propagation to fixpoint
+        label = {int(x): int(x) for x in np.union1d(a, b)}
+        changed = True
+        while changed:
+            changed = False
+            for u, v in zip(a.tolist(), b.tolist()):
+                m = min(label[u], label[v])
+                if label[u] != m or label[v] != m:
+                    label[u] = label[v] = m
+                    changed = True
+        exp = pd.DataFrame(sorted(label.items()),
+                           columns=["doc_id", "cluster_id"])
+        pd.testing.assert_frame_equal(
+            out.sort_values("doc_id").reset_index(drop=True),
+            exp.astype(np.int64))
