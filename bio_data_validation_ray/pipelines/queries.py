@@ -1508,6 +1508,67 @@ def li_pricing(sf_dir):
 # registry of queries + oracles
 # ---------------------------------------------------------------------------
 
+def li_ship_lag(sf_dir):
+    """Per-row derived join metric: ship lag (l_shipdate - o_orderdate)
+    histogram in weeks. Unlike li_orders_join the fact side cannot
+    pre-aggregate (each row's lag needs its own order date), so this is the
+    honest distributed-join shape: both sides pruned to 2 columns, hash
+    join, then a zero-shuffle low-card combine on the bucketed lag."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card
+
+    li = _read_table(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_shipdate"])
+    orders = _read_table(sf_dir, "orders",
+                         columns=["o_orderkey", "o_orderdate"])
+    nparts = 8
+    j = li.repartition(nparts).join(
+        orders.repartition(nparts), "inner", nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def lag(df: pd.DataFrame) -> pd.DataFrame:
+        days = (
+            pd.to_datetime(df["l_shipdate"]).to_numpy("datetime64[D]")
+            - pd.to_datetime(df["o_orderdate"]).to_numpy("datetime64[D]")
+        ).astype(np.int64)
+        return pd.DataFrame({"lag_week": days // 7})
+
+    out = combine_low_card(
+        j.map_batches(lag, batch_format="pandas"),
+        ["lag_week"], {"n": ("lag_week", "count")},
+    )
+    out["lag_week"] = out["lag_week"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("lag_week").reset_index(drop=True)
+
+
+def doc_charstats(sf_dir):
+    """Per-document character-class profile (digits / uppercase /
+    whitespace / non-alphanumeric counts) — the vectorized text-analysis
+    pass every quality filter builds on; one compiled-regex scan per class
+    inside map_batches, no Python per-row loop."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_digit": t.str.count(r"[0-9]").astype(np.int64),
+            "n_upper": t.str.count(r"[A-Z]").astype(np.int64),
+            "n_space": t.str.count(r"[ \t\n]").astype(np.int64),
+            "n_other": t.str.count(r"[^0-9A-Za-z \t\n]").astype(np.int64),
+        })
+
+    out = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_dup_clusters(sf_dir):
     """Duplicate CLUSTERS, not just pairs: connected components over the
     deterministic exact-Jaccard pair graph (planted corpus), cluster id =
@@ -1770,6 +1831,8 @@ QUERIES = {
     "cust_order_dist": cust_order_dist,
     "t_conv_doc": t_conv_doc,
     "doc_dup_clusters": doc_dup_clusters,
+    "li_ship_lag": li_ship_lag,
+    "doc_charstats": doc_charstats,
     "events_hopping": events_hopping,
     "orders_pivot": orders_pivot,
     "cust_nation_region": cust_nation_region,
@@ -2191,6 +2254,24 @@ SELECT r_name, count(*) AS n_custs,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name""",
+        "li_ship_lag": """
+SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 7.0)
+         AS BIGINT) AS lag_week,
+       count(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1""",
+        "doc_charstats": r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(regexp_replace(coalesce(text,''), '[^0-9]', '', 'g'))
+    AS BIGINT) AS n_digit,
+  CAST(length(regexp_replace(coalesce(text,''), '[^A-Z]', '', 'g'))
+    AS BIGINT) AS n_upper,
+  CAST(length(coalesce(text,''))
+    - length(regexp_replace(coalesce(text,''), '[ \t\n]', '', 'g'))
+    AS BIGINT) AS n_space,
+  CAST(length(regexp_replace(coalesce(text,''), '[0-9A-Za-z \t\n]', '', 'g'))
+    AS BIGINT) AS n_other
+FROM documents ORDER BY 1""",
         "orders_distinct_cust": """
 SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
 FROM orders GROUP BY 1 ORDER BY 1""",
