@@ -1508,6 +1508,27 @@ def li_pricing(sf_dir):
 # registry of queries + oracles
 # ---------------------------------------------------------------------------
 
+def doc_pack_bins(sf_dir):
+    """Corpus packing into fixed token budgets (sequence-packing prep for
+    LLM training): global two-pass prefix scan assigns every document to
+    bin floor(tokens_before / 4096) in doc_id order, then a zero-shuffle
+    combine summarizes each bin (functions/scan.packed_bins). The scan
+    touches the data twice and ships only one compact row per block to the
+    driver between passes."""
+    import ray.data as rd
+
+    from ..functions.scan import packed_bins
+    from ..functions.textstats import add_token_count
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["doc_id", "text"])
+    toks = (ds.map_batches(add_token_count, batch_format="pyarrow")
+            .select_columns(["doc_id", "n_tokens"]))
+    return packed_bins(toks, order_col="doc_id", value_col="n_tokens",
+                       capacity=4096)
+
+
 def li_ship_lag(sf_dir):
     """Per-row derived join metric: ship lag (l_shipdate - o_orderdate)
     histogram in weeks. Unlike li_orders_join the fact side cannot
@@ -1832,6 +1853,7 @@ QUERIES = {
     "t_conv_doc": t_conv_doc,
     "doc_dup_clusters": doc_dup_clusters,
     "li_ship_lag": li_ship_lag,
+    "doc_pack_bins": doc_pack_bins,
     "doc_charstats": doc_charstats,
     "events_hopping": events_hopping,
     "orders_pivot": orders_pivot,
@@ -2254,6 +2276,16 @@ SELECT r_name, count(*) AS n_custs,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name""",
+        "doc_pack_bins": r"""
+WITH d AS (SELECT doc_id,
+  CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+    x -> x <> '')) AS BIGINT) AS tok FROM documents),
+c AS (SELECT doc_id, tok,
+  sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok
+    AS tok_before FROM d)
+SELECT CAST(floor(tok_before / 4096.0) AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY 1""",
         "li_ship_lag": """
 SELECT CAST(floor(date_diff('day', o_orderdate, l_shipdate) / 7.0)
          AS BIGINT) AS lag_week,

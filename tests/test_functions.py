@@ -868,3 +868,42 @@ class TestDupClusters:
         pd.testing.assert_frame_equal(
             out.sort_values("doc_id").reset_index(drop=True),
             exp.astype(np.int64))
+
+
+class TestPrefixScan:
+    def test_packed_bins_matches_pandas_scan(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.scan import packed_bins
+
+        rng = np.random.default_rng(11)
+        n = 5000
+        df = pd.DataFrame({
+            "id": rng.permutation(n).astype(np.int64),
+            "tok": rng.integers(1, 300, n).astype(np.int64),
+        })
+        ds = rd.from_pandas([df.iloc[i:i + 333].reset_index(drop=True)
+                             for i in range(0, n, 333)])
+        out = packed_bins(ds, order_col="id", value_col="tok",
+                          capacity=1000)
+        s = df.sort_values("id").reset_index(drop=True)
+        before = s["tok"].cumsum() - s["tok"]
+        exp = (pd.DataFrame({"bin": before // 1000, "tok": s["tok"]})
+               .groupby("bin", as_index=False)
+               .agg(n_docs=("tok", "size"), sum_tokens=("tok", "sum")))
+        for c in exp.columns:
+            exp[c] = exp[c].astype(np.int64)
+        pd.testing.assert_frame_equal(out, exp)
+        # bins fill to capacity: every bin except possibly the last ends
+        # because the next doc would start at/after the boundary
+        assert (out["sum_tokens"].iloc[:-1] + 300 >= 1000).all()
+
+    def test_block_prefix_offsets_empty(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.scan import (
+            block_prefix_offsets,
+        )
+
+        ds = rd.from_pandas(pd.DataFrame({"id": [], "v": []})).materialize()
+        assert block_prefix_offsets(ds, "id", "v") in ({},)
