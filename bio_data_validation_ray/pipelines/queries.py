@@ -1508,6 +1508,140 @@ def li_pricing(sf_dir):
 # registry of queries + oracles
 # ---------------------------------------------------------------------------
 
+def cust_no_urgent(sf_dir):
+    """Anti-join: customers with NO urgent order, counted per market
+    segment. The urgent-customer key set reduces to compact distinct keys
+    first (keyed reduce over pre-deduped partials), broadcasts once via
+    ray.put, and the customer scan filters against it vectorized — the
+    broadcast anti-join that replaces a shuffle for a small-side exclusion
+    list (ray_guide join pattern #1, negated)."""
+    import ray
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card, keyed_reduce
+
+    orders = _read_table(sf_dir, "orders",
+                         columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.loc[df["o_orderpriority"] == "1-URGENT", ["o_custkey"]]
+                .drop_duplicates())
+
+    interior, boundary = keyed_reduce(
+        orders.map_batches(urgent_keys, batch_format="pandas"),
+        ["o_custkey"], {"c": ("o_custkey", "count")},
+    )
+    keys = np.unique(np.concatenate([
+        interior.select_columns(["o_custkey"]).to_pandas()["o_custkey"]
+        .to_numpy(np.int64),
+        boundary["o_custkey"].to_numpy(np.int64) if len(boundary)
+        else np.array([], np.int64),
+    ]))
+    keys_ref = ray.put(keys)
+    cust = _read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"])
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(keys_ref)
+        mask = ~df["c_custkey"].isin(k)
+        return df.loc[mask, ["c_mktsegment"]]
+
+    out = combine_low_card(
+        cust.map_batches(anti, batch_format="pandas"),
+        ["c_mktsegment"], {"n_custs": ("c_mktsegment", "count")},
+    )
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def events_mode_type(sf_dir):
+    """Grouped MODE with deterministic tie-break: each user's most frequent
+    event type (ties -> lexicographically smallest). Level 1 reduces to
+    compact (user, type, n) counts through the keyed reduce; the argmax
+    runs vectorized over that already-aggregated frame — the raw log never
+    feeds the argmax."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    ds = _read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = keyed_reduce_pandas(
+        ds, ["user_id", "event_type"],
+        {"n": ("event_type", "count")}, batch_format="pyarrow",
+    )
+    counts = counts.sort_values(["user_id", "n", "event_type"],
+                                ascending=[True, False, True],
+                                kind="stable")
+    out = counts.groupby("user_id", as_index=False).first()
+    out = out.rename(columns={"event_type": "mode_type"})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return (out[["user_id", "mode_type", "n"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def events_view_no_purchase(sf_dir):
+    """Set difference (EXCEPT): users who viewed but never purchased,
+    fully distributed — both distinct key sets stay Datasets, a left-outer
+    hash join marks membership, and only the count crosses to the driver."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import keyed_reduce
+
+    ev = _read_table(sf_dir, "events",
+                     columns=["user_id", "event_type"])
+
+    def keys_of(kind):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.loc[df["event_type"] == kind, ["user_id"]]
+                    .drop_duplicates())
+        return f
+
+    def distinct(kind, out_col):
+        interior, boundary = keyed_reduce(
+            ev.map_batches(keys_of(kind), batch_format="pandas"),
+            ["user_id"], {"c": ("user_id", "count")},
+        )
+        d = interior.select_columns(["user_id"])
+        if len(boundary):
+            import ray.data as rd2
+            d = d.union(rd2.from_pandas(boundary[["user_id"]]))
+        return d.map_batches(
+            lambda df: df.rename(columns={"user_id": out_col}),
+            batch_format="pandas")
+
+    viewers = distinct("view", "user_id")
+    buyers = distinct("purchase", "buyer_id")
+    n = left_anti_count(viewers, buyers, left_key="user_id",
+                        right_key="buyer_id")
+    return pd.DataFrame({"n_view_only": [np.int64(n)]})
+
+
+def left_anti_count(left, right, *, left_key: str, right_key: str,
+                    nparts: int = 8) -> int:
+    """Distributed left ANTI-join count: rows of ``left`` with no match in
+    ``right``. Both sides stay Datasets through the hash join; only the
+    per-block unmatched counts cross to the driver. Ray 2.49 quirks handled
+    here: the left_outer output keeps only the LEFT key, so membership is
+    detectable only through an added right-side marker payload — and blocks
+    with zero matches omit the right-side columns entirely."""
+    right = right.map_batches(
+        lambda df: df.assign(__matched=np.int64(1)), batch_format="pandas")
+    j = left.repartition(nparts).join(
+        right.repartition(nparts), "left_outer", nparts,
+        on=(left_key,), right_on=(right_key,),
+    )
+
+    def count_unmatched(df: pd.DataFrame) -> pd.DataFrame:
+        if "__matched" not in df.columns:
+            return pd.DataFrame({"n": [np.int64(len(df))]})
+        return pd.DataFrame({"n": [np.int64(df["__matched"].isna().sum())]})
+
+    return int(j.map_batches(
+        count_unmatched, batch_format="pandas",
+    ).to_pandas()["n"].sum())
+
+
 def doc_pack_bins(sf_dir):
     """Corpus packing into fixed token budgets (sequence-packing prep for
     LLM training): global two-pass prefix scan assigns every document to
@@ -1854,6 +1988,9 @@ QUERIES = {
     "doc_dup_clusters": doc_dup_clusters,
     "li_ship_lag": li_ship_lag,
     "doc_pack_bins": doc_pack_bins,
+    "cust_no_urgent": cust_no_urgent,
+    "events_mode_type": events_mode_type,
+    "events_view_no_purchase": events_view_no_purchase,
     "doc_charstats": doc_charstats,
     "events_hopping": events_hopping,
     "orders_pivot": orders_pivot,
@@ -2276,6 +2413,25 @@ SELECT r_name, count(*) AS n_custs,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name""",
+        "cust_no_urgent": """
+SELECT c_mktsegment, count(*) AS n_custs
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY 1 ORDER BY 1""",
+        "events_mode_type": """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS mode_type,
+       CAST(n AS BIGINT) AS n
+FROM (SELECT user_id, event_type, count(*) AS n,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type)
+WHERE rn = 1 ORDER BY user_id""",
+        "events_view_no_purchase": """
+SELECT CAST(count(*) AS BIGINT) AS n_view_only FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""",
         "doc_pack_bins": r"""
 WITH d AS (SELECT doc_id,
   CAST(length(list_filter(regexp_split_to_array(text, '\s+'),

@@ -273,3 +273,37 @@ class TestReviewPrioritization:
         assert [novelty_score(n) for n in (1, 11, 51, 101)] == \
             [0.7, 0.5, 0.3, 0.1]
         assert select_top_issues(sample.iloc[:0], totals) == []
+
+
+class TestLeftAntiCount:
+    def test_nonzero_difference(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.pipelines.queries import (
+            left_anti_count,
+        )
+
+        left = rd.from_pandas(pd.DataFrame(
+            {"user_id": np.arange(100, dtype=np.int64)}))
+        right = rd.from_pandas(pd.DataFrame(
+            {"buyer_id": np.arange(0, 100, 3, dtype=np.int64)}))
+        n = left_anti_count(left, right, left_key="user_id",
+                            right_key="buyer_id")
+        assert n == 100 - len(range(0, 100, 3))
+
+    def test_all_matched_and_none_matched(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.pipelines.queries import (
+            left_anti_count,
+        )
+
+        ids = pd.DataFrame({"a": np.arange(20, dtype=np.int64)})
+        full = rd.from_pandas(ids)
+        assert left_anti_count(
+            full, rd.from_pandas(ids.rename(columns={"a": "b"})),
+            left_key="a", right_key="b") == 0
+        other = rd.from_pandas(
+            pd.DataFrame({"b": np.arange(100, 120, dtype=np.int64)}))
+        assert left_anti_count(full, other, left_key="a",
+                               right_key="b") == 20
