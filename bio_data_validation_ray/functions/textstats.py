@@ -218,6 +218,36 @@ def word_counts(ds, *, col: str = "text", top_k: int | None = None,
     return out.head(top_k).reset_index(drop=True) if top_k else out
 
 
+def heavy_hitter_words(ds, *, col: str = "text", k: int = 1 << 16,
+                       top_n: int = 20) -> pd.DataFrame:
+    """Bounded-memory heavy hitters over a text column: each block reduces
+    to ONE <= k-counter SpaceSaving sketch (sketches.SpaceSaving) and the
+    driver merges #blocks sketches — vocabulary never shuffles, unlike the
+    exact ``word_counts`` path whose partials are vocabulary-sized. Every
+    reported count is within the merged sketch's err_bound of truth, and
+    with k >= |vocabulary| the result is exact (the regime the hash oracle
+    compares). -> DataFrame[(word, n)] by (count desc, word asc)."""
+    from ..sketches import SpaceSaving, dumps, loads
+
+    def sketch_block(df: pd.DataFrame) -> pd.DataFrame:
+        sk = SpaceSaving(k)
+        toks = df[col].str.split().explode().dropna()
+        if len(toks):
+            vc = toks.value_counts()
+            sk.update_counts(vc.index.to_numpy(), vc.to_numpy())
+        return pd.DataFrame({"sk": [dumps(sk)]})
+
+    blobs = ds.map_batches(sketch_block,
+                           batch_format="pandas").to_pandas()
+    merged = SpaceSaving(k)
+    for b in blobs["sk"]:
+        merged.merge(loads(b))
+    out = merged.top(top_n)
+    out["n"] = out["n"].astype(np.int64)
+    out.attrs["err_bound"] = int(merged.err_bound)
+    return out
+
+
 def rolling_hashes(text: str, window: int = 16, base: int = 257) -> np.ndarray:
     """Polynomial rolling hash over a sliding byte window (public Rabin-Karp
     scheme in the 2^64 ring) — building block for content-defined

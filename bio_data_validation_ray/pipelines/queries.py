@@ -1119,6 +1119,25 @@ def doc_word_counts(sf_dir):
     return word_counts(ds, top_k=50)
 
 
+def doc_top_words_sketch(sf_dir):
+    """Heavy hitters via the bounded-memory SpaceSaving sketch
+    (textstats.heavy_hitter_words): one <= k-counter sketch per block,
+    merged driver-side — the zero-shuffle vocabulary path. Run in its
+    exact regime (k = 65536 >= |test vocabulary|, err_bound 0) so the hash
+    oracle applies; the truncating regime's error bound is pinned by
+    pytest (test_sketches)."""
+    import ray.data as rd
+
+    from ..functions.textstats import heavy_hitter_words
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         override_num_blocks=_nblocks(),
+                         columns=["text"])
+    out = heavy_hitter_words(ds, top_n=20)
+    assert out.attrs.get("err_bound", 0) == 0, "exact regime expected"
+    return out
+
+
 def doc_minhash_pairs(sf_dir):
     import ray.data as rd
 
@@ -2009,6 +2028,7 @@ QUERIES = {
     "doc_simhash_planted": doc_simhash_planted,
     "doc_token_bpe": doc_token_bpe,
     "doc_word_counts": doc_word_counts,
+    "doc_top_words_sketch": doc_top_words_sketch,
     "doc_quality_filter": doc_quality_filter,
     "doc_curate": doc_curate,
     "doc_sample_per_source": doc_sample_per_source,
@@ -2707,6 +2727,11 @@ WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
 SELECT word, count(*) AS n FROM w
 GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        "doc_top_words_sketch": r"""
+WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')) AS word FROM documents)
+SELECT word, count(*) AS n FROM w
+GROUP BY word ORDER BY n DESC, word LIMIT 20""",
         "doc_repetition": r"""
 WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws

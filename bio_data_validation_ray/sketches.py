@@ -331,6 +331,62 @@ class HLL:
 # --------------------------------------------------------------------------
 
 
+class SpaceSaving:
+    """Misra-Gries / Space-Saving heavy-hitters sketch (public algorithm:
+    Misra & Gries 1982; Metwally et al. 2005; mergeability per Agarwal et
+    al. 2013): at most ``k`` counters, every reported count is within
+    ``err_bound`` of truth (est <= true + err_bound is NOT possible — the
+    batched Misra-Gries decrement only UNDERcounts, so
+    true - err_bound <= est <= true), and any item with true count >
+    err_bound is guaranteed present. Batch-vectorized: updates merge an
+    exact per-batch value_counts into the counter table and re-truncate by
+    subtracting the (k+1)-th largest count from everything — one pandas
+    pass, no per-item Python loop. When k >= distinct items no truncation
+    ever fires and the sketch is EXACT (err_bound 0), which is the regime
+    the hash-oracled query runs in; the bounded-memory regime is pinned by
+    the error-bound property test. Zero-shuffle at scale: each block ships
+    a <= k-row counter frame to the driver, vocabulary never shuffles."""
+
+    __slots__ = ("k", "counts", "err_bound")
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self.counts = pd.Series(dtype=np.int64)
+        self.err_bound = np.int64(0)
+
+    def _truncate(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        srt = np.sort(self.counts.to_numpy())[::-1]
+        cut = srt[self.k]  # (k+1)-th largest
+        self.counts = self.counts - cut
+        self.counts = self.counts[self.counts > 0]
+        self.err_bound += cut
+
+    def update_counts(self, items, counts) -> "SpaceSaving":
+        add = pd.Series(np.asarray(counts, dtype=np.int64),
+                        index=pd.Index(items))
+        self.counts = self.counts.add(add, fill_value=0).astype(np.int64)
+        self._truncate()
+        return self
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        self.counts = self.counts.add(other.counts,
+                                      fill_value=0).astype(np.int64)
+        self.err_bound += other.err_bound
+        self._truncate()
+        return self
+
+    def top(self, n: int) -> pd.DataFrame:
+        """Top-n surviving counters -> DataFrame[(word, n)] ordered by
+        (count desc, word asc)."""
+        df = pd.DataFrame({"word": self.counts.index.to_numpy(),
+                           "n": self.counts.to_numpy(np.int64)})
+        df = df.sort_values(["n", "word"], ascending=[False, True],
+                            kind="stable")
+        return df.head(n).reset_index(drop=True)
+
+
 def dumps(obj) -> bytes:
     if isinstance(obj, TDigest):
         obj._compress()

@@ -1,6 +1,7 @@
 """Unit tests for mergeable sketches (Welford moments, t-digest, HLL)."""
 
 import numpy as np
+import pandas as pd
 
 from bio_data_validation_ray import sketches
 
@@ -85,3 +86,50 @@ def test_serialization_roundtrip():
         assert type(back) is type(obj)
     assert np.isclose(sketches.loads(sketches.dumps(td)).quantile(0.5), td.quantile(0.5))
     assert sketches.loads(sketches.dumps(h)).estimate() == h.estimate()
+
+
+class TestSpaceSaving:
+    def test_exact_when_k_covers_domain(self):
+        from bio_data_validation_ray.sketches import SpaceSaving
+
+        rng = np.random.default_rng(5)
+        items = rng.integers(0, 50, 10_000)
+        vc = pd.Series(items).value_counts()
+        sk = SpaceSaving(64)
+        for i in range(0, len(items), 997):
+            chunk = pd.Series(items[i:i + 997]).value_counts()
+            sk.update_counts(chunk.index.to_numpy(), chunk.to_numpy())
+        assert sk.err_bound == 0
+        est = sk.counts.sort_index()
+        pd.testing.assert_series_equal(
+            est, vc.sort_index(), check_names=False, check_index_type=False)
+
+    def test_error_bound_and_heavy_hitter_survival(self):
+        from bio_data_validation_ray.sketches import SpaceSaving
+
+        rng = np.random.default_rng(9)
+        # zipf-ish stream with one planted heavy hitter
+        tail = rng.integers(1000, 9000, 20_000)
+        stream = np.concatenate([tail, np.full(3_000, 7)])
+        rng.shuffle(stream)
+        true = pd.Series(stream).value_counts()
+        k = 200
+        chunks = [stream[i:i + 1000] for i in range(0, len(stream), 1000)]
+        sketches = []
+        for c in chunks:
+            sk = SpaceSaving(k)
+            vc = pd.Series(c).value_counts()
+            sk.update_counts(vc.index.to_numpy(), vc.to_numpy())
+            sketches.append(sk)
+        merged = sketches[0]
+        for sk in sketches[1:]:
+            merged.merge(sk)
+        assert len(merged.counts) <= k
+        # the heavy hitter (count 3000 >> err_bound) must survive with an
+        # estimate within the bound, and every estimate only undercounts
+        bound = int(merged.err_bound)
+        assert bound < 3000
+        assert 7 in merged.counts.index
+        for item, est in merged.counts.items():
+            t = int(true.get(item, 0))
+            assert t - bound <= int(est) <= t
