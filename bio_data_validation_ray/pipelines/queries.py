@@ -1661,6 +1661,98 @@ def left_anti_count(left, right, *, left_key: str, right_key: str,
     ).to_pandas()["n"].sum())
 
 
+def li_not_open_orders(sf_dir):
+    """Bloom-prefiltered semi-join (negated): count lineitems whose order
+    is NOT an open ('O') order. The reference key set becomes per-block
+    Bloom bitsets OR-merged driver-side (fixed m bits at ANY key
+    cardinality — the scale replacement for broadcasting raw key sets);
+    bloom-negatives are definite non-members and reduce to one count per
+    block, and only bloom-POSITIVES take the exact distributed join verify
+    — the matched minority plus a ~2e-6 false-positive sliver. Nothing but
+    per-block counts and the final scalar ever reaches the driver.
+    Reference ancestor: cross-shard referential integrity (SURVEY §2.4)."""
+    import ray
+    import ray.data as rd
+
+    from ..sketches import BloomFilter, _hash64, dumps, loads
+    from ..stages.keyed_reduce import keyed_reduce
+
+    M_BITS, N_HASH = 1 << 22, 5
+    orders = _read_table(sf_dir, "orders",
+                         columns=["o_orderkey", "o_orderstatus"])
+
+    def block_bloom(df: pd.DataFrame) -> pd.DataFrame:
+        b = BloomFilter(M_BITS, N_HASH)
+        keys = df.loc[df["o_orderstatus"] == "O", "o_orderkey"]
+        b.add_hashes(_hash64(keys.to_numpy(np.int64)))
+        return pd.DataFrame({"b": [dumps(b)]})
+
+    merged = BloomFilter(M_BITS, N_HASH)
+    for x in orders.map_batches(block_bloom,
+                                batch_format="pandas").to_pandas()["b"]:
+        merged.merge(loads(x))
+    bref = ray.put(merged)
+
+    li = _read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        # one pass: candidate keys weighted 1, plus ONE sentinel row
+        # carrying the block's definite-negative count
+        b = ray.get(bref)
+        k = df["l_orderkey"].to_numpy(np.int64)
+        inb = b.contains_hashes(_hash64(k))
+        out = pd.DataFrame({"l_orderkey": k[inb]})
+        out["w"] = np.int64(1)
+        neg = int((~inb).sum())
+        if neg:
+            out = pd.concat(
+                [out, pd.DataFrame({"l_orderkey": [np.int64(-1)],
+                                    "w": [np.int64(neg)]})],
+                ignore_index=True)
+        return out
+
+    interior, boundary = keyed_reduce(
+        li.map_batches(split, batch_format="pandas"),
+        ["l_orderkey"], {"n": ("w", "sum")},
+    )
+    per_key = interior
+    if len(boundary):
+        per_key = per_key.union(rd.from_pandas(boundary))
+
+    # distinct open-order keys, kept distributed
+    ki, kb = keyed_reduce(
+        orders.map_batches(
+            lambda df: (df.loc[df["o_orderstatus"] == "O", ["o_orderkey"]]
+                        .drop_duplicates()),
+            batch_format="pandas"),
+        ["o_orderkey"], {"c": ("o_orderkey", "count")},
+    )
+    open_keys = ki.select_columns(["o_orderkey"])
+    if len(kb):
+        open_keys = open_keys.union(rd.from_pandas(kb[["o_orderkey"]]))
+    open_keys = open_keys.map_batches(
+        lambda df: df.assign(__matched=np.int64(1)), batch_format="pandas")
+
+    nparts = 8
+    j = per_key.repartition(nparts).join(
+        open_keys.repartition(nparts), "left_outer", nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def unmatched_weight(df: pd.DataFrame) -> pd.DataFrame:
+        # sentinel (-1) rows never match; false positives have __matched
+        # null; blocks with zero matches omit the right-side columns
+        if "__matched" not in df.columns:
+            w = df["n"].sum()
+        else:
+            w = df.loc[df["__matched"].isna(), "n"].sum()
+        return pd.DataFrame({"n": [np.int64(w)]})
+
+    n = int(j.map_batches(unmatched_weight,
+                          batch_format="pandas").to_pandas()["n"].sum())
+    return pd.DataFrame({"n_not_open": [np.int64(n)]})
+
+
 def doc_pack_bins(sf_dir):
     """Corpus packing into fixed token budgets (sequence-packing prep for
     LLM training): global two-pass prefix scan assigns every document to
@@ -2007,6 +2099,7 @@ QUERIES = {
     "doc_dup_clusters": doc_dup_clusters,
     "li_ship_lag": li_ship_lag,
     "doc_pack_bins": doc_pack_bins,
+    "li_not_open_orders": li_not_open_orders,
     "cust_no_urgent": cust_no_urgent,
     "events_mode_type": events_mode_type,
     "events_view_no_purchase": events_view_no_purchase,
@@ -2452,6 +2545,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_view_only FROM (
   SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
   EXCEPT
   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""",
+        "li_not_open_orders": """
+SELECT CAST(count(*) AS BIGINT) AS n_not_open FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders
+  WHERE o_orderkey = l_orderkey AND o_orderstatus = 'O')""",
         "doc_pack_bins": r"""
 WITH d AS (SELECT doc_id,
   CAST(length(list_filter(regexp_split_to_array(text, '\s+'),

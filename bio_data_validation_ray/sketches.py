@@ -387,6 +387,50 @@ class SpaceSaving:
         return df.head(n).reset_index(drop=True)
 
 
+class BloomFilter:
+    """Mergeable Bloom filter over 64-bit hashes (public double-hashing
+    scheme, Kirsch & Mitzenmacher 2006: g_i = h1 + i*h2 mod m). Fully
+    vectorized adds/queries; filters over the same (m, n_hashes) geometry
+    merge by OR — each block builds its own and the driver (or a tree
+    reduce) ORs #blocks fixed-size bitsets, so a reference key set of any
+    cardinality costs m bits, never a shuffle. Negatives are definite;
+    positives need an exact verify (the semi-join prefilter contract)."""
+
+    __slots__ = ("m", "n_hashes", "bits")
+
+    def __init__(self, m_bits: int = 1 << 20, n_hashes: int = 5):
+        self.m = int(m_bits)
+        self.n_hashes = int(n_hashes)
+        self.bits = np.zeros(self.m // 64 + 1, dtype=np.uint64)
+
+    def _positions(self, h64: np.ndarray) -> np.ndarray:
+        h1 = h64
+        h2 = (h64 >> np.uint64(33)) | np.uint64(1)  # odd -> full cycle
+        i = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m))
+
+    def add_hashes(self, h64: np.ndarray) -> "BloomFilter":
+        if len(h64) == 0:
+            return self
+        pos = self._positions(np.asarray(h64, dtype=np.uint64)).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return self
+
+    def contains_hashes(self, h64: np.ndarray) -> np.ndarray:
+        if len(h64) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(np.asarray(h64, dtype=np.uint64))
+        got = (self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        return got.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.m, self.n_hashes) == (other.m, other.n_hashes)
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
 def dumps(obj) -> bytes:
     if isinstance(obj, TDigest):
         obj._compress()

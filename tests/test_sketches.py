@@ -133,3 +133,30 @@ class TestSpaceSaving:
         for item, est in merged.counts.items():
             t = int(true.get(item, 0))
             assert t - bound <= int(est) <= t
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_merge(self):
+        from bio_data_validation_ray.sketches import BloomFilter, _hash64
+
+        rng = np.random.default_rng(13)
+        keys = rng.integers(0, 1 << 60, 5000)
+        halves = [keys[:2500], keys[2500:]]
+        blooms = []
+        for h in halves:
+            b = BloomFilter(1 << 18, 5)
+            b.add_hashes(_hash64(h))
+            blooms.append(b)
+        merged = blooms[0].merge(blooms[1])
+        assert merged.contains_hashes(_hash64(keys)).all()
+
+    def test_false_positive_rate_bounded(self):
+        from bio_data_validation_ray.sketches import BloomFilter, _hash64
+
+        rng = np.random.default_rng(17)
+        b = BloomFilter(1 << 18, 5)
+        b.add_hashes(_hash64(rng.integers(0, 1 << 60, 10_000)))
+        probe = _hash64(rng.integers(1 << 61, 1 << 62, 50_000))
+        fp = b.contains_hashes(probe).mean()
+        # theoretical ~ (1 - e^(-5*10000/262144))^5 ~= 1.6e-4
+        assert fp < 2e-3
