@@ -1661,6 +1661,74 @@ def left_anti_count(left, right, *, left_key: str, right_key: str,
     ).to_pandas()["n"].sum())
 
 
+def events_retention(sf_dir):
+    """Day-over-day retention: the number of (user, day, day+1) active
+    pairs. Distinct (user, day) reduces through the keyed reduce, then the
+    SESSIONIZE operator (gap = 1 day) counts consecutive-day runs — pairs
+    = distinct_rows - sessions, a pure reuse of the compact-partial
+    session machinery; the self-join the SQL oracle states never happens."""
+    import ray.data as rd
+
+    from ..functions.windows import session_stats
+    from ..stages.keyed_reduce import keyed_reduce
+
+    ev = _read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day_of(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "day": df["ts"].dt.floor("D")})
+        return out.drop_duplicates()
+
+    interior, boundary = keyed_reduce(
+        ev.map_batches(day_of, batch_format="pandas"),
+        ["user_id", "day"], {"c": ("user_id", "count")},
+    )
+    distinct = interior.select_columns(["user_id", "day"])
+    if len(boundary):
+        distinct = distinct.union(
+            rd.from_pandas(boundary[["user_id", "day"]]))
+    n_rows = distinct.count()
+    st = session_stats(distinct.map_batches(
+        lambda df: df.rename(columns={"day": "ts"}),
+        batch_format="pandas"), key="user_id", ts_col="ts",
+        gap_s=86400.0)
+    n_sessions = int(st["n_sessions"].sum())
+    return pd.DataFrame(
+        {"n_retained_pairs": [np.int64(int(n_rows) - n_sessions)]})
+
+
+def orders_daily_cum(sf_dir):
+    """Cumulative daily totals (running stock): orders per day with a
+    cumulative count and cents sum. The distributed part is one low-card
+    combine to ~#days compact rows; the cumulative pass is a driver-side
+    cumsum over that already-aggregated frame (scan-over-aggregate, the
+    right shape at any scale since #days << #orders)."""
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import combine_low_card
+
+    ds = _read_table(sf_dir, "orders",
+                     columns=["o_orderdate", "o_totalprice"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": pd.to_datetime(df["o_orderdate"]).dt.floor("D"),
+            "cents": _round_half_away(df["o_totalprice"] * 100
+                                      ).astype(np.int64),
+        })
+
+    daily = combine_low_card(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["day"], {"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+    )
+    daily = daily.sort_values("day").reset_index(drop=True)
+    daily["cum_n"] = daily["n"].cumsum()
+    daily["cum_cents"] = daily["sum_cents"].cumsum()
+    for c in ("n", "sum_cents", "cum_n", "cum_cents"):
+        daily[c] = daily[c].astype(np.int64)
+    return daily
+
+
 def li_not_open_orders(sf_dir):
     """Bloom-prefiltered semi-join (negated): count lineitems whose order
     is NOT an open ('O') order. The reference key set becomes per-block
@@ -2100,6 +2168,8 @@ QUERIES = {
     "li_ship_lag": li_ship_lag,
     "doc_pack_bins": doc_pack_bins,
     "li_not_open_orders": li_not_open_orders,
+    "events_retention": events_retention,
+    "orders_daily_cum": orders_daily_cum,
     "cust_no_urgent": cust_no_urgent,
     "events_mode_type": events_mode_type,
     "events_view_no_purchase": events_view_no_purchase,
@@ -2545,6 +2615,24 @@ SELECT CAST(count(*) AS BIGINT) AS n_view_only FROM (
   SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
   EXCEPT
   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')""",
+        "events_retention": """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+           FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_retained_pairs
+FROM d a JOIN d b ON a.user_id = b.user_id
+  AND b.day = a.day + INTERVAL 1 DAY""",
+        "orders_daily_cum": """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM orders GROUP BY 1)
+SELECT day, CAST(n AS BIGINT) AS n, sum_cents,
+       CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum_n,
+       CAST(sum(sum_cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum_cents
+FROM daily ORDER BY day""",
         "li_not_open_orders": """
 SELECT CAST(count(*) AS BIGINT) AS n_not_open FROM lineitem
 WHERE NOT EXISTS (SELECT 1 FROM orders
