@@ -1442,6 +1442,24 @@ def doc_repetition(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _plant_pii(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic PII suffix by doc_id % 4 — the concatenation the
+    oracle SQL (_PII_DOCS_SQL CASE) states verbatim."""
+    ids = df["doc_id"].astype(np.int64)
+    m = (ids % 4).to_numpy()
+    s1 = (" reach u" + ids.astype(str) +
+          "@example.com or +1-202-555-0147")
+    s2 = " ssn 123-45-6789 ip 10.0.3." + (ids % 200).astype(str)
+    suffix = np.select(
+        [m == 1, m == 2, m == 3],
+        [s1.to_numpy(), s2.to_numpy(),
+         " mail a.b-c@x.co.uk call +44-700-900-1234"],
+        default="",
+    )
+    return pd.DataFrame({"doc_id": ids,
+                         "text": df["text"].to_numpy() + suffix})
+
+
 def _pii_augmented_docs(sf_dir):
     """documents with deterministic PII planted by doc_id % 4 (the fixture's
     token-soup text contains none) — the oracle SQL states the identical
@@ -1451,23 +1469,7 @@ def _pii_augmented_docs(sf_dir):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          override_num_blocks=_nblocks(),
                          columns=["doc_id", "text"])
-
-    def augment(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].astype(np.int64)
-        m = (ids % 4).to_numpy()
-        s1 = (" reach u" + ids.astype(str) +
-              "@example.com or +1-202-555-0147")
-        s2 = " ssn 123-45-6789 ip 10.0.3." + (ids % 200).astype(str)
-        suffix = np.select(
-            [m == 1, m == 2, m == 3],
-            [s1.to_numpy(), s2.to_numpy(),
-             " mail a.b-c@x.co.uk call +44-700-900-1234"],
-            default="",
-        )
-        return pd.DataFrame({"doc_id": ids,
-                             "text": df["text"].to_numpy() + suffix})
-
-    return ds.map_batches(augment, batch_format="pandas")
+    return ds.map_batches(_plant_pii, batch_format="pandas")
 
 
 def doc_pii(sf_dir):
@@ -1659,6 +1661,50 @@ def left_anti_count(left, right, *, left_key: str, right_key: str,
     return int(j.map_batches(
         count_unmatched, batch_format="pandas",
     ).to_pandas()["n"].sum())
+
+
+def doc_pretrain_prep(sf_dir):
+    """Composed end-to-end pretraining prep over the doubled + PII-planted
+    corpus: quality filter (min_tokens=30, terminal rule off — curate.py
+    settings) -> PII redaction -> exact dedup on REDACTED text (the planted
+    copies carry id-bearing emails/IPs, so they become identical only after
+    redaction strips them — dedup order genuinely matters) -> token counts
+    -> 4096-token packing via the two-pass prefix scan. Every stage stays
+    a Dataset; the driver sees per-(batch,key) partials and the final bin
+    table. The oracle restates the whole chain in one SQL pipeline."""
+    import ray.data as rd
+
+    from ..functions.dedup import content_hash_batch
+    from ..functions.pii import redact_pii
+    from ..functions.scan import packed_bins
+    from ..functions.textstats import add_quality_filter, add_token_count
+    from ..stages.keyed_reduce import keyed_reduce
+
+    aug = _planted_docs(sf_dir).map_batches(
+        _plant_pii, batch_format="pandas")
+
+    def keep_quality(t):
+        q = add_quality_filter(t, min_tokens=30,
+                               require_terminal_punct=False)
+        return q.filter(q["keep"]).select(["doc_id", "text"])
+
+    kept = aug.map_batches(keep_quality, batch_format="pyarrow")
+    red = kept.map_batches(redact_pii, batch_format="pyarrow")
+    tok = red.map_batches(add_token_count, batch_format="pyarrow")
+    hashed = tok.map_batches(
+        lambda b: content_hash_batch(b)[
+            ["content_hash", "doc_id", "n_tokens"]],
+        batch_format="pandas",
+    )
+    interior, boundary = keyed_reduce(
+        hashed, ["content_hash"],
+        {"doc_id": ("doc_id", "min"), "n_tokens": ("n_tokens", "min")},
+    )
+    uniq = interior.select_columns(["doc_id", "n_tokens"])
+    if len(boundary):
+        uniq = uniq.union(rd.from_pandas(boundary[["doc_id", "n_tokens"]]))
+    return packed_bins(uniq, order_col="doc_id", value_col="n_tokens",
+                       capacity=4096)
 
 
 def events_retention(sf_dir):
@@ -2169,6 +2215,7 @@ QUERIES = {
     "doc_pack_bins": doc_pack_bins,
     "li_not_open_orders": li_not_open_orders,
     "events_retention": events_retention,
+    "doc_pretrain_prep": doc_pretrain_prep,
     "orders_daily_cum": orders_daily_cum,
     "cust_no_urgent": cust_no_urgent,
     "events_mode_type": events_mode_type,
@@ -2282,6 +2329,37 @@ FROM d ORDER BY doc_id""",
         "doc_pii_redact": f"""
 WITH d AS ({_PII_DOCS_SQL})
 SELECT doc_id, {redacted} AS text FROM d ORDER BY doc_id""",
+        "doc_pretrain_prep": rf"""
+WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+     UNION ALL
+     SELECT CAST(doc_id AS BIGINT)+100000, text FROM documents),
+d AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 1 THEN ' reach u' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or +1-202-555-0147'
+        WHEN 2 THEN ' ssn 123-45-6789 ip 10.0.3.'
+                 || CAST(doc_id % 200 AS VARCHAR)
+        WHEN 3 THEN ' mail a.b-c@x.co.uk call +44-700-900-1234'
+        ELSE '' END AS text FROM base),
+m AS (SELECT doc_id, text, length(text) AS n_chars,
+        length(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS n_tok,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM d),
+keep AS (SELECT doc_id, text FROM m
+         WHERE n_tok >= 30 AND n_chars <= 50000
+           AND 100*n_alpha >= 50*n_chars AND 100*n_digit <= 30*n_chars),
+r AS (SELECT doc_id, {redacted} AS text FROM keep),
+u AS (SELECT min(doc_id) AS doc_id,
+        length(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS tok
+      FROM r GROUP BY text),
+c AS (SELECT doc_id, CAST(tok AS BIGINT) AS tok,
+        sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok
+          AS tok_before FROM u)
+SELECT CAST(floor(tok_before / 4096.0) AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY 1""",
     }
 
 
