@@ -35,6 +35,9 @@ QUERY_SUBSET = [
     "events_last_view",
     "doc_dedup_exact", "doc_token_count", "doc_minhash_pairs",
     "emb_topk", "emb_near_dups", "li_pricing", "li_corr_pairs",
+    # round-4 op classes: windowed aggregate, ordered assembly, composed
+    # filter->redact->dedup->pack prep
+    "t_rolling_max", "t_conv_doc", "doc_pretrain_prep",
 ]
 
 
