@@ -1743,6 +1743,49 @@ def events_retention(sf_dir):
         {"n_retained_pairs": [np.int64(int(n_rows) - n_sessions)]})
 
 
+def events_attrib_pairs(sf_dir):
+    """Bounded-window attribution via the banded range join
+    (functions/joins.banded_range_join): every (view, purchase) pair of
+    the same user with view.ts in [purchase.ts - 1h, purchase.ts],
+    counted per user. The reference has no non-equi join at all (its
+    joins are single-process pandas merges, e.g.
+    /root/reference/src/validators/sample_metadata.py's batch crosstab);
+    here the BETWEEN predicate the oracle states as an inequality join
+    runs as interval banding + one hash equi-join on (user_id, band) + a
+    vectorized range filter — bounded replication, no sort, and a hot
+    user's rows still spread across time bands."""
+    from ..functions.joins import banded_range_join
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    HOUR_US = 3_600_000_000
+    ev = _read_table(sf_dir, "events",
+                     columns=["user_id", "event_type", "ts"])
+
+    def views_of(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.loc[df["event_type"] == "view", ["user_id", "ts"]]
+                .reset_index(drop=True))
+
+    def windows_of(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.loc[df["event_type"] == "purchase", ["user_id", "ts"]]
+        us = p["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        return pd.DataFrame({"user_id": p["user_id"].to_numpy(),
+                             "lo_us": us - HOUR_US, "hi_us": us})
+
+    pairs = banded_range_join(
+        ev.map_batches(views_of, batch_format="pandas"),
+        ev.map_batches(windows_of, batch_format="pandas"),
+        key="user_id", point_ts_col="ts", lo_col="lo_us", hi_col="hi_us",
+        band_width_us=HOUR_US)
+    out = keyed_reduce_pandas(pairs, ["user_id"],
+                              {"n_pairs": ("user_id", "count")})
+    if len(out) == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "n_pairs": pd.Series([], dtype=np.int64)})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out
+
+
 def orders_daily_cum(sf_dir):
     """Cumulative daily totals (running stock): orders per day with a
     cumulative count and cents sum. The distributed part is one low-card
@@ -2215,6 +2258,7 @@ QUERIES = {
     "doc_pack_bins": doc_pack_bins,
     "li_not_open_orders": li_not_open_orders,
     "events_retention": events_retention,
+    "events_attrib_pairs": events_attrib_pairs,
     "doc_pretrain_prep": doc_pretrain_prep,
     "orders_daily_cum": orders_daily_cum,
     "cust_no_urgent": cust_no_urgent,
@@ -2699,6 +2743,14 @@ WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
 SELECT CAST(count(*) AS BIGINT) AS n_retained_pairs
 FROM d a JOIN d b ON a.user_id = b.user_id
   AND b.day = a.day + INTERVAL 1 DAY""",
+        "events_attrib_pairs": """
+SELECT CAST(v.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY 1 ORDER BY 1""",
         "orders_daily_cum": """
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n,
