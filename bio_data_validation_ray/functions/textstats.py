@@ -335,3 +335,98 @@ def repetition_stats(ds, col: str = "text"):
     """Dataset-level repetition signals (row-local, streaming)."""
     return ds.map_batches(lambda t: repetition_metrics(t, col=col),
                           batch_format="pyarrow")
+
+
+def _df_partial(col: str, id_col: str):
+    """Per-batch document-frequency partial: one (word, n) row per distinct
+    word, counting DISTINCT docs within the batch. Each document is one row
+    of the table, so per-batch distinct (doc, word) is globally distinct and
+    the partials merge by plain sum — vocabulary-sized rows shuffle, never
+    tokens."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = (df[[id_col]].assign(word=df[col].str.split())
+             .explode("word").dropna(subset=["word"]).drop_duplicates())
+        if not len(e):
+            return pd.DataFrame({"word": [], "n": []})
+        vc = e["word"].value_counts()
+        return pd.DataFrame({"word": vc.index, "n": vc.to_numpy()})
+
+    return partial
+
+
+class _TfidfScore:
+    """Actor-pool scoring stage: fetches the broadcast document-frequency
+    table ONCE per actor (ray.get in __init__, the broadcast-small-side
+    pattern), then scores each batch vectorized: explode -> tf per
+    (doc, word) -> merge idf_ppm -> per-doc sum + arg-max word."""
+
+    def __init__(self, df_ref, col: str, id_col: str):
+        import ray
+
+        self.df_map = ray.get(df_ref)  # DataFrame[word, idf_ppm]
+        self.col, self.id_col = col, id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        id_col = self.id_col
+        out_cols = [id_col, "tfidf_ppm", "top_word", "top_ppm"]
+        if len(df) == 0:
+            return pd.DataFrame(columns=out_cols)
+        e = (df[[id_col]].assign(word=df[self.col].str.split())
+             .explode("word").dropna(subset=["word"]))
+        tf = e.groupby([id_col, "word"], as_index=False).size()
+        sc = tf.merge(self.df_map, on="word", how="left")
+        sc["s"] = (sc["size"].to_numpy(dtype=np.int64)
+                   * sc["idf_ppm"].to_numpy(dtype=np.int64))
+        tot = sc.groupby(id_col, as_index=False)["s"].sum()
+        top = (sc.sort_values(["s", "word"], ascending=[False, True],
+                              kind="stable")
+               .groupby(id_col, as_index=False).head(1))
+        out = tot.merge(top[[id_col, "word", "s"]], on=id_col)
+        out.columns = out_cols
+        out["tfidf_ppm"] = out["tfidf_ppm"].astype(np.int64)
+        out["top_ppm"] = out["top_ppm"].astype(np.int64)
+        return out
+
+
+def tfidf_scores(ds, *, col: str = "text", id_col: str = "doc_id",
+                 concurrency: int | tuple = 4,
+                 driver_cap: int = 5_000_000):
+    """TF-IDF document scoring with an exact integer idf: idf_ppm(w) =
+    floor(1e6 * N / df(w) + 0.5), so sums and arg-maxes are pure int64 and
+    hash-match the SQL oracle bit-for-bit (a float ``ln`` differs in the
+    last ulp between libm and DuckDB and silently flips rounded ties; N is
+    bounded by 2^53/1e6 docs for the 1e6*N product to stay exact — fine at
+    any real corpus size).
+
+    Two passes over the text: (1) distributed document frequency through
+    the keyed reduce (vocabulary-sized partials), (2) an actor-pool scoring
+    stage reading the df table from ONE object-store broadcast per actor.
+    Assumes one document per row (the documents-table layout). Returns a
+    Dataset[(id, tfidf_ppm, top_word, top_ppm)] where top_word is the
+    arg-max score word, ties broken by word ascending.
+
+    The broadcast df table is vocabulary-sized; at extreme vocabularies
+    swap it for the heavy_hitter_words sketch (score only the tracked
+    vocabulary) or a bucketed join on word.
+    """
+    import ray
+
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    n_docs = ds.count()
+    dfreq = keyed_reduce_pandas(
+        ds.map_batches(_df_partial(col, id_col), batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")},
+        partial_applied=True, driver_cap=driver_cap,
+    )
+    if not len(dfreq):
+        dfreq = pd.DataFrame({"word": [], "n": []})
+    dfreq["idf_ppm"] = np.floor(
+        (1e6 * n_docs) / dfreq["n"].to_numpy(dtype=np.float64) + 0.5
+    ).astype(np.int64) if len(dfreq) else pd.Series([], dtype=np.int64)
+    ref = ray.put(dfreq[["word", "idf_ppm"]])
+    return ds.map_batches(
+        _TfidfScore, fn_constructor_args=(ref, col, id_col),
+        batch_format="pandas", concurrency=concurrency,
+    )

@@ -1119,6 +1119,20 @@ def doc_word_counts(sf_dir):
     return word_counts(ds, top_k=50)
 
 
+def doc_tfidf(sf_dir):
+    """TF-IDF document scoring (textstats.tfidf_scores): per-doc integer
+    score sum and arg-max term, with idf in exact ppm units so the whole
+    computation is int64 and order-independent — no float log anywhere.
+    Distributed df through the keyed reduce, scoring via one object-store
+    broadcast per actor."""
+    from ..functions.textstats import tfidf_scores
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_scores(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_top_words_sketch(sf_dir):
     """Heavy hitters via the bounded-memory SpaceSaving sketch
     (textstats.heavy_hitter_words): one <= k-counter sketch per block,
@@ -2282,6 +2296,7 @@ QUERIES = {
     "doc_simhash_planted": doc_simhash_planted,
     "doc_token_bpe": doc_token_bpe,
     "doc_word_counts": doc_word_counts,
+    "doc_tfidf": doc_tfidf,
     "doc_top_words_sketch": doc_top_words_sketch,
     "doc_quality_filter": doc_quality_filter,
     "doc_curate": doc_curate,
@@ -3042,6 +3057,27 @@ WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
 SELECT word, count(*) AS n FROM w
 GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        "doc_tfidf": r"""
+WITH w AS (SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.word,
+              tf.tf * CAST(floor(1e6 * n.n / dfreq.df + 0.5) AS BIGINT) AS s
+       FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS tfidf_ppm
+        FROM sc GROUP BY 1),
+top AS (SELECT doc_id, word AS top_word, CAST(s AS BIGINT) AS top_ppm
+        FROM (SELECT doc_id, word, s,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY s DESC, word ASC) AS rn FROM sc)
+        WHERE rn = 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.tfidf_ppm,
+       p.top_word, p.top_ppm
+FROM tot t JOIN top p USING (doc_id) ORDER BY doc_id""",
         "doc_top_words_sketch": r"""
 WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)

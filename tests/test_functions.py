@@ -907,3 +907,41 @@ class TestPrefixScan:
 
         ds = rd.from_pandas(pd.DataFrame({"id": [], "v": []})).materialize()
         assert block_prefix_offsets(ds, "id", "v") in ({},)
+
+
+class TestTfidf:
+    def _docs(self):
+        return pd.DataFrame({
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["the cat sat", "the the the", "cat cat dog",
+                     "", "unique words only here", "dog the cat"],
+        })
+
+    def test_matches_bruteforce_and_block_invariant(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.textstats import tfidf_scores
+
+        docs = self._docs()
+        outs = []
+        for blocks in (1, 5):
+            ds = rd.from_pandas(docs).repartition(blocks)
+            out = tfidf_scores(ds, concurrency=2).to_pandas()
+            outs.append(out.sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        out = outs[0]
+        # brute-force twin: integer ppm idf over pandas
+        e = (docs.assign(word=docs["text"].str.split())
+             .explode("word").dropna(subset=["word"]))
+        n = len(docs)
+        dfreq = e.drop_duplicates(["doc_id", "word"])["word"].value_counts()
+        tf = e.groupby(["doc_id", "word"], as_index=False).size()
+        idf = np.floor((1e6 * n) / dfreq.loc[tf["word"]].to_numpy() + 0.5)
+        tf["s"] = tf["size"].to_numpy() * idf.astype(np.int64)
+        tot = tf.groupby("doc_id")["s"].sum()
+        assert dict(zip(out["doc_id"], out["tfidf_ppm"])) == tot.to_dict()
+        # empty doc drops; rarest-word doc's top term is deterministic
+        assert 3 not in set(out["doc_id"])
+        row4 = out[out["doc_id"] == 4].iloc[0]
+        assert row4["top_word"] == "here"  # all unique -> tie on score,
+        # broken by word ascending
