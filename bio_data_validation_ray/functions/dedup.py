@@ -1063,3 +1063,71 @@ def dup_clusters(pairs: pd.DataFrame, *, a_col: str = "id_a",
     labels = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64,
                          count=len(nodes))
     return pd.DataFrame({"doc_id": nodes, "cluster_id": labels})
+
+
+class _Decontam:
+    """Actor-pool membership stage: the benchmark shingle set arrives via
+    ONE object-store broadcast per actor (ray.get in __init__)."""
+
+    def __init__(self, grams_ref, col: str, id_col: str, n: int):
+        import ray
+
+        self.grams = ray.get(grams_ref)
+        self.col, self.id_col, self.n = col, id_col, n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [self.id_col, "n_hits", "contaminated"]
+        if len(df) == 0:
+            return pd.DataFrame(columns=out_cols)
+        grams, n = self.grams, self.n
+        hits = np.empty(len(df), dtype=np.int64)
+        for j, s in enumerate(df[self.col].to_numpy()):
+            words = s.split()
+            if len(words) < n:
+                cand = {" ".join(words)}
+            else:
+                cand = {" ".join(words[i:i + n])
+                        for i in range(len(words) - n + 1)}
+            hits[j] = len(cand & grams)
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].to_numpy(),
+            "n_hits": hits,
+            "contaminated": (hits > 0).astype(np.int64),
+        })
+
+
+def bench_shingle_set(texts, n: int = 8) -> set:
+    """Exact word n-gram STRING set of a benchmark corpus (strings, not
+    hashes, so membership is collision-free and bit-matches the SQL twin).
+    Same short-doc rule as word_shingles: <n words contribute the whole
+    token string."""
+    grams: set = set()
+    for s in texts:
+        words = s.split()
+        if len(words) < n:
+            grams.add(" ".join(words))
+        else:
+            grams.update(" ".join(words[i:i + n])
+                         for i in range(len(words) - n + 1))
+    return grams
+
+
+def decontaminate(ds, bench_texts, *, col: str = "text",
+                  id_col: str = "doc_id", n: int = 8,
+                  concurrency: int | tuple = 4):
+    """Training-set decontamination against a held-out benchmark: flag
+    every document sharing an n-word shingle with any benchmark text, with
+    ``n_hits`` = number of DISTINCT shared shingles. Benchmarks are tiny
+    relative to a training corpus, so the exact shingle-string set
+    broadcasts once per actor (ray.put + __init__ fetch) and the corpus
+    side streams through a single map_batches — no shuffle anywhere.
+    The reference has no corpus-overlap operator; shingling follows the
+    word n-gram rule of ``word_shingles`` so the SQL twin is the same
+    space-joined distinct n-gram list."""
+    import ray
+
+    ref = ray.put(bench_shingle_set(bench_texts, n))
+    return ds.map_batches(
+        _Decontam, fn_constructor_args=(ref, col, id_col, n),
+        batch_format="pandas", concurrency=concurrency,
+    )

@@ -1119,6 +1119,42 @@ def doc_word_counts(sf_dir):
     return word_counts(ds, top_k=50)
 
 
+def doc_decontam(sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): docs 0-19 act as
+    the held-out eval set; every training doc (id >= 20) is checked for a
+    shared 8-word shingle. Contamination is PLANTED so the op has signal:
+    docs with id % 5 == 2 get the first 8 words of benchmark doc
+    (id % 20) appended — restated verbatim in the oracle, like the PII
+    plant. The eval-side shingle strings broadcast once per actor; the
+    corpus side streams with no shuffle."""
+    import ray.data as rd
+
+    docs = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] < 20], batch_format="pandas"
+    ).to_pandas().sort_values("doc_id")
+    frag = {int(i): " ".join(t.split()[:8])
+            for i, t in zip(bench["doc_id"], bench["text"])}
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] >= 20].reset_index(drop=True)
+        hit = (df["doc_id"] % 5 == 2).to_numpy()
+        if hit.any():
+            add = df.loc[hit, "doc_id"].map(
+                lambda i: " " + frag[int(i) % 20])
+            df.loc[hit, "text"] = df.loc[hit, "text"] + add
+        return df
+
+    from ..functions.dedup import decontaminate
+
+    out = decontaminate(
+        docs.map_batches(plant, batch_format="pandas"),
+        bench["text"].tolist(), n=8,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_tfidf(sf_dir):
     """TF-IDF document scoring (textstats.tfidf_scores): per-doc integer
     score sum and arg-max term, with idf in exact ppm units so the whole
@@ -2297,6 +2333,7 @@ QUERIES = {
     "doc_token_bpe": doc_token_bpe,
     "doc_word_counts": doc_word_counts,
     "doc_tfidf": doc_tfidf,
+    "doc_decontam": doc_decontam,
     "doc_top_words_sketch": doc_top_words_sketch,
     "doc_quality_filter": doc_quality_filter,
     "doc_curate": doc_curate,
@@ -3057,6 +3094,41 @@ WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
 SELECT word, count(*) AS n FROM w
 GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        "doc_decontam": r"""
+WITH frag AS (SELECT doc_id AS bid,
+    array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')[1:8], ' ') AS f
+  FROM documents WHERE doc_id < 20),
+aug AS (SELECT d.doc_id,
+    CASE WHEN d.doc_id % 5 = 2 THEN d.text || ' ' || frag.f
+         ELSE d.text END AS text
+  FROM documents d JOIN frag ON frag.bid = d.doc_id % 20
+  WHERE d.doc_id >= 20),
+bw AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '') AS w
+       FROM documents WHERE doc_id < 20),
+bsh AS (SELECT DISTINCT unnest(
+          CASE WHEN len(w) >= 8
+            THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                   for i in generate_series(1, len(w) - 7)])
+            ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM bw),
+tw AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '') AS w
+       FROM aug),
+tsh AS (SELECT doc_id, unnest(
+          CASE WHEN len(w) >= 8
+            THEN list_distinct([array_to_string(w[i:i+7], ' ')
+                   for i in generate_series(1, len(w) - 7)])
+            ELSE [array_to_string(w, ' ')] END) AS sh
+        FROM tw),
+hits AS (SELECT doc_id, count(*) AS n_hits
+         FROM tsh JOIN bsh USING (sh) GROUP BY 1)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated
+FROM aug a LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
         "doc_tfidf": r"""
 WITH w AS (SELECT doc_id,
                   unnest(list_filter(string_split_regex(text, '\s+'),

@@ -945,3 +945,32 @@ class TestTfidf:
         row4 = out[out["doc_id"] == 4].iloc[0]
         assert row4["top_word"] == "here"  # all unique -> tie on score,
         # broken by word ascending
+
+
+class TestDecontam:
+    def test_hits_and_short_docs(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import (
+            bench_shingle_set, decontaminate,
+        )
+
+        bench = ["a b c d e f g h i j", "short doc"]
+        grams = bench_shingle_set(bench, n=8)
+        # 10-word doc -> 3 distinct 8-grams; whole short doc counts as one
+        assert "a b c d e f g h" in grams and "short doc" in grams
+        train = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "x y z a b c d e f g h i j",   # 2 shared 8-grams (suffix)
+                "nothing in common here at all with anyone anywhere",
+                "short doc",                    # exact short-text match
+                "a b c d e f g q",             # near miss: no shared 8-gram
+            ],
+        })
+        out = decontaminate(
+            rd.from_pandas(train).repartition(2), bench, n=8, concurrency=2,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out["contaminated"].tolist() == [1, 0, 1, 0]
+        assert out.loc[0, "n_hits"] == 3  # b..i, c..j and a..h via suffix
+        assert out.loc[2, "n_hits"] == 1
