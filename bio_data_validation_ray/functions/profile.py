@@ -323,3 +323,75 @@ def column_profile(ds, cols: list[str], *,
         .sort_values("column")
         .reset_index(drop=True)
     )
+
+
+def grouped_zscore_outliers(ds, keys: list[str], value_col: str, *,
+                            k: int = 2, derive=None) -> pd.DataFrame:
+    """Per-GROUP |x - mu| > k*sigma outlier counts, exactly, via the
+    broadcast-stats two-pass shape (the per-group twin of statstage's
+    global outlier rule, reference matrix_validator.py:567-586 which holds
+    the whole matrix in memory):
+
+      pass 1: combine_low_card -> per-group integer (n, s1=sum v,
+              s2=sum v^2); per-batch partials stay int64 (bounded values),
+              the driver merge is exact.
+      pass 2: the driver turns each group's moments into an INTEGER
+              threshold with arbitrary-precision math (population sigma:
+              (n*sigma)^2 = n*s2 - s1^2, outlier <=> |n*v - s1| >
+              isqrt(k^2 * (n*s2 - s1^2)), exact for integers at ANY n —
+              no float sigma, no int64 overflow in the comparison), ships
+              the tiny {group: (n, s1, bound)} map in the task closure,
+              and one more map_batches counts per-group hits.
+
+    ``value_col`` must be (or ``derive`` must produce) an int64 column.
+    Returns DataFrame[keys..., n_rows, n_outliers] sorted by keys. The SQL
+    twin states the squared comparison over HUGEINT; both sides evaluate
+    the same integer predicate.
+
+    Exactness bound: the s2 accumulation is int64, so a group needs
+    n * max(v)^2 < 2^63 (e.g. 9e10 rows at |v| <= 1e4). For hotter
+    magnitudes, pre-shift ``v`` toward the group's rough center in
+    ``derive`` (shrinks v^2 by orders of magnitude without changing
+    |x - mu| or sigma).
+    """
+    from math import isqrt
+
+    if derive is not None:
+        ds = ds.map_batches(derive, batch_format="pandas")
+    stats = combine_low_card(
+        ds.map_batches(
+            lambda df: df.assign(
+                __v=df[value_col].to_numpy(dtype=np.int64),
+                __v2=df[value_col].to_numpy(dtype=np.int64) ** 2),
+            batch_format="pandas"),
+        keys, {"n": (value_col, "count"), "s1": ("__v", "sum"),
+               "s2": ("__v2", "sum")},
+    )
+    bounds: dict = {}
+    for row in stats.itertuples(index=False):
+        key = tuple(getattr(row, c) for c in keys)
+        n, s1, s2 = int(row.n), int(row.s1), int(row.s2)
+        bounds[key] = (n, s1, isqrt(k * k * (n * s2 - s1 * s1)))
+
+    def count_hits(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=keys + ["n_outliers"])
+        v = df[value_col].to_numpy(dtype=np.int64)
+        out_rows = []
+        for key, g in df.groupby(keys, sort=False).indices.items():
+            kt = key if isinstance(key, tuple) else (key,)
+            n, s1, bound = bounds[kt]
+            dev = np.abs(n * v[g] - s1)
+            out_rows.append(kt + (np.int64((dev > bound).sum()),))
+        return pd.DataFrame(out_rows, columns=keys + ["n_outliers"])
+
+    hits = combine_low_card(
+        ds.map_batches(count_hits, batch_format="pandas"),
+        keys, {"n_outliers": ("n_outliers", "sum")},
+        # partial already emits one row per (batch, group)
+    )
+    out = stats[keys + ["n"]].rename(columns={"n": "n_rows"}).merge(
+        hits, on=keys, how="left")
+    out["n_outliers"] = out["n_outliers"].fillna(0).astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(keys, kind="stable").reset_index(drop=True)

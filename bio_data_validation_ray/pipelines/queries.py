@@ -1793,6 +1793,28 @@ def events_retention(sf_dir):
         {"n_retained_pairs": [np.int64(int(n_rows) - n_sessions)]})
 
 
+def events_value_outliers(sf_dir):
+    """Per-GROUP z-score outlier counts (profile.grouped_zscore_outliers):
+    |x - mu| > 2*sigma within each event_type, computed EXACTLY — integer
+    cents moments per group, an arbitrary-precision isqrt threshold on the
+    driver, and a broadcast {group: bound} map for the counting pass. The
+    oracle states the squared HUGEINT comparison; both sides evaluate the
+    same integer predicate, so no float sigma can diverge."""
+    from ..functions.profile import grouped_zscore_outliers
+
+    ev = _read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": _round_half_away(
+                df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    return grouped_zscore_outliers(ev, ["event_type"], "cents",
+                                   k=2, derive=derive)
+
+
 def events_attrib_pairs(sf_dir):
     """Bounded-window attribution via the banded range join
     (functions/joins.banded_range_join): every (view, purchase) pair of
@@ -2309,6 +2331,7 @@ QUERIES = {
     "li_not_open_orders": li_not_open_orders,
     "events_retention": events_retention,
     "events_attrib_pairs": events_attrib_pairs,
+    "events_value_outliers": events_value_outliers,
     "doc_pretrain_prep": doc_pretrain_prep,
     "orders_daily_cum": orders_daily_cum,
     "cust_no_urgent": cust_no_urgent,
@@ -2795,6 +2818,17 @@ WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
 SELECT CAST(count(*) AS BIGINT) AS n_retained_pairs
 FROM d a JOIN d b ON a.user_id = b.user_id
   AND b.day = a.day + INTERVAL 1 DAY""",
+        "events_value_outliers": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value*100, 0) AS BIGINT) AS v FROM events),
+st AS (SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v*v) AS s2
+       FROM c GROUP BY 1)
+SELECT c.event_type,
+       CAST(max(st.n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN (st.n*c.v - st.s1)*(st.n*c.v - st.s1)
+                        > 4*(st.n*st.s2 - st.s1*st.s1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN st USING (event_type) GROUP BY 1 ORDER BY 1""",
         "events_attrib_pairs": """
 SELECT CAST(v.user_id AS BIGINT) AS user_id,
        CAST(count(*) AS BIGINT) AS n_pairs

@@ -153,3 +153,39 @@ def test_variant_groups(ray_session):
     assert out.loc["human", "n_variants"] == 4
     assert out.loc["human", "n_rows"] == 4
     assert "mouse" not in out.index
+
+
+class TestGroupedZscoreOutliers:
+    def test_matches_pandas_and_shift_invariance(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.profile import (
+            grouped_zscore_outliers,
+        )
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "g": np.repeat(["a", "b", "c"], 500),
+            "v": np.concatenate([
+                rng.integers(0, 100, 500),          # uniform: no 2-sigma
+                rng.poisson(3, 500),                # skewed: real outliers
+                np.r_[np.zeros(498), [5000, 5000]],  # planted extremes
+            ]).astype(np.int64),
+        })
+        out = grouped_zscore_outliers(
+            rd.from_pandas(df).repartition(4), ["g"], "v", k=2)
+        exp = {}
+        for g, sub in df.groupby("g"):
+            v = sub["v"].to_numpy(dtype=np.float64)
+            mu, sd = v.mean(), v.std()
+            exp[g] = int((np.abs(v - mu) > 2 * sd).sum())
+        got = dict(zip(out["g"], out["n_outliers"]))
+        assert got == exp
+        assert got["c"] == 2 and got["a"] == 0
+        assert out["n_rows"].tolist() == [500, 500, 500]
+        # the integer predicate is shift-invariant (the docstring's
+        # mitigation for hot magnitudes): v + 10^6 gives identical counts
+        big = df.assign(v=df["v"] + 1_000_000)
+        out2 = grouped_zscore_outliers(
+            rd.from_pandas(big).repartition(3), ["g"], "v", k=2)
+        assert dict(zip(out2["g"], out2["n_outliers"])) == exp
