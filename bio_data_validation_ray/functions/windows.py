@@ -868,3 +868,42 @@ def assemble_docs(ds, *, key: str, order_cols: list[str], text_col: str,
                         ignore_index=True)
     out["doc_len"] = out["doc_len"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+def grouped_quota_head(ds, *, key: str, order_cols: list[str],
+                       quota: dict, driver_cap: int = 5_000_000
+                       ) -> pd.DataFrame:
+    """Per-key VARIABLE-quota head: the first ``quota[key]`` rows of each
+    key in (order_cols) order. Runs as one grouped_top_n at n = max(quota)
+    (same compact boundary partials, so a hot key still costs the driver
+    O(n) rows per batch), then trims each key to its own quota on the
+    already-bounded result (<= #keys * n rows)."""
+    if not quota:
+        return pd.DataFrame(columns=[key] + order_cols)
+    n_max = max(quota.values())
+    out = grouped_top_n(ds, key=key, order_cols=order_cols, n=n_max,
+                        driver_cap=driver_cap)
+    if not len(out):
+        return out
+    rank = out.groupby(key, sort=False).cumcount()
+    keep = rank < out[key].map(quota).fillna(0).astype(np.int64)
+    return out[keep.to_numpy()].reset_index(drop=True)
+
+
+def temperature_sample(ds, *, key: str, order_cols: list[str],
+                       driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Sqrt-temperature mixture sampling (the multilingual-corpus
+    balancing rule, exponent 0.5 on group counts): each group contributes
+    floor(sqrt(count)) rows drawn in (order_cols) order — hot groups are
+    damped, rare groups keep proportionally more. Counts come from one
+    zero-shuffle combine (group keys are low-card by definition of a
+    mixture); the draw is grouped_quota_head. The quota uses IEEE
+    floor(sqrt(double)) so the SQL twin's floor(sqrt(count(*))) states the
+    bit-identical number."""
+    from ..stages.keyed_reduce import combine_low_card
+
+    counts = combine_low_card(ds, [key], {"n": (key, "count")})
+    quota = {k: int(np.floor(np.sqrt(float(n))))
+             for k, n in zip(counts[key], counts["n"])}
+    return grouped_quota_head(ds, key=key, order_cols=order_cols,
+                              quota=quota, driver_cap=driver_cap)

@@ -1119,6 +1119,26 @@ def doc_word_counts(sf_dir):
     return word_counts(ds, top_k=50)
 
 
+def doc_temp_sample(sf_dir):
+    """Sqrt-temperature mixture sampling (windows.temperature_sample) over
+    the skewed lang column: each language contributes floor(sqrt(count))
+    docs in md5(text) draw order — the multilingual balancing rule. Oracle:
+    row_number() over md5 joined to per-group floor(sqrt(count(*)))."""
+    from ..functions.textstats import add_fingerprint
+    from ..functions.windows import temperature_sample
+
+    ds = _read_table(sf_dir, "documents",
+                     columns=["doc_id", "lang", "text"])
+    fp = ds.map_batches(add_fingerprint, batch_format="pandas") \
+        .map_batches(lambda df: df[["lang", "fingerprint", "doc_id"]],
+                     batch_format="pandas")
+    out = temperature_sample(fp, key="lang",
+                             order_cols=["fingerprint", "doc_id"])
+    out = out[["lang", "doc_id"]].copy()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 def doc_decontam(sf_dir):
     """Benchmark decontamination (dedup.decontaminate): docs 0-19 act as
     the held-out eval set; every training doc (id >= 20) is checked for a
@@ -2357,6 +2377,7 @@ QUERIES = {
     "doc_word_counts": doc_word_counts,
     "doc_tfidf": doc_tfidf,
     "doc_decontam": doc_decontam,
+    "doc_temp_sample": doc_temp_sample,
     "doc_top_words_sketch": doc_top_words_sketch,
     "doc_quality_filter": doc_quality_filter,
     "doc_curate": doc_curate,
@@ -3128,6 +3149,15 @@ WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
 SELECT word, count(*) AS n FROM w
 GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        "doc_temp_sample": """
+WITH q AS (SELECT lang, CAST(floor(sqrt(count(*))) AS BIGINT) AS quota
+           FROM documents GROUP BY 1),
+r AS (SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(text), doc_id) AS rn
+      FROM documents)
+SELECT r.lang, CAST(r.doc_id AS BIGINT) AS doc_id
+FROM r JOIN q USING (lang) WHERE rn <= quota ORDER BY 1, 2""",
         "doc_decontam": r"""
 WITH frag AS (SELECT doc_id AS bid,
     array_to_string(list_filter(string_split_regex(text, '\s+'),

@@ -397,3 +397,31 @@ def test_assemble_docs_distributed_matches_driver_path(ray_session):
                     for d in brute.to_numpy()],
     }).sort_values("key", kind="stable").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, exp)
+
+
+class TestTemperatureSample:
+    def test_quota_head_and_sqrt_damping(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.windows import (
+            grouped_quota_head, temperature_sample,
+        )
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "g": np.r_[np.repeat("hot", 400), np.repeat("rare", 9)],
+            "ord": rng.permutation(409),
+            "rid": np.arange(409),
+        })
+        ds = rd.from_pandas(df).repartition(4)
+        out = grouped_quota_head(
+            ds, key="g", order_cols=["ord", "rid"],
+            quota={"hot": 3, "rare": 5, "absent": 2})
+        assert out.groupby("g").size().to_dict() == {"hot": 3, "rare": 5}
+        # each group's rows are exactly its smallest `ord` values
+        for g, sub in df.groupby("g"):
+            want = set(sub.nsmallest({"hot": 3, "rare": 5}[g], "ord")["rid"])
+            assert set(out.loc[out["g"] == g, "rid"]) == want
+        ts = temperature_sample(ds, key="g", order_cols=["ord", "rid"])
+        # sqrt damping: hot contributes 20 = floor(sqrt(400)), rare 3
+        assert ts.groupby("g").size().to_dict() == {"hot": 20, "rare": 3}
