@@ -1114,7 +1114,7 @@ def bench_shingle_set(texts, n: int = 8) -> set:
 
 def decontaminate(ds, bench_texts, *, col: str = "text",
                   id_col: str = "doc_id", n: int = 8,
-                  concurrency: int | tuple = 4):
+                  concurrency: int | tuple = (1, 4)):
     """Training-set decontamination against a held-out benchmark: flag
     every document sharing an n-word shingle with any benchmark text, with
     ``n_hits`` = number of DISTINCT shared shingles. Benchmarks are tiny

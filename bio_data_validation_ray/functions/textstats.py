@@ -390,7 +390,7 @@ class _TfidfScore:
 
 
 def tfidf_scores(ds, *, col: str = "text", id_col: str = "doc_id",
-                 concurrency: int | tuple = 4,
+                 concurrency: int | tuple = (1, 4),
                  driver_cap: int = 5_000_000):
     """TF-IDF document scoring with an exact integer idf: idf_ppm(w) =
     floor(1e6 * N / df(w) + 0.5), so sums and arg-maxes are pure int64 and
