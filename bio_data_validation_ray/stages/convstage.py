@@ -20,6 +20,18 @@ is flagged ``needs_exact`` and re-checked exactly from the raw rows
 (pipeline.py filters the raw dataset to just those convs — a tiny,
 predicate-pushdown-friendly second read).
 
+Note on SURVEY.md §6's "salting for hot conversations" plan: this module is
+that plan's replacement, and strictly dominates it. Salting splits a hot
+conv_id into conv_id#salt subgroups to unskew a groupby of RAW rows; here
+the raw rows never enter a groupby at all — each batch contributes O(convs
+in batch) segment rows regardless of conversation size, so a 10^9-turn
+conversation costs the shuffle exactly as much as a 10-turn one (the
+boundary merge sees 2 rows per batch). The salted path's "subgroup ranges
+must tile" merge is exactly the segment merge below, applied universally
+instead of only above a hotness threshold. Pinned by the 1M-turn
+single-conversation stress test (test_property.py) which decides from
+partials alone.
+
 Merged-per-conversation semantics (must match the DuckDB oracles):
 - dup      : #(conv, turn_idx) pairs with count > 1        (DUP_002)
 - contiguous: min(turn_idx)==0 AND count(distinct)==max+1
