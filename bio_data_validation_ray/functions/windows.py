@@ -890,6 +890,126 @@ def grouped_quota_head(ds, *, key: str, order_cols: list[str],
     return out[keep.to_numpy()].reset_index(drop=True)
 
 
+_TS_NEG = np.int64(np.iinfo(np.int64).min)
+_TS_INF = np.int64(np.iinfo(np.int64).max)
+
+
+def _funnel_partials(df: pd.DataFrame, key: str, ts_col: str,
+                     type_col: str, steps: tuple) -> pd.DataFrame:
+    """One compact partial per key inside a (key, ts)-sorted batch: the
+    funnel automaton's TRANSITION TABLE f(s_in) -> s_out for every possible
+    incoming step count s_in. Because the stream is ts-sorted within a key,
+    every event in this batch is >= every earlier timestamp of the key, so
+    the ``ts >= t_prev_step`` constraint is vacuous across the boundary and
+    the carried state collapses to the step count alone — a segment of ANY
+    size reduces to k+1 small ints. That is what makes this hot-key safe:
+    a user with 10^9 events spanning B batches reaches the merge as B rows
+    of k+1 ints, never raw events (the parallel-automaton / function-
+    composition form of a sequential scan).
+
+    For each start state s0 the within-batch chain is the greedy
+    t_{j+1} = min{ ts : type == steps[j+1], ts >= t_j }, evaluated
+    vectorized over all key-runs at once with masked minimum.reduceat —
+    k(k+1)/2 reduceat passes total, no per-key Python."""
+    k = len(steps)
+    cols = (["key", "first_ts", "last_ts"]
+            + [f"f{s}" for s in range(k + 1)])
+    if len(df) == 0:
+        return pd.DataFrame(columns=cols)
+    kk = df[key].to_numpy()
+    ts = _ts_us(df[ts_col])
+    tv = df[type_col].to_numpy()
+    code = np.full(len(tv), -1, dtype=np.int64)
+    for j, s in enumerate(steps):
+        code[tv == s] = j
+    newkey = np.concatenate([[True], kk[1:] != kk[:-1]])
+    starts = np.flatnonzero(newkey)
+    run_id = np.cumsum(newkey) - 1
+    nruns = len(starts)
+    out = {"key": kk[starts], "first_ts": ts[starts],
+           "last_ts": ts[np.concatenate([starts[1:], [len(kk)]]) - 1]}
+    for s0 in range(k):
+        t = np.full(nruns, _TS_NEG, dtype=np.int64)
+        done = np.full(nruns, s0, dtype=np.int64)
+        for j in range(s0, k):
+            cand = np.where((code == j) & (ts >= t[run_id]), ts, _TS_INF)
+            tnew = np.minimum.reduceat(cand, starts)
+            ok = tnew != _TS_INF
+            done = np.where(ok, j + 1, done)
+            t = np.where(ok, tnew, _TS_INF)
+        out[f"f{s0}"] = done
+    out[f"f{k}"] = np.full(nruns, k, dtype=np.int64)
+    return pd.DataFrame(out)
+
+
+def _merge_funnel_partials(frame: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Compose each key's transition tables in stream order starting from
+    state 0. The loop runs max-partials-per-key rounds (the number of
+    batches the hottest key spans), each round a vectorized gather over ALL
+    keys — never a per-key Python pass."""
+    if len(frame) == 0:
+        return pd.DataFrame({"key": [], "steps_completed": []})
+    frame = frame.sort_values(["key", "first_ts", "last_ts"],
+                              kind="stable").reset_index(drop=True)
+    keys = frame["key"].to_numpy()
+    starts = np.flatnonzero(
+        np.concatenate([[True], keys[1:] != keys[:-1]]))
+    counts = np.diff(np.concatenate([starts, [len(keys)]]))
+    ftab = frame[[f"f{s}" for s in range(k + 1)]].to_numpy()
+    state = np.zeros(len(starts), dtype=np.int64)
+    for r in range(int(counts.max())):
+        live = counts > r
+        state[live] = ftab[starts[live] + r, state[live]]
+    return pd.DataFrame({"key": keys[starts], "steps_completed": state})
+
+
+def funnel(ds, *, key: str, ts_col: str, type_col: str, steps: tuple,
+           driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Ordered multi-step funnel: per key, the number of consecutive steps
+    completed where step j+1 must occur at a timestamp >= step j's earliest
+    qualifying timestamp (the classic view -> click -> purchase conversion
+    chain; DuckDB oracle = chained min-ts CTEs). ``steps`` must be distinct
+    event types (an event holds one type, so a single event can never
+    satisfy two steps even at equal timestamps, and >= ties are
+    order-independent). Same sorted-stream + compact-partial skeleton as
+    gap_stats; partials are function tables, so merging is function
+    composition and a hot key costs O(batches), never O(rows).
+    -> DataFrame[(key, steps_completed)] sorted by key."""
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    k = len(steps)
+    partials = (
+        ds.sort([key, ts_col])
+        .map_batches(
+            lambda df: _funnel_partials(df, key, ts_col, type_col, steps),
+            batch_format="pandas")
+        .materialize()
+    )
+    if partials.count() <= driver_cap:
+        out = _merge_funnel_partials(partials.to_pandas(), k)
+    else:
+        srt2 = partials.sort(["key", "first_ts"]).materialize()
+
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df["key"].to_numpy()
+            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = srt2.map_batches(
+            lambda df: _merge_funnel_partials(split(df, False), k),
+            batch_format="pandas",
+        ).to_pandas()
+        boundary = srt2.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        out = pd.concat([interior, _merge_funnel_partials(boundary, k)],
+                        ignore_index=True)
+    out["steps_completed"] = out["steps_completed"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
 def temperature_sample(ds, *, key: str, order_cols: list[str],
                        driver_cap: int = 5_000_000) -> pd.DataFrame:
     """Sqrt-temperature mixture sampling (the multilingual-corpus

@@ -2300,6 +2300,25 @@ def orders_distinct_cust(sf_dir):
     return per.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def events_funnel(sf_dir):
+    """Ordered 3-step conversion funnel (view -> click -> purchase): per
+    user, how many consecutive steps completed, step j+1 at ts >= step j's
+    earliest qualifying ts. Runs as the FUNNEL window op: each sorted batch
+    reduces to one (k+1)-int transition table per user and tables compose
+    like functions, so a user with a billion events costs the merge
+    O(batches) ints — the parallel-automaton form of the sequential scan
+    the SQL oracle's chained min-ts CTEs describe."""
+    from ..functions.windows import funnel
+
+    ds = _read_table(sf_dir, "events",
+                     columns=["user_id", "ts", "event_type"])
+    out = funnel(ds, key="user_id", ts_col="ts", type_col="event_type",
+                 steps=("view", "click", "purchase"))
+    out = out.rename(columns={"key": "user_id"})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out
+
+
 QUERIES = {
     "t_role_vocab": t_role_vocab,
     "t_tool_pattern": t_tool_pattern,
@@ -2350,6 +2369,7 @@ QUERIES = {
     "doc_pack_bins": doc_pack_bins,
     "li_not_open_orders": li_not_open_orders,
     "events_retention": events_retention,
+    "events_funnel": events_funnel,
     "events_attrib_pairs": events_attrib_pairs,
     "events_value_outliers": events_value_outliers,
     "doc_pretrain_prep": doc_pretrain_prep,
@@ -2839,6 +2859,23 @@ WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
 SELECT CAST(count(*) AS BIGINT) AS n_retained_pairs
 FROM d a JOIN d b ON a.user_id = b.user_id
   AND b.day = a.day + INTERVAL 1 DAY""",
+        "events_funnel": """
+WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+       JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts >= t1.ts1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+       JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2 GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS steps_completed
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id) ORDER BY user_id""",
         "events_value_outliers": """
 WITH c AS (SELECT event_type,
                   CAST(round(value*100, 0) AS BIGINT) AS v FROM events),

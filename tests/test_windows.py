@@ -425,3 +425,121 @@ class TestTemperatureSample:
         ts = temperature_sample(ds, key="g", order_cols=["ord", "rid"])
         # sqrt damping: hot contributes 20 = floor(sqrt(400)), rare 3
         assert ts.groupby("g").size().to_dict() == {"hot": 20, "rare": 3}
+
+
+def _funnel_truth(df, steps):
+    """Sequential per-user scan — the semantics the distributed op must match."""
+    res = {}
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values("ts", kind="stable")
+        t = pd.Timestamp.min
+        done = 0
+        for s in steps:
+            cand = g[(g["event_type"] == s) & (g["ts"] >= t)]
+            if len(cand) == 0:
+                break
+            t = cand["ts"].min()
+            done += 1
+        res[u] = done
+    return res
+
+
+class TestFunnel:
+    STEPS = ("view", "click", "purchase")
+
+    def test_semantics_crafted(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.windows import funnel
+
+        t0 = pd.Timestamp("2024-01-01")
+        h = pd.Timedelta(hours=1)
+        rows = [
+            # u1: clean 3-step conversion
+            (1, t0, "view"), (1, t0 + h, "click"), (1, t0 + 2 * h, "purchase"),
+            # u2: click BEFORE the first view never counts
+            (2, t0, "click"), (2, t0 + h, "view"), (2, t0 + 2 * h, "purchase"),
+            # u3: view only
+            (3, t0, "view"),
+            # u4: purchase only -> 0 steps
+            (4, t0, "purchase"),
+            # u5: view and click at the SAME ts -> >= admits the tie
+            (5, t0, "view"), (5, t0, "click"),
+            # u6: chain runs off the EARLIEST view, later events qualify
+            (6, t0 + 2 * h, "view"), (6, t0 + h, "click"),
+            (6, t0 + 3 * h, "click"), (6, t0, "purchase"),
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        out = funnel(rd.from_pandas(df), key="user_id", ts_col="ts",
+                     type_col="event_type", steps=self.STEPS)
+        got = dict(zip(out["key"], out["steps_completed"]))
+        assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2, 6: 2}
+        assert got == _funnel_truth(df, self.STEPS)
+
+    def test_matches_bruteforce_and_distributed_path(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.windows import funnel
+
+        rng = np.random.default_rng(41)
+        n = 4000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 60, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "error"], n,
+                p=[.4, .3, .1, .2]),
+        })
+        # duplicate timestamps exercise the >= tie path
+        df.loc[rng.choice(n, 200, replace=False), "ts"] = pd.Timestamp(
+            "2024-01-03")
+        ds = rd.from_pandas([df.iloc[i:i + 173]
+                             for i in range(0, len(df), 173)])
+        out = funnel(ds, key="user_id", ts_col="ts",
+                     type_col="event_type", steps=self.STEPS)
+        assert dict(zip(out["key"], out["steps_completed"])) \
+            == _funnel_truth(df, self.STEPS)
+        dist = funnel(ds, key="user_id", ts_col="ts",
+                      type_col="event_type", steps=self.STEPS,
+                      driver_cap=0)
+        pd.testing.assert_frame_equal(out, dist)
+
+    def test_hot_key_partials_stay_compact(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.windows import (
+            _funnel_partials,
+            funnel,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 30_000  # one user spanning every block
+        df = pd.DataFrame({
+            "user_id": np.zeros(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.arange(n), unit="s"),
+            "event_type": rng.choice(["view", "click", "purchase"], n),
+        })
+        # the hot key reduces to ONE compact row per batch, never raw rows
+        p = _funnel_partials(df, "user_id", "ts", "event_type", self.STEPS)
+        assert len(p) == 1 and set(p.columns) >= {"f0", "f1", "f2", "f3"}
+        ds = rd.from_pandas([df.iloc[i:i + 1000]
+                             for i in range(0, len(df), 1000)])
+        out = funnel(ds, key="user_id", ts_col="ts",
+                     type_col="event_type", steps=self.STEPS, driver_cap=0)
+        assert dict(zip(out["key"], out["steps_completed"])) \
+            == _funnel_truth(df, self.STEPS)
+
+    def test_duplicate_steps_rejected(self, ray_session):
+        import ray.data as rd
+
+        import pytest
+
+        from bio_data_validation_ray.functions.windows import funnel
+
+        df = pd.DataFrame({"user_id": [1], "ts": [pd.Timestamp("2024-01-01")],
+                           "event_type": ["view"]})
+        with pytest.raises(ValueError):
+            funnel(rd.from_pandas(df), key="user_id", ts_col="ts",
+                   type_col="event_type", steps=("view", "view"))
