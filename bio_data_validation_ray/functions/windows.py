@@ -963,6 +963,96 @@ def _merge_funnel_partials(frame: pd.DataFrame, k: int) -> pd.DataFrame:
     return pd.DataFrame({"key": keys[starts], "steps_completed": state})
 
 
+def _transition_partials(df: pd.DataFrame, key: str, type_col: str
+                         ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """One batch of the (key, order)-sorted stream reduces to (a) the
+    batch-internal transition counts — at most n_types^2 rows however large
+    the batch — and (b) one compact (first_type, last_type) boundary row
+    per key-run for cross-batch bridging. No raw rows survive the batch."""
+    if len(df) == 0:
+        return (pd.DataFrame(columns=["from_type", "to_type", "n"]),
+                pd.DataFrame(columns=["key", "first_type", "last_type"]))
+    kk = df[key].to_numpy()
+    codes, types = pd.factorize(df[type_col], sort=True)
+    same = kk[1:] == kk[:-1]
+    frm, to = codes[:-1][same], codes[1:][same]
+    t = len(types)
+    counts = np.bincount(frm * t + to, minlength=t * t).reshape(t, t)
+    nz = np.nonzero(counts)
+    pairs = pd.DataFrame({"from_type": types[nz[0]], "to_type": types[nz[1]],
+                          "n": counts[nz].astype(np.int64)})
+    starts = np.flatnonzero(np.concatenate([[True], ~same]))
+    ends = np.concatenate([starts[1:], [len(kk)]])
+    bounds = pd.DataFrame({"key": kk[starts],
+                           "first_type": np.asarray(types)[codes[starts]],
+                           "last_type": np.asarray(types)[codes[ends - 1]]})
+    return pairs, bounds
+
+
+def _bridge_transitions(bounds: pd.DataFrame) -> pd.DataFrame:
+    """Adjacent same-key runs (already in stream order) contribute one
+    bridging transition last_type(i) -> first_type(i+1) each."""
+    if len(bounds) < 2:
+        return pd.DataFrame(columns=["from_type", "to_type", "n"])
+    kk = bounds["key"].to_numpy()
+    same = kk[1:] == kk[:-1]
+    out = pd.DataFrame({
+        "from_type": bounds["last_type"].to_numpy()[:-1][same],
+        "to_type": bounds["first_type"].to_numpy()[1:][same],
+    })
+    return (out.groupby(["from_type", "to_type"], as_index=False)
+            .size().rename(columns={"size": "n"}))
+
+
+def transition_counts(ds, *, key: str, order_cols: list[str],
+                      type_col: str) -> pd.DataFrame:
+    """Global first-order transition (bigram / Markov) counts over per-key
+    event sequences: for each key's rows in (order_cols) order, count
+    consecutive (type_i -> type_{i+1}) pairs — the sequence-statistics op
+    (SQL lead() OVER (PARTITION BY key ORDER BY ...)). Each sorted batch
+    reduces to <= n_types^2 count rows plus one (first, last) row per
+    key-run; the driver only ever sees counts and run endpoints, so the
+    result volume is O(batches + n_types^2) regardless of data size.
+    -> DataFrame[(from_type, to_type, n)] sorted."""
+    mats: list[pd.DataFrame] = []
+    bound_parts: list[pd.DataFrame] = []
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        pairs, bounds = _transition_partials(df, key, type_col)
+        pairs["__kind"] = 0
+        bounds = bounds.rename(columns={"key": "from_type",
+                                        "first_type": "to_type"})
+        bounds["n"] = np.int64(0)
+        bounds["__kind"] = 1
+        cols = ["from_type", "to_type", "n", "__kind", "last_type"]
+        pairs["last_type"] = ""
+        bounds["from_type"] = bounds["from_type"].astype(str)
+        return pd.concat([pairs[cols], bounds[cols]], ignore_index=True)
+
+    srt = ds.sort([key] + order_cols)
+    rows = srt.map_batches(kernel, batch_format="pandas").to_pandas()
+    if len(rows) == 0:
+        return pd.DataFrame(columns=["from_type", "to_type", "n"])
+    mats.append(rows[rows["__kind"] == 0][["from_type", "to_type", "n"]])
+    b = rows[rows["__kind"] == 1]
+    # boundary rows come back in stream order per input block; Ray preserves
+    # block order for map_batches over a sorted dataset, so adjacent rows of
+    # one key are adjacent here (same invariant every window op relies on)
+    bound_parts.append(pd.DataFrame({
+        "key": b["from_type"].to_numpy(),
+        "first_type": b["to_type"].to_numpy(),
+        "last_type": b["last_type"].to_numpy(),
+    }))
+    mats.append(_bridge_transitions(pd.concat(bound_parts,
+                                              ignore_index=True)))
+    out = (pd.concat(mats, ignore_index=True)
+           .groupby(["from_type", "to_type"], as_index=False)["n"].sum())
+    out["n"] = out["n"].astype(np.int64)
+    out = out[out["n"] > 0]
+    return (out.sort_values(["from_type", "to_type"], kind="stable")
+            .reset_index(drop=True))
+
+
 def funnel(ds, *, key: str, ts_col: str, type_col: str, steps: tuple,
            driver_cap: int = 5_000_000) -> pd.DataFrame:
     """Ordered multi-step funnel: per key, the number of consecutive steps

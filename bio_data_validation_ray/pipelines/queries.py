@@ -2319,6 +2319,22 @@ def events_funnel(sf_dir):
     return out
 
 
+def events_transitions(sf_dir):
+    """Global first-order event-type transition counts (the Markov /
+    bigram sequence statistic): per user, consecutive (type -> next type)
+    pairs in (ts, event_id) order, summed globally. Runs as the
+    TRANSITION_COUNTS window op — each sorted batch reduces to at most
+    n_types^2 count rows plus one (first, last) endpoint row per key-run,
+    so the driver sees O(batches + types^2) rows at any data size."""
+    from ..functions.windows import transition_counts
+
+    ds = _read_table(sf_dir, "events",
+                     columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ds, key="user_id",
+                             order_cols=["ts", "event_id"],
+                             type_col="event_type")
+
+
 QUERIES = {
     "t_role_vocab": t_role_vocab,
     "t_tool_pattern": t_tool_pattern,
@@ -2370,6 +2386,7 @@ QUERIES = {
     "li_not_open_orders": li_not_open_orders,
     "events_retention": events_retention,
     "events_funnel": events_funnel,
+    "events_transitions": events_transitions,
     "events_attrib_pairs": events_attrib_pairs,
     "events_value_outliers": events_value_outliers,
     "doc_pretrain_prep": doc_pretrain_prep,
@@ -2859,6 +2876,14 @@ WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
 SELECT CAST(count(*) AS BIGINT) AS n_retained_pairs
 FROM d a JOIN d b ON a.user_id = b.user_id
   AND b.day = a.day + INTERVAL 1 DAY""",
+        "events_transitions": """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_funnel": """
 WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
             WHERE event_type = 'view' GROUP BY 1),

@@ -543,3 +543,69 @@ class TestFunnel:
         with pytest.raises(ValueError):
             funnel(rd.from_pandas(df), key="user_id", ts_col="ts",
                    type_col="event_type", steps=("view", "view"))
+
+
+class TestTransitionCounts:
+    def _truth(self, df):
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        nxt = df.groupby("user_id")["event_type"].shift(-1)
+        m = nxt.notna()
+        return (pd.DataFrame({"from_type": df["event_type"][m],
+                              "to_type": nxt[m]})
+                .groupby(["from_type", "to_type"]).size().to_dict())
+
+    def _rand(self, seed, n=3000, users=50):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "user_id": rng.integers(0, users, n),
+            "event_id": np.arange(n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 5000, n), unit="s"),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+        })
+
+    def test_matches_bruteforce_across_chunkings(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.windows import (
+            transition_counts,
+        )
+
+        df = self._rand(11)
+        truth = self._truth(df)
+        for chunk in (97, 1000, len(df)):
+            ds = rd.from_pandas([df.iloc[i:i + chunk]
+                                 for i in range(0, len(df), chunk)])
+            out = transition_counts(ds, key="user_id",
+                                    order_cols=["ts", "event_id"],
+                                    type_col="event_type")
+            got = {(r.from_type, r.to_type): r.n
+                   for r in out.itertuples()}
+            assert got == truth, chunk
+
+    def test_hot_key_stays_compact(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.windows import (
+            _transition_partials,
+            transition_counts,
+        )
+
+        n = 20_000
+        df = pd.DataFrame({
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_id": np.arange(n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.arange(n), unit="s"),
+            "event_type": np.tile(["a", "b", "c"], n)[:n],
+        })
+        pairs, bounds = _transition_partials(df, "user_id", "event_type")
+        assert len(pairs) <= 9 and len(bounds) == 1  # never raw rows
+        ds = rd.from_pandas([df.iloc[i:i + 500]
+                             for i in range(0, len(df), 500)])
+        out = transition_counts(ds, key="user_id",
+                                order_cols=["ts", "event_id"],
+                                type_col="event_type")
+        got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+        assert got == self._truth(df)
+        assert sum(got.values()) == n - 1
