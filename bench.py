@@ -38,6 +38,8 @@ QUERY_SUBSET = [
     # round-4 op classes: windowed aggregate, ordered assembly, composed
     # filter->redact->dedup->pack prep
     "t_rolling_max", "t_conv_doc", "doc_pretrain_prep",
+    # sequence ops: funnel (function-composition partials), bigram matrix
+    "events_funnel", "events_transitions",
 ]
 
 

@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
                         "(conversation + row exclusions, duplicates "
                         "collapsed) as parquet to this directory; "
                         "requires --run-dir")
+    v.add_argument("--mlflow-dir", default=None, metavar="DIR",
+                   help="also log run metrics/params in MLflow file-store "
+                        "layout under DIR (reference push_to_mlflow.py "
+                        "semantics; no mlflow package needed)")
     v.add_argument("--policy", default=None,
                    choices=["default", "strict", "lenient", "production"],
                    help="decision-table preset (decision_tables.py:258-298 "
@@ -319,6 +323,10 @@ def main(argv: list[str] | None = None) -> int:
                 args.input_dir, args.clean_out,
                 violations=pd.read_parquet(vdir),
             )
+    if getattr(args, "mlflow_dir", None):
+        from .state.mlflow_export import export_run
+
+        report["mlflow_run"] = export_run(report, args.mlflow_dir)
     if args.format == "json":
         print(json.dumps(report, indent=2, default=str))
     elif args.format == "markdown":

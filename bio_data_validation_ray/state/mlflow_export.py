@@ -1,0 +1,114 @@
+"""MLflow metrics export for a validation run — the engine twin of the
+reference's ``scripts/metrics/push_to_mlflow.py`` (which MlflowClient-logs
+validation pass rates / durations after a run).
+
+No MLflow client exists in this environment, and none is needed: MLflow's
+default backend ("file store") is a documented plain-file layout —
+``<root>/<experiment_id>/<run_id>/{meta.yaml, metrics/<name>,
+params/<name>, tags/<name>}`` with one ``"<timestamp_ms> <value> <step>"``
+line per metric point — so the export writes that layout directly and any
+stock ``mlflow ui`` / ``MlflowClient(tracking_uri="file:...")`` can read
+it. If a real ``mlflow`` package is importable the client path is used
+instead (import-gated, never required).
+
+Everything logged comes from the run report ``validate_dir`` returns:
+severity counts, per-stage wall times, rows scanned, decision, ruleset
+version/hash — the same facts the reference pushes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+
+def _slug(name: str) -> str:
+    return "".join(c if c.isalnum() or c in "-_. " else "_" for c in name)
+
+
+def _write(path: str, text: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
+def _flat_metrics(report: dict) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for sev, n in (report.get("severity_counts") or {}).items():
+        out[f"violations_{sev}"] = float(n)
+    for stage, info in (report.get("stages") or {}).items():
+        if isinstance(info, dict) and "time_s" in info:
+            out[f"stage_{stage}_time_s"] = float(info["time_s"])
+    summary = (report.get("stages") or {}).get("stats", {}).get("summary", {})
+    if "rows" in summary:
+        out["rows_scanned"] = float(summary["rows"])
+    if "execution_time_s" in report:
+        out["execution_time_s"] = float(report["execution_time_s"])
+    if "turns_per_sec" in report:
+        out["turns_per_sec"] = float(report["turns_per_sec"])
+    return out
+
+
+def _params(report: dict) -> dict[str, str]:
+    meta = report.get("ruleset_metadata") or {}
+    p = {
+        "policy": str(report.get("policy", "")),
+        "input_dir": str(report.get("input_dir", "")),
+        "rules_version": str(meta.get("rules_version", "")),
+        "rules_hash": str(meta.get("rules_hash", "")),
+        "n_rules": str(meta.get("n_rules", "")),
+    }
+    return {k: v for k, v in p.items() if v}
+
+
+def export_run(report: dict, root: str,
+               experiment: str = "bio_data_validation_ray") -> str:
+    """Log one validation run's metrics/params/tags under ``root`` in
+    MLflow file-store layout (or via the mlflow client if importable).
+    Returns the run directory (file path) / run_id (client path)."""
+    try:  # optional real client — absent in this container by design
+        import mlflow  # noqa: F401
+
+        mlflow.set_tracking_uri(f"file:{os.path.abspath(root)}")
+        mlflow.set_experiment(experiment)
+        with mlflow.start_run() as run:
+            mlflow.log_metrics(_flat_metrics(report))
+            mlflow.log_params(_params(report))
+            mlflow.set_tag("decision", report.get("final_decision", ""))
+            return run.info.run_id
+    except ImportError:
+        pass
+
+    exp_id = "0"
+    run_id = report.get("validation_id") or uuid.uuid4().hex
+    now_ms = int(time.time() * 1000)
+    exp_dir = os.path.join(root, exp_id)
+    run_dir = os.path.join(exp_dir, run_id)
+    art = os.path.join(run_dir, "artifacts")
+    _write(os.path.join(exp_dir, "meta.yaml"),
+           f"artifact_location: file:{os.path.abspath(exp_dir)}\n"
+           f"experiment_id: '{exp_id}'\n"
+           "lifecycle_stage: active\n"
+           f"name: {experiment}\n")
+    _write(os.path.join(run_dir, "meta.yaml"),
+           f"artifact_uri: file:{os.path.abspath(art)}\n"
+           f"end_time: {now_ms}\n"
+           f"experiment_id: '{exp_id}'\n"
+           "lifecycle_stage: active\n"
+           f"run_id: {run_id}\n"
+           f"run_uuid: {run_id}\n"
+           f"run_name: validation-{run_id[:8]}\n"
+           "source_type: LOCAL\n"
+           f"start_time: {now_ms}\n"
+           "status: FINISHED\n"
+           "user_id: bio_data_validation_ray\n")
+    for name, val in _flat_metrics(report).items():
+        _write(os.path.join(run_dir, "metrics", _slug(name)),
+               f"{now_ms} {val} 0\n")
+    for name, val in _params(report).items():
+        _write(os.path.join(run_dir, "params", _slug(name)), str(val))
+    _write(os.path.join(run_dir, "tags", "decision"),
+           str(report.get("final_decision", "")))
+    os.makedirs(art, exist_ok=True)
+    return run_dir

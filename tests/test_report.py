@@ -1,5 +1,7 @@
 """Markdown run-report renderer tests (report_generator.py analog)."""
 
+from pathlib import Path
+
 from bio_data_validation_ray.report import render_markdown
 
 
@@ -99,3 +101,49 @@ def test_cli_markdown_format(tmp_path):
     md = open(os.path.join(run_dir, "report.md")).read()
     assert md.startswith("# ❌ Validation Failed")
     assert "Per-shard verdicts" in md
+
+
+class TestMlflowExport:
+    REPORT = {
+        "validation_id": "abc123",
+        "input_dir": "/tmp/x",
+        "policy": "strict",
+        "final_decision": "rejected",
+        "execution_time_s": 2.5,
+        "turns_per_sec": 1000.0,
+        "severity_counts": {"critical": 1, "error": 3, "warning": 0,
+                            "info": 0},
+        "ruleset_metadata": {"rules_version": "1.2.0",
+                             "rules_hash": "deadbeef", "n_rules": 20},
+        "stages": {"scan": {"time_s": 1.5},
+                   "stats": {"time_s": 0.1, "summary": {"rows": 2500}}},
+    }
+
+    def test_file_store_layout(self, tmp_path):
+        from bio_data_validation_ray.state.mlflow_export import export_run
+
+        run_dir = export_run(dict(self.REPORT), str(tmp_path / "mlruns"))
+        p = Path(run_dir)
+        assert (p / "meta.yaml").exists()
+        assert (p.parent / "meta.yaml").exists()  # experiment meta
+        # metric files: "<ts_ms> <value> <step>" single line
+        m = (p / "metrics" / "violations_critical").read_text().split()
+        assert len(m) == 3 and float(m[1]) == 1.0 and m[2] == "0"
+        assert float((p / "metrics" / "rows_scanned").read_text()
+                     .split()[1]) == 2500.0
+        assert float((p / "metrics" / "stage_scan_time_s").read_text()
+                     .split()[1]) == 1.5
+        assert float((p / "metrics" / "turns_per_sec").read_text()
+                     .split()[1]) == 1000.0
+        assert (p / "params" / "rules_hash").read_text() == "deadbeef"
+        assert (p / "tags" / "decision").read_text() == "rejected"
+        # run meta references the run id and FINISHED status
+        meta = (p / "meta.yaml").read_text()
+        assert "run_id: abc123" in meta and "status: FINISHED" in meta
+
+    def test_idempotent_rewrite(self, tmp_path):
+        from bio_data_validation_ray.state.mlflow_export import export_run
+
+        a = export_run(dict(self.REPORT), str(tmp_path / "mlruns"))
+        b = export_run(dict(self.REPORT), str(tmp_path / "mlruns"))
+        assert a == b  # keyed by validation_id -> same run dir, overwritten
