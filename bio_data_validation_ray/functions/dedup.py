@@ -1131,3 +1131,122 @@ def decontaminate(ds, bench_texts, *, col: str = "text",
         _Decontam, fn_constructor_args=(ref, col, id_col, n),
         batch_format="pandas", concurrency=concurrency,
     )
+
+
+def _window_hash_rows(df: pd.DataFrame, col: str, id_col: str, window: int
+                      ) -> pd.DataFrame:
+    """Per-doc DISTINCT window-hash inventory rows (hash, doc_id). Docs
+    shorter than ``window`` bytes have no windows and emit nothing."""
+    texts = df[col].fillna("").to_numpy(dtype=object)
+    blen = np.array([len(str(s).encode("utf-8", "ignore")) for s in texts])
+    keep = blen >= window
+    if not keep.any():
+        return pd.DataFrame({"h": np.zeros(0, np.uint64),
+                             id_col: np.zeros(0, object)})
+    texts, ids = texts[keep], df[id_col].to_numpy()[keep]
+    hashes, lens = char_shingles_batch(texts, k=window)  # per-doc unique
+    return pd.DataFrame({"h": hashes,
+                         id_col: np.repeat(ids, lens)})
+
+
+class _WindowVerify:
+    """Actor: holds the broadcast candidate-hash array; per batch extracts
+    the ACTUAL window substrings whose hash is a candidate — exactness
+    against rolling-hash collisions is restored downstream by grouping on
+    the literal bytes, and only candidate windows (a tiny fraction) ever
+    leave the batch."""
+
+    def __init__(self, cand_ref, col: str, id_col: str, window: int):
+        import ray
+
+        self.cand = np.sort(ray.get(cand_ref))  # sorted for searchsorted
+        self.col, self.id_col, self.window = col, id_col, window
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        w = self.window
+        empty = pd.DataFrame({self.id_col: np.zeros(0, object),
+                              "win": np.zeros(0, object),
+                              "h": np.zeros(0, np.uint64)})
+        texts = df[self.col].fillna("").to_numpy(dtype=object)
+        enc = [str(s).encode("utf-8", "ignore") for s in texts]
+        keep = np.array([len(b) >= w for b in enc], dtype=bool)
+        if not keep.any():
+            return empty
+        kept = np.flatnonzero(keep)
+        ids = df[self.id_col].to_numpy()[kept]
+        # ONE batch kernel pass (multiset, stream order), then a single
+        # vectorized membership test; Python touches only the hits
+        hs, lens = char_shingle_windows_batch(texts[kept], k=w)
+        pos = np.searchsorted(self.cand, hs)
+        pos[pos >= self.cand.size] = 0
+        hit = np.flatnonzero(self.cand[pos] == hs)
+        if hit.size == 0:
+            return empty
+        off = np.concatenate([[0], np.cumsum(lens)])
+        doc_idx = np.searchsorted(off, hit, side="right") - 1
+        win_pos = hit - off[doc_idx]
+        seen: dict = {}
+        for i, d, p in zip(hit, doc_idx, win_pos):
+            b = enc[kept[d]]
+            seen[(ids[d], b[p:p + w].decode("utf-8", "ignore"))] = hs[i]
+        keys = list(seen)
+        return pd.DataFrame({self.id_col: [k[0] for k in keys],
+                             "win": [k[1] for k in keys],
+                             "h": np.fromiter(seen.values(), np.uint64,
+                                              len(seen))})
+
+
+def shared_window_docs(ds, *, col: str = "text", id_col: str = "doc_id",
+                       window: int = 32, max_candidates: int = 2_000_000,
+                       concurrency: int | tuple = (1, 4)) -> pd.DataFrame:
+    """EXACT substring-level duplicate detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" semantics,
+    hash-inventory form): find every document that shares a verbatim
+    ``window``-byte substring with another document, reporting how many
+    distinct such windows each document carries.
+
+    Scale shape — never all-pairs, never raw text through a shuffle:
+      1. inventory: one rolling-hash pass per batch (concatenated-buffer
+         kernel), per-doc DISTINCT hashes -> compact (hash, doc_id) rows;
+      2. count docs per hash with the keyed reduce; hashes with >= 2 docs
+         become the candidate set (capped at ``max_candidates`` with a
+         logged truncation, like the LSH bucket caps);
+      3. verify: candidates broadcast once per actor (ray.put), a second
+         streaming scan extracts only candidate windows' literal bytes,
+         and grouping on (hash, substring) kills rolling-hash collisions —
+         the result is exact on the byte level.
+    Windows are BYTE windows; the SQL twin's character substrings coincide
+    on single-byte text (true for this corpus; documented caveat).
+    -> DataFrame[(id_col, n_shared_windows)] sorted by id."""
+    import logging
+
+    import ray
+
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    inv = ds.map_batches(
+        lambda df: _window_hash_rows(df, col, id_col, window),
+        batch_format="pandas")
+    counts = keyed_reduce_pandas(inv, ["h"], {"n_docs": (id_col, "count")})
+    cand = counts.loc[counts["n_docs"] >= 2, "h"].to_numpy()
+    if cand.size > max_candidates:
+        logging.getLogger(__name__).warning(
+            "shared_window_docs: %d candidate hashes truncated to %d",
+            cand.size, max_candidates)
+        cand = np.sort(cand)[:max_candidates]
+    if cand.size == 0:
+        return pd.DataFrame({id_col: [], "n_shared_windows": []})
+    ref = ray.put(cand.astype(np.uint64))
+    wins = ds.map_batches(
+        _WindowVerify, fn_constructor_args=(ref, col, id_col, window),
+        batch_format="pandas", concurrency=concurrency,
+    ).to_pandas()
+    if len(wins) == 0:
+        return pd.DataFrame({id_col: [], "n_shared_windows": []})
+    per_win = wins.groupby(["h", "win"])[id_col].nunique()
+    dup_wins = per_win[per_win >= 2].reset_index()[["h", "win"]]
+    hits = wins.merge(dup_wins, on=["h", "win"])
+    out = (hits.groupby(id_col)["win"].nunique()
+           .reset_index(name="n_shared_windows"))
+    out["n_shared_windows"] = out["n_shared_windows"].astype(np.int64)
+    return out.sort_values(id_col, kind="stable").reset_index(drop=True)

@@ -2335,6 +2335,26 @@ def events_transitions(sf_dir):
                              type_col="event_type")
 
 
+def doc_dup_windows(sf_dir):
+    """Exact substring-level duplicate detection (Lee et al. 2022
+    semantics, hash-inventory form): documents sharing a verbatim 32-byte
+    window with another document, with the count of distinct shared
+    windows each. Rolling-hash inventory -> >=2-doc candidate hashes ->
+    broadcast + literal-byte verify (collision-proof); see
+    functions/dedup.shared_window_docs for the scale shape."""
+    from ..functions.dedup import shared_window_docs
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = shared_window_docs(ds, col="text", id_col="doc_id", window=32)
+    if len(out):
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+    else:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                            "n_shared_windows": pd.Series([],
+                                                          dtype=np.int64)})
+    return out
+
+
 QUERIES = {
     "t_role_vocab": t_role_vocab,
     "t_tool_pattern": t_tool_pattern,
@@ -2387,6 +2407,7 @@ QUERIES = {
     "events_retention": events_retention,
     "events_funnel": events_funnel,
     "events_transitions": events_transitions,
+    "doc_dup_windows": doc_dup_windows,
     "events_attrib_pairs": events_attrib_pairs,
     "events_value_outliers": events_value_outliers,
     "doc_pretrain_prep": doc_pretrain_prep,
@@ -2876,6 +2897,15 @@ WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
 SELECT CAST(count(*) AS BIGINT) AS n_retained_pairs
 FROM d a JOIN d b ON a.user_id = b.user_id
   AND b.day = a.day + INTERVAL 1 DAY""",
+        "doc_dup_windows": """
+WITH pos AS (SELECT doc_id, text,
+                    unnest(range(1, greatest(length(text)-30, 1))) AS i
+             FROM documents),
+w AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 32) AS win
+      FROM pos),
+dup AS (SELECT win FROM w GROUP BY 1 HAVING count(*) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_windows
+FROM w JOIN dup USING (win) GROUP BY 1 ORDER BY 1""",
         "events_transitions": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type) OVER (

@@ -974,3 +974,44 @@ class TestDecontam:
         assert out["contaminated"].tolist() == [1, 0, 1, 0]
         assert out.loc[0, "n_hits"] == 3  # b..i, c..j and a..h via suffix
         assert out.loc[2, "n_hits"] == 1
+
+
+class TestSharedWindowDocs:
+    def test_planted_exact_substrings(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import (
+            shared_window_docs,
+        )
+
+        shared = "X" * 5 + "the quick brown fox jumps over it all" + "Y" * 5
+        assert len(shared) >= 32
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "aaa" + shared + "bbb",         # shares `shared` windows
+                "ccc" + shared + "ddd",         # with doc 1
+                "unrelated " + "z" * 60,        # alone
+                "short",                        # < 32 bytes -> no windows
+                ("p" * 40) + ("p" * 40),        # internal repeat only
+            ],
+        })
+        out = shared_window_docs(rd.from_pandas(df).repartition(3),
+                                 window=32)
+        got = dict(zip(out["doc_id"], out["n_shared_windows"]))
+        # docs 1 and 2 share exactly the windows inside `shared`
+        n_wins = len(shared) - 32 + 1
+        assert got == {1: n_wins, 2: n_wins}
+
+    def test_no_dups_returns_empty(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import (
+            shared_window_docs,
+        )
+
+        df = pd.DataFrame({"doc_id": [1, 2],
+                           "text": ["a" * 20 + "b" * 20,
+                                    "c" * 20 + "d" * 20]})
+        out = shared_window_docs(rd.from_pandas(df), window=32)
+        assert len(out) == 0
