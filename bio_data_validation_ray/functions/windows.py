@@ -611,6 +611,112 @@ def grouped_percentile_disc(ds, *, key: str, value_col: str, q: float,
     return out.sort_values(key, kind="stable").reset_index(drop=True)
 
 
+def _pcont_kernel(df: pd.DataFrame, key: str, value_col: str, q: float
+                  ) -> pd.DataFrame:
+    """Vectorized percentile_cont over complete key runs: 1-based fractional
+    rank rn = 1 + q*(n-1); p = v[lo] + (rn-lo)*(v[hi]-v[lo])."""
+    if len(df) == 0:
+        return pd.DataFrame(columns=[key, "p"])
+    k = df[key].to_numpy()
+    v = df[value_col].to_numpy().astype(np.float64)
+    starts = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+    counts = np.diff(np.concatenate([starts, [len(k)]]))
+    rn = 1.0 + q * (counts - 1)
+    lo = np.floor(rn).astype(np.int64)
+    hi = np.ceil(rn).astype(np.int64)
+    vlo = v[starts + lo - 1]
+    vhi = v[starts + hi - 1]
+    return pd.DataFrame({key: k[starts], "p": vlo + (rn - lo) * (vhi - vlo)})
+
+
+def grouped_percentile_cont(ds, *, key: str, value_col: str, q: float,
+                            driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """EXACT per-key INTERPOLATED percentile (SQL percentile_cont): at
+    fractional 1-based rank rn = 1 + q*(n-1), p = v_lo + (rn-lo)*(v_hi-v_lo)
+    over the key's sorted values. Same compact-partial skeleton as
+    grouped_percentile_disc — interior keys interpolate locally inside
+    their batch; a boundary key exchanges only (key, n_rows, v_first,
+    v_last) count partials, the driver locates its TWO bracketing ranks,
+    and a targeted second pass extracts at most two rows per pending key.
+    Over integer inputs with q = 0.5 the result is exact in float64 (frac
+    is 0 or 0.5), which is how the SQL twin states it bit-identically.
+    -> DataFrame[(key, p: float64)] sorted by key."""
+    import ray
+
+    srt = ds.sort([key, value_col]).materialize()
+    if srt.count() <= driver_cap:
+        out = _pcont_kernel(srt.to_pandas(), key, value_col, q)
+        return out.sort_values(key, kind="stable").reset_index(drop=True)
+
+    interior = srt.map_batches(
+        lambda df: _pcont_kernel(_split_boundary(df, key, False),
+                                 key, value_col, q),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    partials = srt.map_batches(
+        lambda df: _pdisc_partials(_split_boundary(df, key, True),
+                                   key, value_col),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    if "key" not in partials.columns:
+        partials = pd.DataFrame(columns=["key", "n_rows", "v_first",
+                                         "v_last"])
+    # resolve the two bracketing ranks per boundary key from counts alone
+    vals: dict = {}    # (key, tag) -> value, tag in {0: lo, 1: hi}
+    meta: dict = {}    # key -> (rn, lo)
+    need: dict = {}    # (key, v_first, v_last) -> [(tag, off), ...]
+    if len(partials):
+        p = partials.sort_values(["key", "v_first", "v_last"],
+                                 kind="stable").reset_index(drop=True)
+        for kk, grp in p.groupby("key", sort=False):
+            counts = grp["n_rows"].to_numpy()
+            total = int(counts.sum())
+            rn = 1.0 + q * (total - 1)
+            lo, hi = int(np.floor(rn)), int(np.ceil(rn))
+            meta[kk] = (rn, lo)
+            ends = np.cumsum(counts)
+            for tag, rank in ((0, lo), (1, hi)):
+                i = int(np.searchsorted(ends, rank))
+                off = rank - (int(ends[i - 1]) if i else 0)
+                vf, vl = grp["v_first"].iloc[i], grp["v_last"].iloc[i]
+                if vf == vl:
+                    vals[(kk, tag)] = float(vf)
+                else:
+                    need.setdefault((kk, vf, vl), []).append((tag, off))
+    if need:
+        need_ref = ray.put(need)
+
+        def extract(df: pd.DataFrame) -> pd.DataFrame:
+            todo = ray.get(need_ref)
+            b = _split_boundary(df, key, True)
+            if len(b) == 0:
+                return pd.DataFrame(columns=["key", "tag", "v"])
+            k = b[key].to_numpy()
+            v = b[value_col].to_numpy()
+            starts = np.concatenate(
+                [[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+            ends = np.concatenate([starts[1:], [len(k)]])
+            rows = []
+            for s, e in zip(starts, ends):
+                for tag, off in todo.get((k[s], v[s], v[e - 1]), ()):
+                    rows.append((k[s], tag, float(v[s + off - 1])))
+            return pd.DataFrame(rows, columns=["key", "tag", "v"])
+
+        got = srt.map_batches(extract, batch_format="pandas",
+                              batch_size=None).to_pandas()
+        for r in got.itertuples():
+            vals[(r.key, r.tag)] = r.v
+    rows = []
+    for kk, (rn, lo) in meta.items():
+        vlo, vhi = vals[(kk, 0)], vals[(kk, 1)]
+        rows.append((kk, vlo + (rn - lo) * (vhi - vlo)))
+    boundary = pd.DataFrame(rows, columns=[key, "p"])
+    frames = [f for f in (interior, boundary) if len(f)]
+    out = (pd.concat(frames, ignore_index=True)
+           if frames else pd.DataFrame(columns=[key, "p"]))
+    return out.sort_values(key, kind="stable").reset_index(drop=True)
+
+
 def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
                   gap_s: float = 3600.0,
                   driver_cap: int = 5_000_000) -> pd.DataFrame:

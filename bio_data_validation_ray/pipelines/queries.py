@@ -662,6 +662,29 @@ def events_value_p50(sf_dir):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def events_value_p50_cont(sf_dir):
+    """Exact per-type INTERPOLATED median (SQL percentile_cont) of integer
+    cents via functions/windows.grouped_percentile_cont. Stated as
+    2×median, which over integers at q=0.5 is always an integer (frac is 0
+    or 0.5) — the same no-float-output discipline as the rest of the
+    oracled surface."""
+    from ..functions.windows import grouped_percentile_cont
+
+    ds = _read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df["cents"] = _round_half_away(df["value"] * 100).astype(np.int64)
+        return df[["event_type", "cents"]]
+
+    out = grouped_percentile_cont(
+        ds.map_batches(cents, batch_format="pandas"),
+        key="event_type", value_col="cents", q=0.5,
+    )
+    out["p50x2_cents"] = (2.0 * out["p"]).astype(np.int64)
+    out = out[["event_type", "p50x2_cents"]]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def events_sessions(sf_dir):
     """Gap-based session windows per user (functions/windows.sessionize:
     sorted-stream partials + boundary stitch — the stateful-windowing
@@ -2335,6 +2358,24 @@ def events_transitions(sf_dir):
                              type_col="event_type")
 
 
+def t_role_transitions(sf_dir):
+    """Global role-to-role transition counts over per-conversation turn
+    sequences (who speaks after whom — the dialogue-structure statistic):
+    TRANSITION_COUNTS over the transcripts table in (turn_idx, ts, role)
+    order. The residual tie (identical turn_idx+ts+role duplicate rows in
+    the seeded fixture) is swap-invariant for bigrams, so the order is
+    total for this purpose."""
+    import ray.data as rd
+
+    from ..functions.windows import transition_counts
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir),
+                         columns=["conv_id", "turn_idx", "ts", "role"])
+    return transition_counts(ds, key="conv_id",
+                             order_cols=["turn_idx", "ts", "role"],
+                             type_col="role")
+
+
 def doc_dup_windows(sf_dir):
     """Exact substring-level duplicate detection (Lee et al. 2022
     semantics, hash-inventory form): documents sharing a verbatim 32-byte
@@ -2408,6 +2449,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_transitions": events_transitions,
     "doc_dup_windows": doc_dup_windows,
+    "t_role_transitions": t_role_transitions,
+    "events_value_p50_cont": events_value_p50_cont,
     "events_attrib_pairs": events_attrib_pairs,
     "events_value_outliers": events_value_outliers,
     "doc_pretrain_prep": doc_pretrain_prep,
@@ -2775,6 +2818,13 @@ FROM psi p JOIN tot tt USING (shard) ORDER BY p.shard""",
                           f"GROUP BY 1, 2 ORDER BY 1, 2",
         "t_distinct_convs_exact": f"{tq} SELECT CAST(count(DISTINCT conv_id)"
                                   f" AS BIGINT) AS n_convs FROM t",
+        "t_role_transitions": f"{tq}, s AS (SELECT role, "
+                              f"lead(role) OVER (PARTITION BY conv_id "
+                              f"ORDER BY turn_idx, ts, role) AS nxt FROM t) "
+                              f"SELECT role AS from_type, nxt AS to_type, "
+                              f"CAST(count(*) AS BIGINT) AS n FROM s "
+                              f"WHERE nxt IS NOT NULL "
+                              f"GROUP BY 1, 2 ORDER BY 1, 2",
         "t_turn_gaps": f"{tq}, g AS (SELECT conv_id, "
                        f"epoch_us(ts) - epoch_us(lag(ts) OVER ("
                        f"PARTITION BY conv_id ORDER BY turn_idx, ts)) AS gap "
@@ -3069,6 +3119,12 @@ FROM m GROUP BY user_id ORDER BY user_id""",
 SELECT event_type,
        percentile_disc(0.5) WITHIN GROUP (
          ORDER BY CAST(round(value*100) AS BIGINT)) AS p50_cents
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "events_value_p50_cont": """
+SELECT event_type,
+       CAST(2 * percentile_cont(0.5) WITHIN GROUP (
+         ORDER BY CAST(round(value*100) AS BIGINT)) AS BIGINT)
+         AS p50x2_cents
 FROM events GROUP BY event_type ORDER BY event_type""",
         "events_head_per_type": """
 SELECT event_type, CAST(event_id AS BIGINT) AS event_id FROM (

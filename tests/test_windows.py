@@ -609,3 +609,47 @@ class TestTransitionCounts:
         got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
         assert got == self._truth(df)
         assert sum(got.values()) == n - 1
+
+
+class TestPercentileCont:
+    def test_matches_numpy_and_distributed_path(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.windows import (
+            grouped_percentile_cont,
+        )
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 5000),
+            "v": rng.integers(-1000, 1000, 5000),
+        })
+        # one hot group spanning every block
+        df.loc[df.index[:3000], "g"] = "hot"
+        ds = rd.from_pandas([df.iloc[i:i + 137]
+                             for i in range(0, len(df), 137)])
+        for q in (0.5, 0.25, 0.9):
+            out = grouped_percentile_cont(ds, key="g", value_col="v", q=q)
+            # numpy 'linear' interpolation == SQL percentile_cont
+            truth = {g: np.percentile(sub["v"].to_numpy(), q * 100,
+                                      method="linear")
+                     for g, sub in df.groupby("g")}
+            got = dict(zip(out["g"], out["p"]))
+            assert got.keys() == truth.keys()
+            for g in truth:
+                assert got[g] == truth[g], (q, g)
+            dist = grouped_percentile_cont(ds, key="g", value_col="v",
+                                           q=q, driver_cap=0)
+            pd.testing.assert_frame_equal(out, dist)
+
+    def test_single_row_groups(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.windows import (
+            grouped_percentile_cont,
+        )
+
+        df = pd.DataFrame({"g": ["x", "y"], "v": [7, 9]})
+        out = grouped_percentile_cont(rd.from_pandas(df), key="g",
+                                      value_col="v", q=0.5, driver_cap=0)
+        assert dict(zip(out["g"], out["p"])) == {"x": 7.0, "y": 9.0}
