@@ -662,6 +662,52 @@ def events_value_p50(sf_dir):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def t_drift_ks_exact(sf_dir):
+    """Per-shard EXACT Kolmogorov–Smirnov statistic against the all-shards
+    baseline — the hash-green twin of the digest-based KS in t_drift.
+    Text-length CDFs are step functions over the observed integer lengths,
+    so KS = max_v |cs(v)·NB − cb(v)·Ns| / (Ns·NB) is an exact RATIONAL;
+    the query emits the integer numerator and denominator (no float ever
+    enters the hashed columns). Distributed part is one compact keyed
+    reduce over (shard, len) counts; the CDF walk runs on that tiny frame."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    d = transcripts_dir(sf_dir)
+    files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    ds = rd.read_parquet(files, columns=["text"], include_paths=True)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        shard = pc.replace_substring_regex(t["path"], r"^.*/", "")
+        return pa.table({"shard": shard,
+                         "len": pc.utf8_length(t["text"])})
+
+    counts = keyed_reduce_pandas(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["shard", "len"], {"n": ("len", "count")}, batch_format="pyarrow")
+    pv = (counts.pivot_table(index="len", columns="shard", values="n",
+                             fill_value=0).sort_index())
+    cum = pv.cumsum(axis=0).astype(np.int64)
+    ns = cum.iloc[-1]                      # per-shard totals
+    bcum = cum.sum(axis=1).astype(np.int64)  # baseline cumulative
+    nb = int(bcum.iloc[-1])
+    out = pd.DataFrame({
+        "shard": list(cum.columns),
+        "n_rows": ns.to_numpy().astype(np.int64),
+        "ks_num": [int(np.max(np.abs(cum[s].to_numpy() * nb
+                                     - bcum.to_numpy() * int(ns[s]))))
+                   for s in cum.columns],
+        "ks_den": (ns.to_numpy().astype(np.int64) * nb),
+    })
+    return out.sort_values("shard", kind="stable").reset_index(drop=True)
+
+
 def events_value_p50_cont(sf_dir):
     """Exact per-type INTERPOLATED median (SQL percentile_cont) of integer
     cents via functions/windows.grouped_percentile_cont. Stated as
@@ -2451,6 +2497,7 @@ QUERIES = {
     "doc_dup_windows": doc_dup_windows,
     "t_role_transitions": t_role_transitions,
     "events_value_p50_cont": events_value_p50_cont,
+    "t_drift_ks_exact": t_drift_ks_exact,
     "events_attrib_pairs": events_attrib_pairs,
     "events_value_outliers": events_value_outliers,
     "doc_pretrain_prep": doc_pretrain_prep,
@@ -2818,6 +2865,33 @@ FROM psi p JOIN tot tt USING (shard) ORDER BY p.shard""",
                           f"GROUP BY 1, 2 ORDER BY 1, 2",
         "t_distinct_convs_exact": f"{tq} SELECT CAST(count(DISTINCT conv_id)"
                                   f" AS BIGINT) AS n_convs FROM t",
+        "t_drift_ks_exact": f"{tq}, c AS (SELECT shard, length(text) AS "
+                            f"len, count(*) AS n FROM t "
+                            f"WHERE text IS NOT NULL GROUP BY 1, 2), "
+                            f"grid AS (SELECT s.shard, l.len FROM "
+                            f"(SELECT DISTINCT shard FROM c) s, "
+                            f"(SELECT DISTINCT len FROM c) l), "
+                            f"j AS (SELECT g.shard, g.len, "
+                            f"coalesce(c.n, 0) AS n FROM grid g "
+                            f"LEFT JOIN c ON c.shard = g.shard "
+                            f"AND c.len = g.len), "
+                            f"cum AS (SELECT shard, len, CAST(sum(n) OVER ("
+                            f"PARTITION BY shard ORDER BY len) AS BIGINT) "
+                            f"AS cs FROM j), "
+                            f"tot AS (SELECT shard, max(cs) AS ns "
+                            f"FROM cum GROUP BY 1), "
+                            f"bcum AS (SELECT len, CAST(sum(cs) AS BIGINT) "
+                            f"AS cb FROM cum GROUP BY len), "
+                            f"nbt AS (SELECT CAST(sum(ns) AS BIGINT) AS nb "
+                            f"FROM tot) "
+                            f"SELECT cum.shard, CAST(tot.ns AS BIGINT) AS "
+                            f"n_rows, CAST(max(abs(cum.cs * nbt.nb "
+                            f"- bcum.cb * tot.ns)) AS BIGINT) AS ks_num, "
+                            f"CAST(tot.ns * nbt.nb AS BIGINT) AS ks_den "
+                            f"FROM cum JOIN tot USING (shard) "
+                            f"JOIN bcum USING (len) CROSS JOIN nbt "
+                            f"GROUP BY cum.shard, tot.ns, nbt.nb "
+                            f"ORDER BY cum.shard",
         "t_role_transitions": f"{tq}, s AS (SELECT role, "
                               f"lead(role) OVER (PARTITION BY conv_id "
                               f"ORDER BY turn_idx, ts, role) AS nxt FROM t) "

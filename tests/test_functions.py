@@ -1015,3 +1015,31 @@ class TestSharedWindowDocs:
                                     "c" * 20 + "d" * 20]})
         out = shared_window_docs(rd.from_pandas(df), window=32)
         assert len(out) == 0
+
+
+def test_drift_ks_exact_matches_bruteforce(ray_session):
+    """The integer-rational KS must equal the float KS computed naively
+    from the raw per-shard length samples."""
+    import glob
+
+    from bio_data_validation_ray.pipelines.queries import (
+        t_drift_ks_exact,
+        transcripts_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = t_drift_ks_exact(sf)
+    assert len(out) > 0 and (out["ks_num"] <= out["ks_den"]).all()
+    frames = [pd.read_parquet(p).assign(shard=p.rsplit("/", 1)[-1])
+              for p in sorted(glob.glob(transcripts_dir(sf) + "/*.parquet"))]
+    df = pd.concat(frames, ignore_index=True)
+    df = df[df["text"].notna()]
+    df["len"] = df["text"].str.len()
+    base = np.sort(df["len"].to_numpy())
+    grid = np.unique(base)
+    fb = np.searchsorted(base, grid, side="right") / base.size
+    for r in out.itertuples():
+        s = np.sort(df.loc[df["shard"] == r.shard, "len"].to_numpy())
+        fs = np.searchsorted(s, grid, side="right") / s.size
+        ks = np.max(np.abs(fs - fb))
+        assert abs(r.ks_num / r.ks_den - ks) < 1e-12, r.shard
