@@ -1223,3 +1223,153 @@ def temperature_sample(ds, *, key: str, order_cols: list[str],
              for k, n in zip(counts[key], counts["n"])}
     return grouped_quota_head(ds, key=key, order_cols=order_cols,
                               quota=quota, driver_cap=driver_cap)
+
+
+# --- trailing time-range window peak ---------------------------------------
+
+_PWC_COLS = ["key", "interior_peak", "first_ts", "last_ts",
+             "head_ts", "head_cnt", "tail_ts"]
+
+
+def _pack_i64(a: np.ndarray) -> bytes:
+    return np.ascontiguousarray(a, dtype="<i8").tobytes()
+
+
+def _unpack_i64(b) -> np.ndarray:
+    if b is None or len(b) == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.frombuffer(b, dtype="<i8")
+
+
+def _pwc_partials(df: pd.DataFrame, key: str, ts_col: str,
+                  window_us: int) -> pd.DataFrame:
+    """Per-batch partials for the peak trailing time-window count over a
+    (key, ts)-sorted stream. Interior runs (keys that begin and end inside
+    the batch) finalize here with a fully vectorized peak; only the batch's
+    FIRST and LAST runs — the only keys that can span a block boundary —
+    also carry the events within ``window_us`` of the run's head/tail as
+    packed int64 microsecond arrays. Carry size is bounded by the key's
+    window occupancy (the statistic itself), never its row count.
+
+    Vectorization note: trailing in-run counts use one global searchsorted
+    over a monotone surrogate ``ts + run_id*SPAN`` (SPAN > global ts range +
+    window), so runs never bleed into each other and there is no per-run
+    Python loop."""
+    if len(df) == 0:
+        return pd.DataFrame(columns=_PWC_COLS)
+    kcol = df[key].to_numpy()
+    ts = _ts_us(df[ts_col])
+    newkey = np.concatenate([[True], kcol[1:] != kcol[:-1]])
+    starts = np.flatnonzero(newkey)
+    ends = np.concatenate([starts[1:], [len(kcol)]])
+    run_id = np.cumsum(newkey) - 1
+    # normalize to the batch's min ts so the surrogate stays far from int64
+    # overflow: max surrogate = range + nruns*(range+window); with a 10-year
+    # range (3e14 us) and 1e4 runs/batch that is ~3e18 < 2^63.
+    t0 = ts.min()
+    span = np.int64(int(ts.max()) - int(t0) + window_us + 1)
+    s = (ts - t0) + run_id * span
+    lb = np.searchsorted(s, s - window_us, side="left")
+    cnt = np.arange(len(ts)) - lb + 1  # trailing in-run count per row
+    peaks = np.maximum.reduceat(cnt, starts).astype(np.int64)
+    out = pd.DataFrame({
+        "key": kcol[starts],
+        "interior_peak": peaks,
+        "first_ts": ts[starts].astype(np.int64),
+        "last_ts": ts[ends - 1].astype(np.int64),
+    })
+    out["head_ts"] = b""
+    out["head_cnt"] = b""
+    out["tail_ts"] = b""
+    for ridx in {0, len(starts) - 1}:
+        lo, hi = starts[ridx], ends[ridx]
+        rts, rcnt = ts[lo:hi], cnt[lo:hi]
+        head = rts < rts[0] + window_us
+        tail = rts > rts[-1] - window_us
+        out.at[ridx, "head_ts"] = _pack_i64(rts[head])
+        out.at[ridx, "head_cnt"] = _pack_i64(rcnt[head])
+        out.at[ridx, "tail_ts"] = _pack_i64(rts[tail])
+    return out
+
+
+def _merge_pwc_partials(frame: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """Merge peak-window partials per key in stream order. Keys living in a
+    single partial resolve vectorized; spanning keys walk an O(#partials)
+    stitch whose state is one window's worth of timestamps."""
+    if len(frame) == 0:
+        return pd.DataFrame(columns=["key", "peak_cnt"])
+    counts = frame["key"].value_counts()
+    singles = counts[counts == 1].index
+    one = frame[frame["key"].isin(singles)]
+    res_one = pd.DataFrame({
+        "key": one["key"].to_numpy(),
+        "peak_cnt": one["interior_peak"].to_numpy(dtype=np.int64),
+    })
+    rows = []
+    for key_val, g in frame[~frame["key"].isin(singles)].groupby(
+            "key", sort=False):
+        carry = np.empty(0, dtype=np.int64)
+        best = 0
+        for _, p in g.iterrows():
+            if len(carry):
+                h_ts = _unpack_i64(p["head_ts"])
+                h_cnt = _unpack_i64(p["head_cnt"])
+                extra = len(carry) - np.searchsorted(
+                    carry, h_ts - window_us, side="left")
+                if len(h_ts):
+                    best = max(best, int((h_cnt + extra).max()))
+            best = max(best, int(p["interior_peak"]))
+            last = np.int64(p["last_ts"])
+            tail = _unpack_i64(p["tail_ts"])
+            carry = np.concatenate(
+                [carry[carry > last - window_us], tail])
+        rows.append((key_val, best))
+    res_multi = pd.DataFrame(rows, columns=["key", "peak_cnt"])
+    out = pd.concat([res_one, res_multi], ignore_index=True)
+    out["peak_cnt"] = out["peak_cnt"].astype(np.int64)
+    return out
+
+
+def peak_window_count(ds, *, key: str, ts_col: str, window_us: int,
+                      driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Per-key PEAK trailing time-range window count — SQL
+    ``max(count(*) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    <window> PRECEDING AND CURRENT ROW))`` (peers included, boundary
+    inclusive). The burst-rate profiler for event/transcript streams: "what
+    is each agent's busiest 4-hour window?".
+
+    Distributed shape: one (key, ts) range sort, one vectorized partial per
+    (batch, run) with O(window-occupancy) boundary bytes for at most two
+    runs per batch, then the standard interior/boundary dual path — a
+    10^9-row hot key ships #batches compact partials, never raw rows.
+    Reference ancestor: the per-group ordering checks at
+    sample_metadata_validator.py:486-504; semantics from the SQL standard
+    RANGE frame."""
+    partials = (
+        ds.sort([key, ts_col])
+        .map_batches(lambda df: _pwc_partials(df, key, ts_col, window_us),
+                     batch_format="pandas")
+        .materialize()
+    )
+    if partials.count() <= driver_cap:
+        out = _merge_pwc_partials(partials.to_pandas(), window_us)
+    else:
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df["key"].to_numpy()
+            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = partials.map_batches(
+            lambda df: _merge_pwc_partials(split(df, False), window_us),
+            batch_format="pandas",
+        ).to_pandas()
+        boundary = partials.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        out = pd.concat(
+            [interior, _merge_pwc_partials(boundary, window_us)],
+            ignore_index=True)
+    out["peak_cnt"] = out["peak_cnt"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)

@@ -2442,6 +2442,150 @@ def doc_dup_windows(sf_dir):
     return out
 
 
+def events_peak_rate(sf_dir):
+    """Per-user PEAK trailing 4-hour event count — the burst-rate profiler
+    (SQL RANGE-frame window max). One (user, ts) range sort; compact
+    window-occupancy partials at block boundaries only; a hot user never
+    ships raw rows. See windows.peak_window_count for the stitch proof."""
+    from ..functions.windows import peak_window_count
+
+    ds = _read_table(sf_dir, "events", columns=["user_id", "ts"])
+    out = peak_window_count(ds, key="user_id", ts_col="ts",
+                            window_us=4 * 3600 * 1_000_000)
+    out = out.rename(columns={"key": "user_id"})
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out
+
+
+def events_rank_head(sf_dir):
+    """Rank-WITH-TIES head per group: every event whose integer value
+    bucket (floor(value)) is among its event_type's top-3 DISTINCT buckets,
+    with the bucket's dense rank. Unlike row_number top-n
+    (events_head_per_type), ties all survive — the SQL dense_rank()<=n
+    semantics.
+
+    Scale shape: the per-type top-3-distinct-bucket THRESHOLD is a
+    mergeable partial (each batch emits at most 3 buckets per type), so the
+    threshold table is O(#types x 3) and broadcasts into a single filter
+    pass — no shuffle, no window sort; rank attaches from the same
+    broadcast map."""
+    import ray
+
+    ds = _read_table(sf_dir, "events",
+                     columns=["event_type", "event_id", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["value"].notna()].copy()
+        df["bucket"] = np.floor(df["value"].to_numpy()).astype(np.int64)
+        return df[["event_type", "event_id", "bucket"]]
+
+    b = ds.map_batches(bucketize, batch_format="pandas")
+
+    def top_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=["event_type", "bucket"])
+        return (df[["event_type", "bucket"]].drop_duplicates()
+                .sort_values(["event_type", "bucket"],
+                             ascending=[True, False])
+                .groupby("event_type", as_index=False).head(3))
+
+    cand = b.map_batches(top_buckets, batch_format="pandas").to_pandas()
+    cand = top_buckets(cand)  # merge of partials = same top-3-distinct op
+    rank_map = {
+        (t, bkt): r + 1
+        for t, g in cand.groupby("event_type", sort=False)
+        for r, bkt in enumerate(g["bucket"].tolist())
+    }
+    rank_ref = ray.put(rank_map)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(rank_ref)
+        keys = list(zip(df["event_type"].tolist(), df["bucket"].tolist()))
+        rnk = np.array([rm.get(k, 0) for k in keys], dtype=np.int64)
+        out = df[rnk > 0].copy()
+        out["rnk"] = rnk[rnk > 0]
+        return out
+
+    out = b.map_batches(pick, batch_format="pandas").to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return (out[["event_type", "event_id", "bucket", "rnk"]]
+            .sort_values(["event_type", "rnk", "event_id"])
+            .reset_index(drop=True))
+
+
+def daily_full_join(sf_dir):
+    """FULL OUTER JOIN expressed as tagged union + keyed reduce — the
+    zero-join-shuffle plan: per-day-of-month order counts vs event counts,
+    keeping days present on either side (day 31 has orders but no events in
+    the fixture; both-null-side semantics pinned by the unit test). Each
+    side pre-aggregates per batch, the tagged partial streams union, and
+    one low-card combine pivots the tags into columns — at high-card keys
+    the identical plan routes through keyed_reduce instead of a join."""
+    from ..stages.keyed_reduce import combine_low_card
+
+    o = _read_table(sf_dir, "orders", columns=["o_orderdate"])
+    e = _read_table(sf_dir, "events", columns=["ts"])
+
+    def tag(col, as_orders):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            dom = pd.DatetimeIndex(df[col]).day.astype(np.int64)
+            out = pd.DataFrame({"dom": dom})
+            out["o"] = np.int64(1 if as_orders else 0)
+            out["e"] = np.int64(0 if as_orders else 1)
+            return out
+        return fn
+
+    tagged = (o.map_batches(tag("o_orderdate", True), batch_format="pandas")
+              .union(e.map_batches(tag("ts", False), batch_format="pandas")))
+    out = combine_low_card(
+        tagged, ["dom"],
+        {"order_cnt": ("o", "sum"), "event_cnt": ("e", "sum")})
+    for c in ("dom", "order_cnt", "event_cnt"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("dom").reset_index(drop=True)
+
+
+def events_key_skew(sf_dir):
+    """Hot-key skew profiler: the 20 heaviest user_ids with exact counts
+    and exact integer ppm share of all events — the diagnostic that decides
+    when a shuffle key needs salting. Scale shape: per-batch count partials
+    -> keyed_reduce interior/boundary -> per-BLOCK top-k + block-sum
+    partials (k + 1 rows per block, never the full key census on the
+    driver) -> driver merge of O(k x blocks) candidates."""
+    from ..stages.keyed_reduce import keyed_reduce
+
+    ds = _read_table(sf_dir, "events", columns=["user_id"])
+    interior, boundary = keyed_reduce(
+        ds, ["user_id"], {"n": ("user_id", "count")},
+        batch_format="pandas")
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=["user_id", "n", "is_sum"])
+        top = df.sort_values(["n", "user_id"],
+                             ascending=[False, True]).head(20).copy()
+        top["is_sum"] = False
+        tot = pd.DataFrame({"user_id": [np.int64(0)],
+                            "n": [df["n"].sum()], "is_sum": [True]})
+        return pd.concat([top, tot], ignore_index=True)
+
+    parts = interior.map_batches(topk_partial,
+                                 batch_format="pandas").to_pandas()
+    total = int(parts.loc[parts["is_sum"], "n"].sum())
+    cand = parts.loc[~parts["is_sum"], ["user_id", "n"]]
+    if len(boundary):
+        total += int(boundary["n"].sum())
+        cand = pd.concat([cand, boundary[["user_id", "n"]]],
+                         ignore_index=True)
+    out = (cand.sort_values(["n", "user_id"], ascending=[False, True])
+           .head(20).reset_index(drop=True))
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["ppm"] = np.array(
+        [int(n) * 1_000_000 // total for n in out["n"]], dtype=np.int64)
+    return out
+
+
 QUERIES = {
     "t_role_vocab": t_role_vocab,
     "t_tool_pattern": t_tool_pattern,
@@ -2495,6 +2639,10 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_transitions": events_transitions,
     "doc_dup_windows": doc_dup_windows,
+    "events_peak_rate": events_peak_rate,
+    "events_rank_head": events_rank_head,
+    "daily_full_join": daily_full_join,
+    "events_key_skew": events_key_skew,
     "t_role_transitions": t_role_transitions,
     "events_value_p50_cont": events_value_p50_cont,
     "t_drift_ks_exact": t_drift_ks_exact,
@@ -3030,6 +3178,34 @@ w AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 32) AS win
 dup AS (SELECT win FROM w GROUP BY 1 HAVING count(*) >= 2)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_windows
 FROM w JOIN dup USING (win) GROUP BY 1 ORDER BY 1""",
+        "events_peak_rate": """
+SELECT user_id, CAST(max(w) AS BIGINT) AS peak_cnt FROM (
+  SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 4 HOUR PRECEDING AND CURRENT ROW) AS w
+  FROM events) GROUP BY user_id ORDER BY user_id""",
+        "events_rank_head": """
+SELECT event_type, event_id, bucket, CAST(drnk AS BIGINT) AS rnk FROM (
+  SELECT event_type, event_id,
+         CAST(floor(value) AS BIGINT) AS bucket,
+         dense_rank() OVER (PARTITION BY event_type
+           ORDER BY CAST(floor(value) AS BIGINT) DESC) AS drnk
+  FROM events WHERE value IS NOT NULL)
+WHERE drnk <= 3 ORDER BY event_type, rnk, event_id""",
+        "daily_full_join": """
+SELECT CAST(COALESCE(o.dom, e.dom) AS BIGINT) AS dom,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS order_cnt,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS event_cnt
+FROM (SELECT CAST(date_part('day', o_orderdate) AS BIGINT) AS dom,
+             count(*) AS n FROM orders GROUP BY 1) o
+FULL OUTER JOIN
+     (SELECT CAST(date_part('day', ts) AS BIGINT) AS dom,
+             count(*) AS n FROM events GROUP BY 1) e
+ON o.dom = e.dom ORDER BY dom""",
+        "events_key_skew": """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+t AS (SELECT sum(n) AS s FROM c)
+SELECT user_id, n, CAST((n * 1000000) // s AS BIGINT) AS ppm
+FROM c, t ORDER BY n DESC, user_id LIMIT 20""",
         "events_transitions": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type) OVER (

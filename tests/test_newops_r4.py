@@ -1,0 +1,125 @@
+"""Semantics tests for the round-4 tail operators: rank-with-ties head,
+full-outer-join-as-union, hot-key skew profile, peak window rate — driven
+from synthetic parquet tables so both sides of the full outer join and the
+dense-rank tie paths are genuinely exercised (the sf fixtures only cover
+one null side)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _write(dirpath, name, df):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   f"{dirpath}/{name}.parquet")
+
+
+@pytest.fixture()
+def synth_sf(tmp_path):
+    rng = np.random.default_rng(5)
+    n = 4000
+    # engineered ties: values drawn from 12 integer buckets, many per bucket
+    events = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s"),
+        "user_id": rng.choice(
+            np.r_[np.zeros(1, np.int64), np.arange(1, 50, dtype=np.int64)],
+            size=n, p=np.r_[0.5, np.full(49, 0.5 / 49)]),  # one hot key
+        "event_type": rng.choice(["view", "click", "purchase"], n),
+        "value": rng.integers(0, 12, n).astype(np.float64) + 0.25,
+        "props": ['{"k": 1}'] * n,
+    })
+    # orders whose day-of-month domain only PARTIALLY overlaps events':
+    # events cover days 1-20, orders days 15-28 -> both null sides populated
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(300, dtype=np.int64),
+        "o_custkey": rng.integers(0, 60, 300).astype(np.int64),
+        "o_orderstatus": ["O"] * 300,
+        "o_totalprice": rng.uniform(10, 500, 300),
+        "o_orderdate": pd.to_datetime("1996-03-14")
+        + pd.to_timedelta(rng.integers(0, 14, 300), unit="D"),
+        "o_orderpriority": ["1-URGENT"] * 300,
+    })
+    _write(tmp_path, "events", events)
+    _write(tmp_path, "orders", orders)
+    return str(tmp_path), events, orders
+
+
+def test_rank_head_keeps_all_ties(ray_session, synth_sf):
+    sf_dir, events, _ = synth_sf
+    from bio_data_validation_ray.pipelines.queries import events_rank_head
+
+    got = events_rank_head(sf_dir)
+    ev = events.copy()
+    ev["bucket"] = np.floor(ev["value"]).astype(np.int64)
+    rows = []
+    for t, g in ev.groupby("event_type"):
+        top = sorted(g["bucket"].unique())[::-1][:3]
+        rnk = {b: i + 1 for i, b in enumerate(top)}
+        keep = g[g["bucket"].isin(top)]
+        for _, r in keep.iterrows():
+            rows.append((t, int(r["event_id"]), int(r["bucket"]),
+                         rnk[int(r["bucket"])]))
+    want = (pd.DataFrame(rows, columns=["event_type", "event_id", "bucket",
+                                        "rnk"])
+            .sort_values(["event_type", "rnk", "event_id"])
+            .reset_index(drop=True))
+    want["event_id"] = want["event_id"].astype(np.int64)
+    want["bucket"] = want["bucket"].astype(np.int64)
+    want["rnk"] = want["rnk"].astype(np.int64)
+    # every tie survives: each (type, rank) group has many rows
+    assert (want.groupby(["event_type", "rnk"]).size() > 10).all()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_daily_full_join_both_null_sides(ray_session, synth_sf):
+    sf_dir, events, orders = synth_sf
+    from bio_data_validation_ray.pipelines.queries import daily_full_join
+
+    got = daily_full_join(sf_dir)
+    oc = (pd.DatetimeIndex(orders["o_orderdate"]).day.value_counts()
+          .sort_index())
+    ec = pd.DatetimeIndex(events["ts"]).day.value_counts().sort_index()
+    want = (pd.DataFrame({"order_cnt": oc, "event_cnt": ec})
+            .fillna(0).astype(np.int64).rename_axis("dom").reset_index())
+    want["dom"] = want["dom"].astype(np.int64)
+    # both null sides are real in this fixture
+    assert (want["order_cnt"] == 0).any() and (want["event_cnt"] == 0).any()
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_key_skew_exact_ppm(ray_session, synth_sf):
+    sf_dir, events, _ = synth_sf
+    from bio_data_validation_ray.pipelines.queries import events_key_skew
+
+    got = events_key_skew(sf_dir)
+    c = events["user_id"].value_counts()
+    cand = (pd.DataFrame({"user_id": c.index.astype(np.int64),
+                          "n": c.to_numpy().astype(np.int64)})
+            .sort_values(["n", "user_id"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+    total = len(events)
+    cand["ppm"] = (cand["n"] * 1_000_000 // total).astype(np.int64)
+    # the planted hot key dominates
+    assert int(got["user_id"].iloc[0]) == 0
+    assert int(got["ppm"].iloc[0]) > 400_000
+    pd.testing.assert_frame_equal(got, cand)
+
+
+def test_peak_rate_query_shape(ray_session, synth_sf):
+    sf_dir, events, _ = synth_sf
+    from bio_data_validation_ray.pipelines.queries import events_peak_rate
+
+    got = events_peak_rate(sf_dir)
+    W = 4 * 3600 * 1_000_000
+    want = {}
+    for k, g in events.groupby("user_id"):
+        t = np.sort(g["ts"].astype("datetime64[us]").astype(np.int64))
+        want[int(k)] = int((np.searchsorted(t, t, side="right")
+                            - np.searchsorted(t, t - W, side="left")).max())
+    assert dict(zip(got["user_id"].astype(int),
+                    got["peak_cnt"].astype(int))) == want

@@ -653,3 +653,70 @@ class TestPercentileCont:
         out = grouped_percentile_cont(rd.from_pandas(df), key="g",
                                       value_col="v", q=0.5, driver_cap=0)
         assert dict(zip(out["g"], out["p"])) == {"x": 7.0, "y": 9.0}
+
+
+def test_peak_window_hot_key_compact_and_exact(ray_session):
+    """One hot key across every block with bursty duplicate timestamps:
+    peak-window partials stay one compact row per chunk and the distributed
+    (driver_cap=0) answer equals the brute-force peer-inclusive RANGE-frame
+    maximum."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import (
+        _pwc_partials,
+        peak_window_count,
+    )
+
+    rng = np.random.default_rng(91)
+    n, chunk, W = 2400, 37, 500
+    # bursty arrivals with repeated timestamps (peers)
+    ts = np.sort(rng.choice(np.arange(0, 20_000, 3), size=n))
+    df = pd.DataFrame({"key": ["hot"] * n, "ts": ts.astype(np.int64)})
+
+    parts = [
+        _pwc_partials(df.iloc[i:i + chunk].reset_index(drop=True),
+                      "key", "ts", W)
+        for i in range(0, n, chunk)
+    ]
+    assert all(len(p) == 1 for p in parts)
+
+    lb = np.searchsorted(ts, ts - W, side="left")
+    ub = np.searchsorted(ts, ts, side="right")
+    brute = int((ub - lb).max())
+
+    ds = rd.from_pandas([df.iloc[i:i + chunk].reset_index(drop=True)
+                         for i in range(0, n, chunk)])
+    for cap in (0, 5_000_000):
+        out = peak_window_count(ds, key="key", ts_col="ts", window_us=W,
+                                driver_cap=cap)
+        assert list(out["key"]) == ["hot"]
+        assert int(out["peak_cnt"].iloc[0]) == brute
+
+
+def test_peak_window_multi_key_chunking_invariant(ray_session):
+    """Many keys spanning chunk boundaries: every chunking yields the same
+    per-key peak as a single-pass brute force."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.windows import peak_window_count
+
+    rng = np.random.default_rng(17)
+    n, W = 1500, 250
+    df = pd.DataFrame({
+        "key": np.sort(rng.integers(0, 40, n)).astype(str),
+        "ts": rng.integers(0, 5_000, n).astype(np.int64),
+    })
+
+    def brute(g):
+        t = np.sort(g["ts"].to_numpy())
+        return int((np.searchsorted(t, t, side="right")
+                    - np.searchsorted(t, t - W, side="left")).max())
+
+    want = {k: brute(g) for k, g in df.groupby("key")}
+    for chunk in (11, 83, 500):
+        ds = rd.from_pandas([df.iloc[i:i + chunk].reset_index(drop=True)
+                             for i in range(0, n, chunk)])
+        out = peak_window_count(ds, key="key", ts_col="ts", window_us=W,
+                                driver_cap=0)
+        got = dict(zip(out["key"], out["peak_cnt"].astype(int)))
+        assert got == want, f"chunk={chunk}"
