@@ -922,7 +922,9 @@ def _finalize_docs(frame: pd.DataFrame, sep: str) -> pd.DataFrame:
     import hashlib
 
     if len(frame) == 0:
-        return pd.DataFrame(columns=["key", "doc_len", "doc_md5"])
+        return pd.DataFrame({"key": pd.Series([], dtype=object),
+                             "doc_len": pd.Series([], dtype=np.int64),
+                             "doc_md5": pd.Series([], dtype=object)})
     frame = frame.sort_values(["key", *_ord_cols_of(frame)],
                               kind="stable")
     docs = frame.groupby("key", sort=False)["seg"].agg(sep.join)
@@ -936,7 +938,8 @@ def _finalize_docs(frame: pd.DataFrame, sep: str) -> pd.DataFrame:
 
 def assemble_docs(ds, *, key: str, order_cols: list[str], text_col: str,
                   sep: str = "\n",
-                  driver_cap: int = 5_000_000) -> pd.DataFrame:
+                  driver_byte_cap: int = 32 << 20,
+                  driver_cap: int | None = None) -> pd.DataFrame:
     """Ordered per-key text assembly (conversation -> training document,
     SQL ``string_agg(text, sep ORDER BY order_cols)``), summarized as
     (key, doc_len, doc_md5). One sorted scan emits one joined segment per
@@ -944,7 +947,13 @@ def assemble_docs(ds, *, key: str, order_cols: list[str], text_col: str,
     their assembled text reduces to len+md5 WITHOUT crossing to the driver
     — and only boundary keys' segments stitch centrally. Per-key locality
     is inherent to assembly (a conversation's bytes must meet somewhere);
-    the partitioning assumption is that one key's text fits a worker."""
+    the partitioning assumption is that one key's text fits a worker.
+
+    Unlike the compact-partial ops, these partial rows carry TEXT, so the
+    driver fast path gates on ``size_bytes`` (not row count): beyond
+    ``driver_byte_cap`` the interior keys hash in parallel inside
+    map_batches and only the two boundary keys per block reach the driver.
+    ``driver_cap`` (rows) is kept for tests that force a path."""
     partials = (
         ds.sort([key] + list(order_cols))
         .map_batches(
@@ -953,7 +962,9 @@ def assemble_docs(ds, *, key: str, order_cols: list[str], text_col: str,
             batch_format="pandas")
         .materialize()
     )
-    if partials.count() <= driver_cap:
+    take_driver = (partials.count() <= driver_cap if driver_cap is not None
+                   else partials.size_bytes() <= driver_byte_cap)
+    if take_driver:
         out = _finalize_docs(partials.to_pandas(), sep)
     else:
         def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
