@@ -2442,6 +2442,90 @@ def doc_dup_windows(sf_dir):
     return out
 
 
+def events_above_user_avg(sf_dir):
+    """Decorrelated correlated subquery: per user, how many of their events
+    exceed their OWN average value — the "compare each row to its group
+    aggregate" shape. Pass 1 reduces exact integer (sum_cents, n) per user;
+    pass 2 broadcasts the small stats table and counts rows where
+    ``cents * n > sum_cents`` — an all-integer predicate, so no float mean
+    can tie-break differently than the SQL twin. At 10^9 users the
+    broadcast becomes a co-partitioned hash join; the two-pass
+    decorrelation itself is unchanged."""
+    import ray
+
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    ds = _read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def add_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "cents": _round_half_away(
+                df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    cds = ds.map_batches(add_cents, batch_format="pandas")
+    stats = keyed_reduce_pandas(
+        cds, ["user_id"],
+        {"sum_cents": ("cents", "sum"), "n": ("cents", "count")})
+    stats_ref = ray.put({
+        int(u): (int(s), int(n))
+        for u, s, n in zip(stats["user_id"], stats["sum_cents"], stats["n"])
+    })
+
+    def count_above(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(stats_ref)
+        u = df["user_id"].to_numpy()
+        c = df["cents"].to_numpy()
+        sn = np.array([sm[int(x)] for x in u], dtype=np.int64).reshape(-1, 2)
+        above = (c * sn[:, 1] > sn[:, 0]).astype(np.int64)
+        return (pd.DataFrame({"user_id": u, "above": above})
+                .groupby("user_id", as_index=False)["above"].sum())
+
+    parts = cds.map_batches(count_above, batch_format="pandas").to_pandas()
+    out = (parts.groupby("user_id", as_index=False)["above"].sum()
+           .rename(columns={"above": "n_above"})
+           .sort_values("user_id").reset_index(drop=True))
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_above"] = out["n_above"].astype(np.int64)
+    return out
+
+
+def doc_mad(sf_dir):
+    """Per-language median absolute deviation of document length — the
+    robust two-level dispersion statistic, composed from TWO exact grouped
+    percentile_disc passes (median -> broadcast -> |x - med| -> median).
+    Each pass is the compact-count-partial percentile operator; the only
+    driver state between them is one row per language."""
+    import ray
+
+    from ..functions.windows import grouped_percentile_disc
+
+    ds = _read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    med = grouped_percentile_disc(ds, key="lang", value_col="n_chars",
+                                  q=0.5)
+    med_ref = ray.put(dict(zip(med["lang"], med["p"].astype(np.int64))))
+
+    def absdev(df: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(med_ref)
+        m = df["lang"].map(mm).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "dev": np.abs(df["n_chars"].to_numpy(dtype=np.int64) - m),
+        })
+
+    mad = grouped_percentile_disc(
+        ds.map_batches(absdev, batch_format="pandas"),
+        key="lang", value_col="dev", q=0.5)
+    out = pd.DataFrame({
+        "lang": med["lang"],
+        "med": med["p"].astype(np.int64),
+        "mad": mad.set_index("lang")["p"].reindex(med["lang"])
+        .astype(np.int64).to_numpy(),
+    })
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def events_peak_rate(sf_dir):
     """Per-user PEAK trailing 4-hour event count — the burst-rate profiler
     (SQL RANGE-frame window max). One (user, ts) range sort; compact
@@ -2643,6 +2727,8 @@ QUERIES = {
     "events_rank_head": events_rank_head,
     "daily_full_join": daily_full_join,
     "events_key_skew": events_key_skew,
+    "events_above_user_avg": events_above_user_avg,
+    "doc_mad": doc_mad,
     "t_role_transitions": t_role_transitions,
     "events_value_p50_cont": events_value_p50_cont,
     "t_drift_ks_exact": t_drift_ks_exact,
@@ -3206,6 +3292,27 @@ WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
 t AS (SELECT sum(n) AS s FROM c)
 SELECT user_id, n, CAST((n * 1000000) // s AS BIGINT) AS ppm
 FROM c, t ORDER BY n DESC, user_id LIMIT 20""",
+        "events_above_user_avg": """
+WITH s AS (SELECT user_id,
+                  sum(CAST(round(value*100, 0) AS BIGINT)) AS sc,
+                  count(*) AS n
+           FROM events GROUP BY user_id)
+SELECT e.user_id,
+       CAST(count(*) FILTER (
+         CAST(round(e.value*100, 0) AS BIGINT) * s.n > s.sc
+       ) AS BIGINT) AS n_above
+FROM events e JOIN s USING (user_id)
+GROUP BY e.user_id ORDER BY e.user_id""",
+        "doc_mad": """
+WITH m AS (SELECT lang,
+                  CAST(percentile_disc(0.5)
+                       WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS med
+           FROM documents GROUP BY lang)
+SELECT d.lang, m.med,
+       CAST(percentile_disc(0.5)
+            WITHIN GROUP (ORDER BY abs(d.n_chars - m.med)) AS BIGINT) AS mad
+FROM documents d JOIN m USING (lang)
+GROUP BY d.lang, m.med ORDER BY d.lang""",
         "events_transitions": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type) OVER (

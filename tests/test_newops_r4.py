@@ -123,3 +123,58 @@ def test_peak_rate_query_shape(ray_session, synth_sf):
                             - np.searchsorted(t, t - W, side="left")).max())
     assert dict(zip(got["user_id"].astype(int),
                     got["peak_cnt"].astype(int))) == want
+
+
+def test_above_user_avg_integer_tie_exact(ray_session, tmp_path):
+    """Values engineered so many rows land EXACTLY on their user's mean —
+    the strict-inequality tie the integer predicate must not flip."""
+    rng = np.random.default_rng(3)
+    vals, users = [], []
+    for u in range(12):
+        base = [1.00, 2.00, 3.00] * 20   # mean exactly 2.00
+        users += [u] * len(base)
+        vals += base
+    n = len(vals)
+    events = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.arange(n), unit="s"),
+        "user_id": np.array(users, dtype=np.int64),
+        "event_type": ["view"] * n,
+        "value": np.array(vals),
+        "props": ["{}"] * n,
+    })
+    _write(tmp_path, "events", events)
+    from bio_data_validation_ray.pipelines.queries import (
+        events_above_user_avg,
+    )
+
+    got = events_above_user_avg(str(tmp_path))
+    # exactly the value-3.00 rows are above the mean; the 2.00 ties are not
+    assert got["n_above"].tolist() == [20] * 12
+
+
+def test_doc_mad_matches_brute(ray_session, tmp_path):
+    rng = np.random.default_rng(8)
+    n = 3000
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["x"] * n,
+        "lang": rng.choice(["en", "de", "fr"], n),
+        "source": ["s"] * n,
+        "n_chars": rng.integers(10, 5000, n).astype(np.int64),
+    })
+    _write(tmp_path, "documents", docs)
+    from bio_data_validation_ray.pipelines.queries import doc_mad
+
+    got = doc_mad(str(tmp_path))
+
+    def pdisc(v):  # SQL percentile_disc(0.5): value at rank ceil(0.5*n)
+        v = np.sort(np.asarray(v))
+        return int(v[max(1, int(np.ceil(0.5 * len(v)))) - 1])
+
+    for _, r in got.iterrows():
+        g = docs[docs["lang"] == r["lang"]]["n_chars"].to_numpy()
+        med = pdisc(g)
+        assert int(r["med"]) == med
+        assert int(r["mad"]) == pdisc(np.abs(g - med))
