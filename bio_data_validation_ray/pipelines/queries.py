@@ -2526,6 +2526,79 @@ def doc_mad(sf_dir):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def doc_top_words(sf_dir):
+    """Per-language vocabulary head: the 5 most frequent whitespace tokens
+    of each lang with exact counts (count desc, word asc) — grouped
+    distributed vocabulary mining. Per-batch (lang, word) value_counts
+    partials collapse each batch to its distinct vocabulary before the
+    keyed reduce shuffles, and the reduced stream takes its per-lang head
+    through grouped_top_n's compact boundary discipline — tokens
+    themselves never shuffle."""
+    import ray.data as rd
+
+    from ..functions.windows import grouped_top_n
+    from ..stages.keyed_reduce import keyed_reduce
+
+    ds = _read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("lang")[["text"]]["text"].str.split() \
+            .explode().dropna()
+        if not len(toks):
+            return pd.DataFrame({"lang": [], "word": [], "n": []})
+        vc = toks.groupby([toks.index, toks.values]).size()
+        return pd.DataFrame({
+            "lang": vc.index.get_level_values(0),
+            "word": vc.index.get_level_values(1),
+            "n": vc.to_numpy(np.int64),
+        })
+
+    interior, boundary = keyed_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "word"], {"n": ("n", "sum")},
+        partial_applied=True,
+    )
+    counts = interior
+    if len(boundary):
+        counts = counts.union(rd.from_pandas(boundary))
+
+    def order_key(df: pd.DataFrame) -> pd.DataFrame:
+        df["neg_n"] = -df["n"].to_numpy(np.int64)
+        return df
+
+    out = grouped_top_n(
+        counts.map_batches(order_key, batch_format="pandas"),
+        key="lang", order_cols=["neg_n", "word"], n=5)
+    out = out[["lang", "word", "n"]].copy()
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def events_repeat_buyers(sf_dir):
+    """INTERSECT as one grouped-flag reduce: users that appear with BOTH a
+    'view' and a 'purchase' event. Each batch collapses to per-user 0/1
+    flags, the keyed reduce ORs them (max), and the filter is a plain
+    predicate — no distinct-per-side materialization, no second shuffle,
+    unlike the naive two-branch set intersection."""
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    ds = _read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "saw": (df["event_type"] == "view").astype(np.int64),
+            "bought": (df["event_type"] == "purchase").astype(np.int64),
+        })
+
+    red = keyed_reduce_pandas(
+        ds.map_batches(flags, batch_format="pandas"),
+        ["user_id"], {"saw": ("saw", "max"), "bought": ("bought", "max")})
+    out = red[(red["saw"] > 0) & (red["bought"] > 0)][["user_id"]]
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def events_peak_rate(sf_dir):
     """Per-user PEAK trailing 4-hour event count — the burst-rate profiler
     (SQL RANGE-frame window max). One (user, ts) range sort; compact
@@ -2729,6 +2802,8 @@ QUERIES = {
     "events_key_skew": events_key_skew,
     "events_above_user_avg": events_above_user_avg,
     "doc_mad": doc_mad,
+    "doc_top_words": doc_top_words,
+    "events_repeat_buyers": events_repeat_buyers,
     "t_role_transitions": t_role_transitions,
     "events_value_p50_cont": events_value_p50_cont,
     "t_drift_ks_exact": t_drift_ks_exact,
@@ -3313,6 +3388,20 @@ SELECT d.lang, m.med,
             WITHIN GROUP (ORDER BY abs(d.n_chars - m.med)) AS BIGINT) AS mad
 FROM documents d JOIN m USING (lang)
 GROUP BY d.lang, m.med ORDER BY d.lang""",
+        "doc_top_words": r"""
+WITH w AS (SELECT lang,
+                  unnest(list_filter(string_split_regex(text, '\s+'),
+                                     x -> x <> '')) AS word
+           FROM documents),
+c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+r AS (SELECT lang, word, n, row_number() OVER (
+        PARTITION BY lang ORDER BY n DESC, word) AS rn FROM c)
+SELECT lang, word, n FROM r WHERE rn <= 5 ORDER BY lang, n DESC, word""",
+        "events_repeat_buyers": """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id""",
         "events_transitions": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type) OVER (

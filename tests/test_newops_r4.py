@@ -178,3 +178,46 @@ def test_doc_mad_matches_brute(ray_session, tmp_path):
         med = pdisc(g)
         assert int(r["med"]) == med
         assert int(r["mad"]) == pdisc(np.abs(g - med))
+
+
+def test_repeat_buyers_excludes_single_sided(ray_session, tmp_path):
+    ev = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.arange(8), unit="s"),
+        "user_id": np.array([1, 1, 2, 3, 3, 4, 4, 4], dtype=np.int64),
+        "event_type": ["view", "purchase",      # user 1: both
+                       "view",                  # user 2: view only
+                       "purchase", "purchase",  # user 3: purchase only
+                       "view", "click", "purchase"],  # user 4: both
+        "value": np.ones(8),
+        "props": ["{}"] * 8,
+    })
+    _write(tmp_path, "events", ev)
+    from bio_data_validation_ray.pipelines.queries import (
+        events_repeat_buyers,
+    )
+
+    got = events_repeat_buyers(str(tmp_path))
+    assert got["user_id"].tolist() == [1, 4]
+
+
+def test_top_words_grouped_exact(ray_session, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a a a b c", "b b  c", "a  b",      # en
+                 "x y", "y y\tz", "z z z y"],        # de (tab/space runs)
+        "lang": ["en"] * 3 + ["de"] * 3,
+        "source": ["s"] * 6,
+        "n_chars": np.int64(9) * np.ones(6, dtype=np.int64),
+    })
+    _write(tmp_path, "documents", docs)
+    from bio_data_validation_ray.pipelines.queries import doc_top_words
+
+    got = doc_top_words(str(tmp_path))
+    want = pd.DataFrame({
+        "lang": ["de", "de", "de", "en", "en", "en"],
+        "word": ["y", "z", "x", "a", "b", "c"],
+        "n": np.array([4, 4, 1, 4, 4, 2], dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(got, want)
