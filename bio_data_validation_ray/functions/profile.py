@@ -395,3 +395,43 @@ def grouped_zscore_outliers(ds, keys: list[str], value_col: str, *,
     out["n_outliers"] = out["n_outliers"].fillna(0).astype(np.int64)
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out.sort_values(keys, kind="stable").reset_index(drop=True)
+
+
+def cdf_quantiles(ds, value_col: str, qs: list[float],
+                  *, distinct_cap: int = 2_000_000) -> list[int]:
+    """EXACT global quantiles of a bounded-cardinality integer column in
+    ONE pass and NO sort: each batch collapses to (value, count) partials,
+    a keyed reduce merges them into the value CDF, and every requested
+    quantile reads off the cumulative table at rank max(1, ceil(q*n)) —
+    percentile_disc semantics for any number of qs at once. The scalable
+    multi-quantile path whenever distinct values are bounded (cents,
+    lengths, codes): the shuffle moves at most #distinct rows, vs a full
+    range sort per quantile. Raises if the distinct count exceeds
+    ``distinct_cap`` (then the t-digest sketch or the sorted-stream
+    percentile operator is the right tool)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.keyed_reduce import keyed_reduce_pandas
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[value_col].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "c": vc.to_numpy(np.int64)})
+
+    cdf = keyed_reduce_pandas(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["v"], {"c": ("c", "sum")}, partial_applied=True)
+    if len(cdf) > distinct_cap:
+        raise ValueError(
+            f"cdf_quantiles: {len(cdf)} distinct values exceeds "
+            f"distinct_cap={distinct_cap}; use a digest or the sorted "
+            f"percentile operator")
+    cdf = cdf.sort_values("v").reset_index(drop=True)
+    cum = cdf["c"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        out.append(int(cdf["v"].iloc[int(np.searchsorted(cum, rank))]))
+    return out

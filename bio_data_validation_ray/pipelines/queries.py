@@ -2599,6 +2599,48 @@ def events_repeat_buyers(sf_dir):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def events_value_deciles(sf_dir):
+    """Quantile-normalized distribution: global exact decile cut points of
+    value cents (profile.cdf_quantiles — ONE pass, NO sort, all nine
+    quantiles from the value-CDF reduce) broadcast into a per-(type,
+    decile-bucket) count. Bucket b = 1 + #{cuts < cents}, the integer
+    searchsorted definition the SQL twin restates with a correlated count
+    over the same nine cuts."""
+    import ray
+
+    from ..functions.profile import cdf_quantiles
+    from ..stages.keyed_reduce import combine_low_card
+
+    ds = _read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def add_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": _round_half_away(
+                df["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    cds = ds.map_batches(add_cents, batch_format="pandas").materialize()
+    cuts = np.sort(np.array(
+        cdf_quantiles(cds, "cents", [i / 10 for i in range(1, 10)]),
+        dtype=np.int64))
+    cuts_ref = ray.put(cuts)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        cc = ray.get(cuts_ref)
+        df["bucket"] = (np.searchsorted(
+            cc, df["cents"].to_numpy(), side="left") + 1).astype(np.int64)
+        return df[["event_type", "bucket"]]
+
+    out = combine_low_card(
+        cds.map_batches(bucketize, batch_format="pandas"),
+        ["event_type", "bucket"], {"n": ("bucket", "count")})
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["event_type", "bucket"])
+            .reset_index(drop=True))
+
+
 def events_peak_rate(sf_dir):
     """Per-user PEAK trailing 4-hour event count — the burst-rate profiler
     (SQL RANGE-frame window max). One (user, ts) range sort; compact
@@ -2804,6 +2846,7 @@ QUERIES = {
     "doc_mad": doc_mad,
     "doc_top_words": doc_top_words,
     "events_repeat_buyers": events_repeat_buyers,
+    "events_value_deciles": events_value_deciles,
     "t_role_transitions": t_role_transitions,
     "events_value_p50_cont": events_value_p50_cont,
     "t_drift_ks_exact": t_drift_ks_exact,
@@ -3402,6 +3445,17 @@ SELECT user_id FROM events WHERE event_type = 'view'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'
 ORDER BY user_id""",
+        "events_value_deciles": """
+WITH e AS (SELECT event_type,
+                  CAST(round(value*100, 0) AS BIGINT) AS cents
+           FROM events),
+cuts AS (SELECT unnest(quantile_disc(cents,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS cut FROM e)
+SELECT event_type,
+       CAST(1 + (SELECT count(*) FROM cuts WHERE cut < cents)
+            AS BIGINT) AS bucket,
+       count(*) AS n
+FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_transitions": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type) OVER (

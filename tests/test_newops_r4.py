@@ -221,3 +221,22 @@ def test_top_words_grouped_exact(ray_session, tmp_path):
         "n": np.array([4, 4, 1, 4, 4, 2], dtype=np.int64),
     })
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_cdf_quantiles_exact_and_multi(ray_session):
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.profile import cdf_quantiles
+
+    rng = np.random.default_rng(12)
+    v = rng.integers(0, 50, 5000).astype(np.int64)  # duplicate-heavy
+    df = pd.DataFrame({"x": v})
+    ds = rd.from_pandas([df.iloc[i:i + 173] for i in range(0, 5000, 173)])
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = cdf_quantiles(ds, "x", qs)
+    sv = np.sort(v)
+    want = [int(sv[max(1, int(np.ceil(q * len(sv)))) - 1]) for q in qs]
+    assert got == want
+
+    with pytest.raises(ValueError):
+        cdf_quantiles(ds, "x", [0.5], distinct_cap=3)
