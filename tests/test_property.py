@@ -312,3 +312,49 @@ def test_roll_partials_merge_is_chunking_invariant(df, n_chunks, k):
         brute.sort_values("key").reset_index(drop=True),
         check_like=True,
     )
+
+
+@given(event_streams(), st.integers(1, 10**6), st.integers(1, 6))
+def test_pwc_partials_merge_is_chunking_invariant(df, window_us, n_chunks):
+    """Peak trailing-window counts from chunked partials equal the
+    single-pass brute-force peer-inclusive RANGE-frame maximum, for every
+    chunking — including per-row chunks with duplicate timestamps."""
+    from bio_data_validation_ray.functions.windows import (
+        _merge_pwc_partials,
+        _pwc_partials,
+    )
+
+    df = df.sort_values(["key", "ts"], kind="stable").reset_index(drop=True)
+
+    def brute(g):
+        t = np.sort(g["ts"].to_numpy(np.int64))
+        return int((np.searchsorted(t, t, side="right")
+                    - np.searchsorted(t, t - window_us, side="left")).max())
+
+    want = {k: brute(g) for k, g in df.groupby("key")}
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(int)
+    parts = [
+        _pwc_partials(df.iloc[a:b].reset_index(drop=True), "key", "ts",
+                      window_us)
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    merged = _merge_pwc_partials(pd.concat(parts, ignore_index=True),
+                                 window_us)
+    got = dict(zip(merged["key"], merged["peak_cnt"].astype(int)))
+    assert got == want
+
+
+def test_pwc_partials_per_row_chunks_hot_burst():
+    """Degenerate chunking (one row per partial) over a single-timestamp
+    burst: every event is a peer of every other, so the peak must equal the
+    full burst size even though no chunk ever saw two rows."""
+    from bio_data_validation_ray.functions.windows import (
+        _merge_pwc_partials,
+        _pwc_partials,
+    )
+
+    df = pd.DataFrame({"key": ["h"] * 25, "ts": np.int64(1000)})
+    parts = [_pwc_partials(df.iloc[i:i + 1].reset_index(drop=True),
+                           "key", "ts", 10) for i in range(len(df))]
+    merged = _merge_pwc_partials(pd.concat(parts, ignore_index=True), 10)
+    assert merged["peak_cnt"].tolist() == [25]
