@@ -2220,6 +2220,7 @@ def events_hopping(sf_dir):
     )
     out["n"] = out["n"].astype(np.int64)
     out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    out["wstart"] = out["wstart"].astype("datetime64[us]")
     return out.sort_values(["wstart", "event_type"]).reset_index(drop=True)
 
 
