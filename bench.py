@@ -153,6 +153,13 @@ def run_bench() -> dict:
         "turns_per_sec": round(rows / headline, 1),
         "decision": report["final_decision"],
         "violations": report["stages"]["violations"]["total"],
+        # per-stage wall-times of the timed headline run (schema probe,
+        # scan, collect, stats reduce, conversation merge, violation sink)
+        # so a regression is attributable to a stage, not just the total
+        "stage_times": {
+            k: v.get("time_s") for k, v in report["stages"].items()
+            if isinstance(v, dict) and "time_s" in v
+        },
     }
     ray.shutdown()
     return out
