@@ -181,13 +181,18 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
+        # `ray job submit` / cluster runs: RAY_GRAFT_ADDRESS=auto attaches
+        # to the running cluster (num_cpus is a local-mode knob and is not
+        # passed); default stays a self-contained local session.
+        address = os.environ.get("RAY_GRAFT_ADDRESS", "local")
+        kwargs = dict(
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if address == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=address, **kwargs)
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -269,6 +274,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.validate import validate_dir
     from .registry import from_yaml
+
+    # missing/empty input must be a hard error, not an accepted empty run
+    # (the reference CLI errors on unreadable input; an input typo silently
+    # reporting "accepted" is the worst possible failure mode here)
+    import glob as _g
+
+    if not _g.glob(os.path.join(args.input_dir, "*.parquet")):
+        print(f"error: no parquet shards under {args.input_dir}",
+              file=sys.stderr)
+        return 2
 
     registry = None
     if args.rules:
