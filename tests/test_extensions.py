@@ -121,6 +121,18 @@ class TestCli:
         rep = json.loads(r2.stdout)
         assert rep["final_decision"] == "accepted"
 
+    def test_cli_validate_missing_input_is_an_error(self, tmp_path):
+        """A typo'd input path must exit 2 with a message — never an
+        'accepted' empty run."""
+        r = subprocess.run(
+            [sys.executable, "-m", "bio_data_validation_ray.cli",
+             "validate", str(tmp_path / "nope"), "--format", "json",
+             "--num-cpus", "2"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 2
+        assert "no parquet shards" in r.stderr
+
     def test_cli_dedup_subcommand(self, tmp_path):
         """dedup CLI: exact groups and minhash pairs over the documents
         fixture; planted duplicate must pair up."""
