@@ -2642,6 +2642,49 @@ def events_value_deciles(sf_dir):
             .reset_index(drop=True))
 
 
+def doc_chunks(sf_dir):
+    """Sliding-window document CHUNKING (doc -> overlapping context
+    windows, the pretraining/RAG splitting step): 500-char windows with
+    stride 400 (100-char overlap); a window is emitted only while it adds
+    more than the overlap's worth of new text (start < max(len-100, 1)),
+    so no trailing chunk is a near-copy of the previous one. Pure
+    flat-map — each batch expands independently, nothing shuffles; chunks
+    leave the stage as (len, md5) summaries, never raw text."""
+    import hashlib
+
+    WIN, STRIDE, OVER = 500, 400, 100
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        L = df["text"].str.len().to_numpy(np.int64)
+        bound = np.maximum(L - OVER, 1)
+        n_chunks = (bound - 1) // STRIDE + 1
+        out = []
+        for k in range(int(n_chunks.max()) if len(df) else 0):
+            m = n_chunks > k
+            sub = df.loc[m, ["doc_id", "text"]]
+            chunk = sub["text"].str.slice(k * STRIDE, k * STRIDE + WIN)
+            out.append(pd.DataFrame({
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                "chunk_idx": np.int64(k),
+                "chunk_len": chunk.str.len().to_numpy(np.int64),
+                "chunk_md5": [hashlib.md5(c.encode("utf-8")).hexdigest()
+                              for c in chunk],
+            }))
+        if not out:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "chunk_idx": pd.Series([], dtype=np.int64),
+                "chunk_len": pd.Series([], dtype=np.int64),
+                "chunk_md5": pd.Series([], dtype=object),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    got = ds.map_batches(expand, batch_format="pandas").to_pandas()
+    return (got.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
 def events_peak_rate(sf_dir):
     """Per-user PEAK trailing 4-hour event count — the burst-rate profiler
     (SQL RANGE-frame window max). One (user, ts) range sort; compact
@@ -2848,6 +2891,7 @@ QUERIES = {
     "doc_top_words": doc_top_words,
     "events_repeat_buyers": events_repeat_buyers,
     "events_value_deciles": events_value_deciles,
+    "doc_chunks": doc_chunks,
     "t_role_transitions": t_role_transitions,
     "events_value_p50_cont": events_value_p50_cont,
     "t_drift_ks_exact": t_drift_ks_exact,
@@ -3457,6 +3501,17 @@ SELECT event_type,
             AS BIGINT) AS bucket,
        count(*) AS n
 FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+        "doc_chunks": """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text) - 100, 1), 400)) AS start
+  FROM documents),
+c AS (SELECT doc_id, CAST(start // 400 AS BIGINT) AS chunk_idx,
+             substring(text, CAST(start + 1 AS INT), 500) AS chunk
+      FROM pos)
+SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_idx""",
         "events_transitions": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type) OVER (

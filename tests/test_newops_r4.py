@@ -240,3 +240,42 @@ def test_cdf_quantiles_exact_and_multi(ray_session):
 
     with pytest.raises(ValueError):
         cdf_quantiles(ds, "x", [0.5], distinct_cap=3)
+
+
+def test_doc_chunks_long_and_unicode(ray_session, tmp_path):
+    """Multi-chunk expansion with overlap, including non-ASCII text: window
+    arithmetic must be in CHARACTERS (len/slice), md5 over UTF-8 bytes."""
+    import hashlib
+
+    texts = [
+        "a" * 47,                       # single short chunk
+        "b" * 500,                      # exactly one window
+        "c" * 501,                      # 2 chunks: second adds 101 chars
+        "é" * 1300 + "ß" * 47,          # non-ASCII, 4 chunks
+        "x" * 100,                      # len == overlap -> one chunk
+    ]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    })
+    _write(tmp_path, "documents", docs)
+    from bio_data_validation_ray.pipelines.queries import doc_chunks
+
+    got = doc_chunks(str(tmp_path))
+    rows = []
+    for did, t in enumerate(texts):
+        starts = range(0, max(len(t) - 100, 1), 400)
+        for k, s in enumerate(starts):
+            ch = t[s:s + 500]
+            rows.append((did, k, len(ch),
+                         hashlib.md5(ch.encode("utf-8")).hexdigest()))
+    want = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk_len",
+                                       "chunk_md5"])
+    for c in ("doc_id", "chunk_idx", "chunk_len"):
+        want[c] = want[c].astype(np.int64)
+    assert (want.groupby("doc_id").size() >= 1).all()
+    assert want.groupby("doc_id").size().max() == 4  # real multi-chunk case
+    pd.testing.assert_frame_equal(got, want)
