@@ -1384,3 +1384,93 @@ def peak_window_count(ds, *, key: str, ts_col: str, window_us: int,
             ignore_index=True)
     out["peak_cnt"] = out["peak_cnt"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+# --- per-key adjacent-equal-pair counts ------------------------------------
+
+def _adjpair_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+    """One compact row per key-run of a (key, order)-sorted batch for the
+    per-key adjacent-equal count: in-run count of positions where
+    col[i] == col[i+1], plus the run's first/last value for cross-batch
+    bridging — the transition-partials discipline specialized to equality,
+    with PER-KEY output (transition_counts aggregates globally)."""
+    cols = ["key", "n_pairs", "first_v", "last_v"]
+    if len(df) == 0:
+        return pd.DataFrame(columns=cols)
+    kk = df[key].to_numpy()
+    vv = df[col].to_numpy()
+    same_key = kk[1:] == kk[:-1]
+    # SQL equality semantics: NULL = NULL is not a match
+    notna = ~pd.isna(vv)
+    eq = (vv[1:] == vv[:-1]) & same_key & notna[1:] & notna[:-1]
+    starts = np.flatnonzero(np.concatenate([[True], ~same_key]))
+    ends = np.concatenate([starts[1:], [len(kk)]])
+    # count of equal-adjacent pairs inside each run
+    cum = np.concatenate([[0], np.cumsum(eq)])
+    n_pairs = cum[ends - 1] - cum[starts]
+    return pd.DataFrame({
+        "key": kk[starts],
+        "n_pairs": n_pairs.astype(np.int64),
+        "first_v": vv[starts],
+        "last_v": vv[ends - 1],
+    })
+
+
+def _merge_adjpair_partials(frame: pd.DataFrame) -> pd.DataFrame:
+    """Sum per-key in-run counts and add one bridge per adjacent same-key
+    partial pair where last_v(i) == first_v(i+1)."""
+    if len(frame) == 0:
+        return pd.DataFrame({"key": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype=np.int64)})
+    kk = frame["key"].to_numpy()
+    same = kk[1:] == kk[:-1]
+    lv = frame["last_v"].to_numpy()[:-1][same]
+    fv = frame["first_v"].to_numpy()[1:][same]
+    bridge = (lv == fv) & ~pd.isna(lv) & ~pd.isna(fv)
+    base = frame.groupby("key", as_index=False, sort=False)["n_pairs"].sum()
+    if bridge.any():
+        extra = (pd.Series(kk[1:][same][bridge]).value_counts()
+                 .rename_axis("key").reset_index(name="b"))
+        base = base.merge(extra, on="key", how="left")
+        base["n_pairs"] = (base["n_pairs"]
+                           + base["b"].fillna(0).astype(np.int64))
+        base = base.drop(columns=["b"])
+    base["n_pairs"] = base["n_pairs"].astype(np.int64)
+    return base
+
+
+def adjacent_pair_counts(ds, *, key: str, order_cols: list[str], col: str,
+                         driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Per-key count of ADJACENT EQUAL values in the key's own ordering —
+    SQL ``count(*) FILTER (col = lag(col) OVER (PARTITION BY key ORDER BY
+    order_cols))`` grouped by key. The dialogue-structure rule primitive
+    ("same role speaks twice in a row"). One sorted scan, one compact row
+    per (batch, run); bridging across batches compares two scalars per
+    boundary — a hot key costs O(batches) rows, never raw turns."""
+    partials = (
+        ds.sort([key] + list(order_cols))
+        .map_batches(lambda df: _adjpair_partials(df, key, col),
+                     batch_format="pandas")
+        .materialize()
+    )
+    if partials.count() <= driver_cap:
+        out = _merge_adjpair_partials(partials.to_pandas())
+    else:
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df["key"].to_numpy()
+            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = partials.map_batches(
+            lambda df: _merge_adjpair_partials(split(df, False)),
+            batch_format="pandas",
+        ).to_pandas()
+        boundary = partials.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        out = pd.concat([interior, _merge_adjpair_partials(boundary)],
+                        ignore_index=True)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)

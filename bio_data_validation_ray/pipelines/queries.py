@@ -2642,6 +2642,27 @@ def events_value_deciles(sf_dir):
             .reset_index(drop=True))
 
 
+def t_role_repeats(sf_dir):
+    """Per-conversation count of consecutive SAME-ROLE turns (assistant
+    answering itself, tool bursts) — the dialogue-alternation statistic, a
+    per-key adjacent-pair primitive (windows.adjacent_pair_counts): one
+    sorted scan, one compact row per (batch, run), two scalars bridged per
+    block boundary. Order (turn_idx, ts, role) as in t_role_transitions;
+    the residual exact-duplicate tie is equality-invariant."""
+    import ray.data as rd
+
+    from ..functions.windows import adjacent_pair_counts
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir),
+                         columns=["conv_id", "turn_idx", "ts", "role"])
+    out = adjacent_pair_counts(ds, key="conv_id",
+                               order_cols=["turn_idx", "ts", "role"],
+                               col="role")
+    return (out.rename(columns={"key": "conv_id",
+                                "n_pairs": "n_repeats"})
+            .sort_values("conv_id").reset_index(drop=True))
+
+
 def doc_chunks(sf_dir):
     """Sliding-window document CHUNKING (doc -> overlapping context
     windows, the pretraining/RAG splitting step): 500-char windows with
@@ -2892,6 +2913,7 @@ QUERIES = {
     "events_repeat_buyers": events_repeat_buyers,
     "events_value_deciles": events_value_deciles,
     "doc_chunks": doc_chunks,
+    "t_role_repeats": t_role_repeats,
     "t_role_transitions": t_role_transitions,
     "events_value_p50_cont": events_value_p50_cont,
     "t_drift_ks_exact": t_drift_ks_exact,
@@ -3512,6 +3534,11 @@ c AS (SELECT doc_id, CAST(start // 400 AS BIGINT) AS chunk_idx,
 SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
        md5(chunk) AS chunk_md5
 FROM c ORDER BY doc_id, chunk_idx""",
+        "t_role_repeats": f"""{tq},
+s AS (SELECT conv_id, role, lag(role) OVER (
+        PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS prev FROM t)
+SELECT conv_id, CAST(count(*) FILTER (role = prev) AS BIGINT) AS n_repeats
+FROM s GROUP BY conv_id ORDER BY conv_id""",
         "events_transitions": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type) OVER (

@@ -358,3 +358,38 @@ def test_pwc_partials_per_row_chunks_hot_burst():
                            "key", "ts", 10) for i in range(len(df))]
     merged = _merge_pwc_partials(pd.concat(parts, ignore_index=True), 10)
     assert merged["peak_cnt"].tolist() == [25]
+
+
+@st.composite
+def typed_streams(draw):
+    n = draw(st.integers(2, 100))
+    keys = draw(st.lists(st.integers(0, 5), min_size=n, max_size=n))
+    vals = draw(st.lists(
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+        min_size=n, max_size=n))
+    return pd.DataFrame({"key": [f"k{v}" for v in keys], "v": vals})
+
+
+@given(typed_streams(), st.integers(1, 6))
+def test_adjpair_partials_merge_is_chunking_invariant(df, n_chunks):
+    """Per-key adjacent-equal counts from chunked partials equal the
+    single-pass count, with SQL null semantics (NULL never equals)."""
+    from bio_data_validation_ray.functions.windows import (
+        _adjpair_partials,
+        _merge_adjpair_partials,
+    )
+
+    df = df.sort_values(["key"], kind="stable").reset_index(drop=True)
+    want = {}
+    for k, g in df.groupby("key"):
+        v = g["v"].tolist()
+        want[k] = sum(1 for a, b in zip(v, v[1:])
+                      if a is not None and b is not None and a == b)
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(int)
+    parts = [
+        _adjpair_partials(df.iloc[a:b].reset_index(drop=True), "key", "v")
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    merged = _merge_adjpair_partials(pd.concat(parts, ignore_index=True))
+    got = dict(zip(merged["key"], merged["n_pairs"].astype(int)))
+    assert got == want
