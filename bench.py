@@ -122,11 +122,20 @@ def run_bench() -> dict:
     # the steady-state pipeline, not process/heap cold start
     validate_dir(bench_dir, run_dir=None, resume=False,
                  write_violations=False, max_pending_files=8)
-    run_dir = f"/tmp/bdvr_bench_run_{NUM_CPUS}_{int(time.time())}"
-    t0 = time.time()
-    report = validate_dir(bench_dir, run_dir=run_dir, resume=False,
-                          write_violations=True)
-    headline = time.time() - t0
+    # best-of-N timed runs (same de-noiser as the scaling levels): the first
+    # timed run still pays a worker-pool/buffer cold penalty the slice
+    # warm-up doesn't cover (measured: first 4.5-9s, steady 3.1-3.5s on a
+    # noisy host; both runs identical code+input)
+    reps = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
+    headline, report = None, None
+    for i in range(reps):
+        run_dir = f"/tmp/bdvr_bench_run_{NUM_CPUS}_{int(time.time())}_{i}"
+        t0 = time.time()
+        rep_i = validate_dir(bench_dir, run_dir=run_dir, resume=False,
+                             write_violations=True)
+        dt = time.time() - t0
+        if headline is None or dt < headline:
+            headline, report = dt, rep_i
     rows = report["rows_scanned"]
 
     # ---- per-query timings over the testdata sf dir ----
@@ -151,6 +160,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_rows": int(rows),
         "turns_per_sec": round(rows / headline, 1),
+        "headline_reps": reps,
         "decision": report["final_decision"],
         "violations": report["stages"]["violations"]["total"],
         # per-stage wall-times of the timed headline run (schema probe,
@@ -193,7 +203,10 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    BENCH_CONVS=scaling_convs, BENCH_MEAN_LEN=scaling_mlen,
-                   BENCH_SKIP_QUERIES="1", BENCH_CLEAN="1")
+                   BENCH_SKIP_QUERIES="1", BENCH_CLEAN="1",
+                   # best-of-N happens at this level (reps whole processes);
+                   # one timed run per process keeps the 2-CPU legs short
+                   BENCH_HEADLINE_REPEATS="1")
         cmd = [sys.executable, os.path.abspath(__file__)]
         if taskset:
             cmd = [taskset, "-c", f"0-{ncpu - 1}"] + cmd
