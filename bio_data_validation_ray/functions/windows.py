@@ -1474,3 +1474,133 @@ def adjacent_pair_counts(ds, *, key: str, order_cols: list[str], col: str,
                         ignore_index=True)
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+# --- per-key maximum run length (RLE / gaps-and-islands) --------------------
+
+_RUN_COLS = ["key", "n", "first_v", "first_run", "last_v", "last_run",
+             "interior_max"]
+
+
+def _runlen_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+    """One compact row per key-run of a (key, order)-sorted batch for the
+    per-key longest constant-value streak: the run's total length, its
+    leading and trailing streak (value, length), and the max interior
+    streak — the run-length-encoding boundary discipline (SQL
+    gaps-and-islands). NULL values break streaks (SQL equality)."""
+    if len(df) == 0:
+        return pd.DataFrame(columns=_RUN_COLS)
+    kk = df[key].to_numpy()
+    vv = df[col].to_numpy()
+    notna = ~pd.isna(vv)
+    same_key = kk[1:] == kk[:-1]
+    cont = (vv[1:] == vv[:-1]) & same_key & notna[1:] & notna[:-1]
+    # streak ids: increment whenever continuity breaks. Streak boundaries
+    # are a superset of key boundaries (continuity requires same_key), so
+    # per-key streak ranges slice exactly — all fully vectorized below.
+    sid = np.concatenate([[0], np.cumsum(~cont)])
+    streak_starts = np.flatnonzero(np.concatenate([[True], ~cont]))
+    streak_lens = np.diff(np.concatenate([streak_starts, [len(kk)]]))
+    key_starts = np.flatnonzero(np.concatenate([[True], ~same_key]))
+    key_ends = np.concatenate([key_starts[1:], [len(kk)]])
+    s0 = sid[key_starts]   # first streak id of each key-run
+    s1 = sid[key_ends - 1]  # last streak id of each key-run
+    # interior max: zero the first/last streak of every key, then a
+    # reduceat over [s0(i), s0(i+1)) — the next key's first streak starts
+    # at s1(i)+1, so each segment covers exactly one key's streaks
+    lens2 = streak_lens.copy()
+    lens2[s0] = 0
+    lens2[s1] = 0
+    interior = np.maximum.reduceat(lens2, s0) if len(s0) else np.array(
+        [], dtype=np.int64)
+    return pd.DataFrame({
+        "key": kk[key_starts],
+        "n": (key_ends - key_starts).astype(np.int64),
+        "first_v": vv[key_starts],
+        "first_run": streak_lens[s0].astype(np.int64),
+        "last_v": vv[key_ends - 1],
+        "last_run": streak_lens[s1].astype(np.int64),
+        "interior_max": interior.astype(np.int64),
+    })
+
+
+def _merge_runlen_partials(frame: pd.DataFrame) -> pd.DataFrame:
+    """Merge run-length partials per key in stream order: a trailing streak
+    chains into the next partial's leading streak iff the values match
+    (non-null); a partial that is one single streak chains through."""
+    if len(frame) == 0:
+        return pd.DataFrame({"key": pd.Series([], dtype=object),
+                             "max_run": pd.Series([], dtype=np.int64)})
+    counts = frame["key"].value_counts()
+    singles = counts[counts == 1].index
+    one = frame[frame["key"].isin(singles)]
+    res_one = pd.DataFrame({
+        "key": one["key"].to_numpy(),
+        "max_run": np.maximum(
+            np.maximum(one["first_run"].to_numpy(np.int64),
+                       one["last_run"].to_numpy(np.int64)),
+            one["interior_max"].to_numpy(np.int64)),
+    })
+    rows = []
+    for key_val, g in frame[~frame["key"].isin(singles)].groupby(
+            "key", sort=False):
+        best = 0
+        carry_v, carry_len = None, 0
+        for _, p in g.iterrows():
+            n, fv, fr = int(p["n"]), p["first_v"], int(p["first_run"])
+            lv, lr = p["last_v"], int(p["last_run"])
+            chains = (carry_len > 0 and not pd.isna(carry_v)
+                      and not pd.isna(fv) and carry_v == fv)
+            if fr == n:  # whole partial is one streak
+                if chains:
+                    carry_len += n
+                else:
+                    best = max(best, carry_len)
+                    carry_v, carry_len = fv, n
+            else:
+                head = carry_len + fr if chains else max(carry_len, fr)
+                best = max(best, head, int(p["interior_max"]))
+                carry_v, carry_len = lv, lr
+        best = max(best, carry_len)
+        rows.append((key_val, best))
+    res_multi = pd.DataFrame(rows, columns=["key", "max_run"])
+    out = pd.concat([res_one, res_multi], ignore_index=True)
+    out["max_run"] = out["max_run"].astype(np.int64)
+    return out
+
+
+def max_run_length(ds, *, key: str, order_cols: list[str], col: str,
+                   driver_cap: int = 5_000_000) -> pd.DataFrame:
+    """Per-key LONGEST CONSTANT-VALUE STREAK in the key's own ordering —
+    the gaps-and-islands maximum (SQL: row_number diff islands, max
+    count). Dialogue use: longest uninterrupted same-role burst per
+    conversation. One sorted scan; each (batch, run) reduces to a 7-field
+    partial; the stitch chains trailing/leading streaks on value equality
+    — a hot key costs O(batches) rows, never raw turns."""
+    partials = (
+        ds.sort([key] + list(order_cols))
+        .map_batches(lambda df: _runlen_partials(df, key, col),
+                     batch_format="pandas")
+        .materialize()
+    )
+    if partials.count() <= driver_cap:
+        out = _merge_runlen_partials(partials.to_pandas())
+    else:
+        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            kk = df["key"].to_numpy()
+            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
+            return df[bmask] if want_boundary else df[~bmask]
+
+        interior = partials.map_batches(
+            lambda df: _merge_runlen_partials(split(df, False)),
+            batch_format="pandas",
+        ).to_pandas()
+        boundary = partials.map_batches(
+            lambda df: split(df, True), batch_format="pandas"
+        ).to_pandas()
+        out = pd.concat([interior, _merge_runlen_partials(boundary)],
+                        ignore_index=True)
+    out["max_run"] = out["max_run"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)

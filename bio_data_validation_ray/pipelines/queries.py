@@ -2663,6 +2663,24 @@ def t_role_repeats(sf_dir):
             .sort_values("conv_id").reset_index(drop=True))
 
 
+def t_max_role_run(sf_dir):
+    """Per-conversation LONGEST same-role streak (gaps-and-islands max,
+    windows.max_run_length) — how long one speaker holds the floor. Same
+    order and tie note as t_role_repeats; the fixture has no null roles,
+    so the SQL islands form states identical semantics (null-break
+    behavior is pinned by the hypothesis property instead)."""
+    import ray.data as rd
+
+    from ..functions.windows import max_run_length
+
+    ds = rd.read_parquet(transcripts_dir(sf_dir),
+                         columns=["conv_id", "turn_idx", "ts", "role"])
+    out = max_run_length(ds, key="conv_id",
+                         order_cols=["turn_idx", "ts", "role"], col="role")
+    return (out.rename(columns={"key": "conv_id"})
+            .sort_values("conv_id").reset_index(drop=True))
+
+
 def doc_chunks(sf_dir):
     """Sliding-window document CHUNKING (doc -> overlapping context
     windows, the pretraining/RAG splitting step): 500-char windows with
@@ -2914,6 +2932,7 @@ QUERIES = {
     "events_value_deciles": events_value_deciles,
     "doc_chunks": doc_chunks,
     "t_role_repeats": t_role_repeats,
+    "t_max_role_run": t_max_role_run,
     "t_role_transitions": t_role_transitions,
     "events_value_p50_cont": events_value_p50_cont,
     "t_drift_ks_exact": t_drift_ks_exact,
@@ -3539,6 +3558,17 @@ s AS (SELECT conv_id, role, lag(role) OVER (
         PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS prev FROM t)
 SELECT conv_id, CAST(count(*) FILTER (role = prev) AS BIGINT) AS n_repeats
 FROM s GROUP BY conv_id ORDER BY conv_id""",
+        "t_max_role_run": f"""{tq},
+s AS (SELECT conv_id, role,
+        row_number() OVER (PARTITION BY conv_id
+          ORDER BY turn_idx, ts, role) AS rn,
+        row_number() OVER (PARTITION BY conv_id, role
+          ORDER BY turn_idx, ts, role) AS rnr
+      FROM t),
+i AS (SELECT conv_id, count(*) AS len
+      FROM s GROUP BY conv_id, role, rn - rnr)
+SELECT conv_id, CAST(max(len) AS BIGINT) AS max_run
+FROM i GROUP BY conv_id ORDER BY conv_id""",
         "events_transitions": """
 WITH s AS (SELECT user_id, event_type,
                   lead(event_type) OVER (

@@ -393,3 +393,33 @@ def test_adjpair_partials_merge_is_chunking_invariant(df, n_chunks):
     merged = _merge_adjpair_partials(pd.concat(parts, ignore_index=True))
     got = dict(zip(merged["key"], merged["n_pairs"].astype(int)))
     assert got == want
+
+
+@given(typed_streams(), st.integers(1, 6))
+def test_runlen_partials_merge_is_chunking_invariant(df, n_chunks):
+    """Per-key longest constant-value streak from chunked partials equals
+    the single-pass brute force; nulls break streaks (each null is its own
+    length-1 streak)."""
+    from bio_data_validation_ray.functions.windows import (
+        _merge_runlen_partials,
+        _runlen_partials,
+    )
+
+    df = df.sort_values(["key"], kind="stable").reset_index(drop=True)
+    want = {}
+    for k, g in df.groupby("key"):
+        v = g["v"].tolist()
+        best = cur = 1
+        for a, b in zip(v, v[1:]):
+            cur = cur + 1 if (a is not None and b is not None
+                              and a == b) else 1
+            best = max(best, cur)
+        want[k] = best
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(int)
+    parts = [
+        _runlen_partials(df.iloc[a:b].reset_index(drop=True), "key", "v")
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    merged = _merge_runlen_partials(pd.concat(parts, ignore_index=True))
+    got = dict(zip(merged["key"], merged["max_run"].astype(int)))
+    assert got == want
