@@ -126,7 +126,7 @@ def run_bench() -> dict:
     # timed run still pays a worker-pool/buffer cold penalty the slice
     # warm-up doesn't cover (measured: first 4.5-9s, steady 3.1-3.5s on a
     # noisy host; both runs identical code+input)
-    reps = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
+    reps = max(1, int(os.environ.get("BENCH_HEADLINE_REPEATS", "2")))
     headline, report = None, None
     for i in range(reps):
         run_dir = f"/tmp/bdvr_bench_run_{NUM_CPUS}_{int(time.time())}_{i}"

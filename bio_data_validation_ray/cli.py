@@ -178,6 +178,17 @@ def main(argv: list[str] | None = None) -> int:
             args.files_per_pass = int(cfg.get("validation", "files_per_pass",
                                               default=64))
 
+    if args.cmd == "validate":
+        # missing/empty input must be a hard error, not an accepted empty
+        # run — and it must fire BEFORE Ray starts (a typo'd path should
+        # not pay multi-second session startup)
+        import glob as _g
+
+        if not _g.glob(os.path.join(args.input_dir, "*.parquet")):
+            print(f"error: no parquet shards under {args.input_dir}",
+                  file=sys.stderr)
+            return 2
+
     import ray
 
     if not ray.is_initialized():
@@ -274,16 +285,6 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.validate import validate_dir
     from .registry import from_yaml
-
-    # missing/empty input must be a hard error, not an accepted empty run
-    # (the reference CLI errors on unreadable input; an input typo silently
-    # reporting "accepted" is the worst possible failure mode here)
-    import glob as _g
-
-    if not _g.glob(os.path.join(args.input_dir, "*.parquet")):
-        print(f"error: no parquet shards under {args.input_dir}",
-              file=sys.stderr)
-        return 2
 
     registry = None
     if args.rules:

@@ -427,9 +427,13 @@ def cdf_quantiles(ds, value_col: str, qs: list[float],
             f"cdf_quantiles: {len(cdf)} distinct values exceeds "
             f"distinct_cap={distinct_cap}; use a digest or the sorted "
             f"percentile operator")
+    if len(cdf) == 0:
+        raise ValueError("cdf_quantiles: empty input")
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"cdf_quantiles: qs must be in [0, 1], got {qs}")
     cdf = cdf.sort_values("v").reset_index(drop=True)
     cum = cdf["c"].to_numpy(np.int64).cumsum()
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     out = []
     for q in qs:
         rank = max(1, int(np.ceil(q * n)))

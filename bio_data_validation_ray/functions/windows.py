@@ -164,6 +164,26 @@ def _split_boundary(df: pd.DataFrame, key: str, want_boundary: bool
     return df[bmask] if want_boundary else df[~bmask]
 
 
+def _dual_path_merge(partials, merge_fn, driver_cap: int) -> pd.DataFrame:
+    """Shared finalize for the compact-partial window ops: collect-and-
+    merge on the driver below ``driver_cap`` partial rows, else merge
+    interior keys inside map_batches and stitch only each block's boundary
+    keys (at most two per block) centrally. ``merge_fn(frame) -> frame``
+    must be chunking-invariant over stream-ordered partials — exactly the
+    property each op's hypothesis test pins."""
+    partials = partials.materialize()
+    if partials.count() <= driver_cap:
+        return merge_fn(partials.to_pandas())
+    interior = partials.map_batches(
+        lambda df: merge_fn(_split_boundary(df, "key", False)),
+        batch_format="pandas",
+    ).to_pandas()
+    boundary = partials.map_batches(
+        lambda df: _split_boundary(df, "key", True), batch_format="pandas"
+    ).to_pandas()
+    return pd.concat([interior, merge_fn(boundary)], ignore_index=True)
+
+
 def _asof_partials(df: pd.DataFrame, key: str, ts_col: str, marker_col: str,
                    marker_value) -> pd.DataFrame:
     """One COMPACT partial per key run in a (key, ts)-sorted batch slice:
@@ -861,35 +881,15 @@ def rolling_sum_max(ds, *, key: str, order_cols: list[str], value_col: str,
     batch finalize vectorized; boundary keys stitch from compact partials
     only, so a 10^9-row hot key reaches the driver as #batches tiny rows.
     -> DataFrame[(key, max_roll)] sorted by key."""
-    partials = (
-        ds.sort([key] + list(order_cols))
-        .map_batches(lambda df: _roll_partials(df, key, value_col, k),
-                     batch_format="pandas")
-        .materialize()
-    )
-    if partials.count() <= driver_cap:
-        # the partial stream is tiny; collect in block order. Ray preserves
-        # block order for order-preserving ops, and each key's partials are
-        # stream-contiguous after the range sort, so per-key stream order
-        # survives collection.
-        out = _merge_roll_partials(partials.to_pandas(), k)
-    else:
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df["key"].to_numpy()
-            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
-
-        interior = partials.map_batches(
-            lambda df: _merge_roll_partials(split(df, False), k),
-            batch_format="pandas",
-        ).to_pandas()
-        boundary = partials.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
-        ).to_pandas()
-        out = pd.concat([interior, _merge_roll_partials(boundary, k)],
-                        ignore_index=True)
+    # driver path collects the partial stream in block order: Ray preserves
+    # block order for order-preserving ops, and each key's partials are
+    # stream-contiguous after the range sort, so per-key stream order
+    # survives collection (the invariant every merge_fn relies on).
+    partials = ds.sort([key] + list(order_cols)).map_batches(
+        lambda df: _roll_partials(df, key, value_col, k),
+        batch_format="pandas")
+    out = _dual_path_merge(
+        partials, lambda f: _merge_roll_partials(f, k), driver_cap)
     out["max_roll"] = out["max_roll"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
 
@@ -1267,7 +1267,15 @@ def _pwc_partials(df: pd.DataFrame, key: str, ts_col: str,
     window), so runs never bleed into each other and there is no per-run
     Python loop."""
     if len(df) == 0:
-        return pd.DataFrame(columns=_PWC_COLS)
+        return pd.DataFrame({
+            "key": pd.Series([], dtype=object),
+            "interior_peak": pd.Series([], dtype=np.int64),
+            "first_ts": pd.Series([], dtype=np.int64),
+            "last_ts": pd.Series([], dtype=np.int64),
+            "head_ts": pd.Series([], dtype=object),
+            "head_cnt": pd.Series([], dtype=object),
+            "tail_ts": pd.Series([], dtype=object),
+        })
     kcol = df[key].to_numpy()
     ts = _ts_us(df[ts_col])
     newkey = np.concatenate([[True], kcol[1:] != kcol[:-1]])
@@ -1295,8 +1303,12 @@ def _pwc_partials(df: pd.DataFrame, key: str, ts_col: str,
     for ridx in {0, len(starts) - 1}:
         lo, hi = starts[ridx], ends[ridx]
         rts, rcnt = ts[lo:hi], cnt[lo:hi]
-        head = rts < rts[0] + window_us
-        tail = rts > rts[-1] - window_us
+        # INCLUSIVE masks: the RANGE frame [a-W, a] is closed on both
+        # ends, and a duplicate timestamp can recur across the block
+        # boundary, so an anchor in the next block can sit exactly W from
+        # a carried event — strict masks drop that event and undercount
+        head = rts <= rts[0] + window_us
+        tail = rts >= rts[-1] - window_us
         out.at[ridx, "head_ts"] = _pack_i64(rts[head])
         out.at[ridx, "head_cnt"] = _pack_i64(rcnt[head])
         out.at[ridx, "tail_ts"] = _pack_i64(rts[tail])
@@ -1308,7 +1320,8 @@ def _merge_pwc_partials(frame: pd.DataFrame, window_us: int) -> pd.DataFrame:
     single partial resolve vectorized; spanning keys walk an O(#partials)
     stitch whose state is one window's worth of timestamps."""
     if len(frame) == 0:
-        return pd.DataFrame(columns=["key", "peak_cnt"])
+        return pd.DataFrame({"key": pd.Series([], dtype=object),
+                             "peak_cnt": pd.Series([], dtype=np.int64)})
     counts = frame["key"].value_counts()
     singles = counts[counts == 1].index
     one = frame[frame["key"].isin(singles)]
@@ -1333,7 +1346,7 @@ def _merge_pwc_partials(frame: pd.DataFrame, window_us: int) -> pd.DataFrame:
             last = np.int64(p["last_ts"])
             tail = _unpack_i64(p["tail_ts"])
             carry = np.concatenate(
-                [carry[carry > last - window_us], tail])
+                [carry[carry >= last - window_us], tail])
         rows.append((key_val, best))
     res_multi = pd.DataFrame(rows, columns=["key", "peak_cnt"])
     out = pd.concat([res_one, res_multi], ignore_index=True)
@@ -1356,32 +1369,11 @@ def peak_window_count(ds, *, key: str, ts_col: str, window_us: int,
     Reference ancestor: the per-group ordering checks at
     sample_metadata_validator.py:486-504; semantics from the SQL standard
     RANGE frame."""
-    partials = (
-        ds.sort([key, ts_col])
-        .map_batches(lambda df: _pwc_partials(df, key, ts_col, window_us),
-                     batch_format="pandas")
-        .materialize()
-    )
-    if partials.count() <= driver_cap:
-        out = _merge_pwc_partials(partials.to_pandas(), window_us)
-    else:
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df["key"].to_numpy()
-            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
-
-        interior = partials.map_batches(
-            lambda df: _merge_pwc_partials(split(df, False), window_us),
-            batch_format="pandas",
-        ).to_pandas()
-        boundary = partials.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
-        ).to_pandas()
-        out = pd.concat(
-            [interior, _merge_pwc_partials(boundary, window_us)],
-            ignore_index=True)
+    partials = ds.sort([key, ts_col]).map_batches(
+        lambda df: _pwc_partials(df, key, ts_col, window_us),
+        batch_format="pandas")
+    out = _dual_path_merge(
+        partials, lambda f: _merge_pwc_partials(f, window_us), driver_cap)
     out["peak_cnt"] = out["peak_cnt"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
 
@@ -1394,9 +1386,11 @@ def _adjpair_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
     col[i] == col[i+1], plus the run's first/last value for cross-batch
     bridging — the transition-partials discipline specialized to equality,
     with PER-KEY output (transition_counts aggregates globally)."""
-    cols = ["key", "n_pairs", "first_v", "last_v"]
     if len(df) == 0:
-        return pd.DataFrame(columns=cols)
+        return pd.DataFrame({"key": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype=np.int64),
+                             "first_v": pd.Series([], dtype=object),
+                             "last_v": pd.Series([], dtype=object)})
     kk = df[key].to_numpy()
     vv = df[col].to_numpy()
     same_key = kk[1:] == kk[:-1]
@@ -1447,31 +1441,9 @@ def adjacent_pair_counts(ds, *, key: str, order_cols: list[str], col: str,
     ("same role speaks twice in a row"). One sorted scan, one compact row
     per (batch, run); bridging across batches compares two scalars per
     boundary — a hot key costs O(batches) rows, never raw turns."""
-    partials = (
-        ds.sort([key] + list(order_cols))
-        .map_batches(lambda df: _adjpair_partials(df, key, col),
-                     batch_format="pandas")
-        .materialize()
-    )
-    if partials.count() <= driver_cap:
-        out = _merge_adjpair_partials(partials.to_pandas())
-    else:
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df["key"].to_numpy()
-            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
-
-        interior = partials.map_batches(
-            lambda df: _merge_adjpair_partials(split(df, False)),
-            batch_format="pandas",
-        ).to_pandas()
-        boundary = partials.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
-        ).to_pandas()
-        out = pd.concat([interior, _merge_adjpair_partials(boundary)],
-                        ignore_index=True)
+    partials = ds.sort([key] + list(order_cols)).map_batches(
+        lambda df: _adjpair_partials(df, key, col), batch_format="pandas")
+    out = _dual_path_merge(partials, _merge_adjpair_partials, driver_cap)
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
 
@@ -1489,7 +1461,15 @@ def _runlen_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
     streak — the run-length-encoding boundary discipline (SQL
     gaps-and-islands). NULL values break streaks (SQL equality)."""
     if len(df) == 0:
-        return pd.DataFrame(columns=_RUN_COLS)
+        return pd.DataFrame({
+            "key": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "first_v": pd.Series([], dtype=object),
+            "first_run": pd.Series([], dtype=np.int64),
+            "last_v": pd.Series([], dtype=object),
+            "last_run": pd.Series([], dtype=np.int64),
+            "interior_max": pd.Series([], dtype=np.int64),
+        })
     kk = df[key].to_numpy()
     vv = df[col].to_numpy()
     notna = ~pd.isna(vv)
@@ -1577,30 +1557,8 @@ def max_run_length(ds, *, key: str, order_cols: list[str], col: str,
     conversation. One sorted scan; each (batch, run) reduces to a 7-field
     partial; the stitch chains trailing/leading streaks on value equality
     — a hot key costs O(batches) rows, never raw turns."""
-    partials = (
-        ds.sort([key] + list(order_cols))
-        .map_batches(lambda df: _runlen_partials(df, key, col),
-                     batch_format="pandas")
-        .materialize()
-    )
-    if partials.count() <= driver_cap:
-        out = _merge_runlen_partials(partials.to_pandas())
-    else:
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df["key"].to_numpy()
-            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
-
-        interior = partials.map_batches(
-            lambda df: _merge_runlen_partials(split(df, False)),
-            batch_format="pandas",
-        ).to_pandas()
-        boundary = partials.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
-        ).to_pandas()
-        out = pd.concat([interior, _merge_runlen_partials(boundary)],
-                        ignore_index=True)
+    partials = ds.sort([key] + list(order_cols)).map_batches(
+        lambda df: _runlen_partials(df, key, col), batch_format="pandas")
+    out = _dual_path_merge(partials, _merge_runlen_partials, driver_cap)
     out["max_run"] = out["max_run"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)

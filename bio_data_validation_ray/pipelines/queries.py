@@ -2465,21 +2465,25 @@ def events_above_user_avg(sf_dir):
                 df["value"].to_numpy() * 100).astype(np.int64),
         })
 
-    cds = ds.map_batches(add_cents, batch_format="pandas")
+    # materialize: the derived stream feeds BOTH the stats reduce and the
+    # counting pass — without it the read + cents conversion runs twice
+    cds = ds.map_batches(add_cents, batch_format="pandas").materialize()
     stats = keyed_reduce_pandas(
         cds, ["user_id"],
         {"sum_cents": ("cents", "sum"), "n": ("cents", "count")})
-    stats_ref = ray.put({
-        int(u): (int(s), int(n))
-        for u, s, n in zip(stats["user_id"], stats["sum_cents"], stats["n"])
-    })
+    sum_ref = ray.put(pd.Series(
+        stats["sum_cents"].to_numpy(np.int64),
+        index=stats["user_id"].to_numpy(np.int64)))
+    n_ref = ray.put(pd.Series(
+        stats["n"].to_numpy(np.int64),
+        index=stats["user_id"].to_numpy(np.int64)))
 
     def count_above(df: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(stats_ref)
-        u = df["user_id"].to_numpy()
-        c = df["cents"].to_numpy()
-        sn = np.array([sm[int(x)] for x in u], dtype=np.int64).reshape(-1, 2)
-        above = (c * sn[:, 1] > sn[:, 0]).astype(np.int64)
+        sums, ns = ray.get(sum_ref), ray.get(n_ref)
+        u = df["user_id"]
+        above = (df["cents"].to_numpy(np.int64)
+                 * u.map(ns).to_numpy(np.int64)
+                 > u.map(sums).to_numpy(np.int64)).astype(np.int64)
         return (pd.DataFrame({"user_id": u, "above": above})
                 .groupby("user_id", as_index=False)["above"].sum())
 
@@ -2546,7 +2550,9 @@ def doc_top_words(sf_dir):
         toks = df.set_index("lang")[["text"]]["text"].str.split() \
             .explode().dropna()
         if not len(toks):
-            return pd.DataFrame({"lang": [], "word": [], "n": []})
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
         vc = toks.groupby([toks.index, toks.values]).size()
         return pd.DataFrame({
             "lang": vc.index.get_level_values(0),

@@ -423,3 +423,53 @@ def test_runlen_partials_merge_is_chunking_invariant(df, n_chunks):
     merged = _merge_runlen_partials(pd.concat(parts, ignore_index=True))
     got = dict(zip(merged["key"], merged["max_run"].astype(int)))
     assert got == want
+
+
+@given(st.lists(st.integers(0, 8), min_size=2, max_size=60),
+       st.sampled_from([1, 2, 4]), st.integers(1, 8))
+def test_pwc_window_edge_collisions_chunking_invariant(steps, w, n_chunks):
+    """Timestamps on a small grid with the window an exact multiple of the
+    grid step: boundary events land EXACTLY window_us from anchors across
+    chunks, the inclusive-edge case strict masks used to drop."""
+    from bio_data_validation_ray.functions.windows import (
+        _merge_pwc_partials,
+        _pwc_partials,
+    )
+
+    ts = np.cumsum(np.array(steps, dtype=np.int64))
+    df = pd.DataFrame({"key": ["k"] * len(ts), "ts": ts})
+    brute = int((np.searchsorted(ts, ts, side="right")
+                 - np.searchsorted(ts, ts - w, side="left")).max())
+    bounds = np.linspace(0, len(df), n_chunks + 1).astype(int)
+    parts = [
+        _pwc_partials(df.iloc[a:b].reset_index(drop=True), "key", "ts", w)
+        for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    merged = _merge_pwc_partials(pd.concat(parts, ignore_index=True), w)
+    assert merged["peak_cnt"].tolist() == [brute]
+
+
+def test_pwc_inclusive_edge_across_chunks():
+    """Concrete regressions for the inclusive RANGE-frame edge: an anchor
+    exactly window_us from a carried event, incl. a duplicate timestamp
+    recurring across the boundary."""
+    from bio_data_validation_ray.functions.windows import (
+        _merge_pwc_partials,
+        _pwc_partials,
+    )
+
+    def run(chunks, w):
+        parts = [
+            _pwc_partials(pd.DataFrame(
+                {"key": ["a"] * len(c), "ts": np.array(c, np.int64)}),
+                "key", "ts", w)
+            for c in chunks
+        ]
+        return int(_merge_pwc_partials(
+            pd.concat(parts, ignore_index=True), w)["peak_cnt"].iloc[0])
+
+    assert run([[0, 10], [10]], 10) == 3
+    assert run([[0, 100], [100, 110]], 10) == 3
+    assert run([[0, 5, 10], [10, 20]], 10) == 4
+    assert run([[0], [5], [10]], 10) == 3
+    assert run([[0, 0], [0]], 0) == 3
