@@ -22,8 +22,11 @@ _BAND = "__band"
 
 
 def _ts_us(col) -> np.ndarray:
-    """int64 microseconds from a timestamp-like or integer column."""
+    """int64 microseconds from a timestamp-like or integer column
+    (tz-aware columns convert to UTC wall time first)."""
     s = pd.Series(col)
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
     if pd.api.types.is_datetime64_any_dtype(s):
         return s.astype("datetime64[us]").astype(np.int64).to_numpy()
     return s.astype(np.int64).to_numpy()
@@ -43,9 +46,10 @@ def banded_range_join(points, intervals, *, key: str,
     Both sides stay Datasets throughout: band assignment is a vectorized
     ``map_batches``, the equi-join is Ray's hash join on ``(key, band)``,
     and the range predicate is one boolean kernel per output block.
-    Interval spans must be <= ``max_copies * band_width_us`` (asserted per
-    batch) so replication stays O(1) per interval; pick ``band_width_us``
-    on the order of the maximum span.
+    Interval spans must be <= ``max_copies * band_width_us`` — covering at
+    most ``max_copies + 1`` bands — asserted per batch so replication stays
+    O(1) per interval; pick ``band_width_us`` on the order of the maximum
+    span. An empty side yields an empty result (never a join crash).
 
     Column names must be disjoint across the two sides apart from ``key``
     (rename the interval side's payload before calling).
@@ -76,10 +80,12 @@ def banded_range_join(points, intervals, *, key: str,
         hi = _ts_us(df[hi_col])
         b0, b1 = lo // W, hi // W
         ncopies = (b1 - b0 + 1).clip(min=0)
-        if ncopies.max(initial=0) > max_copies:
+        # span <= max_copies*W covers at most max_copies+1 bands (a span of
+        # exactly k*W can straddle k+1 bands), so that is the legal ceiling
+        if ncopies.max(initial=0) > max_copies + 1:
             raise ValueError(
-                f"interval spans {int(ncopies.max())} bands > max_copies="
-                f"{max_copies}; raise band_width_us")
+                f"interval spans {int(ncopies.max())} bands > max_copies+1="
+                f"{max_copies + 1}; raise band_width_us")
         idx = np.repeat(np.arange(len(df)), ncopies)
         out = df.iloc[idx].copy()
         out[lo_col] = lo[idx]
@@ -92,16 +98,35 @@ def banded_range_join(points, intervals, *, key: str,
 
     p = points.map_batches(tag_points, batch_format="pandas")
     iv = intervals.map_batches(replicate_intervals, batch_format="pandas")
-    joined = p.repartition(num_partitions).join(
-        iv.repartition(num_partitions), "inner", num_partitions,
+    # empty-side guard: Ray's hash join cannot resolve key fields on a
+    # schemaless empty side (ArrowInvalid); the join result is empty anyway
+    p = p.materialize()
+    iv = iv.materialize()
+    if p.count() == 0 or iv.count() == 0:
+        import ray.data as rd
+
+        cols = ([c for c in (p.schema().names if p.count() else [])
+                 if c != _BAND]
+                + [lo_col, hi_col])
+        return rd.from_pandas(pd.DataFrame(columns=cols))
+    # no pre-repartition: Dataset.join is itself a hash shuffle into
+    # num_partitions by key hash — a round-robin repartition before it is
+    # a full extra exchange that the join immediately redistributes
+    joined = p.join(
+        iv, "inner", num_partitions,
         on=(key, _BAND), right_on=(key, _BAND),
     )
 
+    iv_cols = [c for c in iv.schema().names if c not in (key, _BAND)]
+
     def in_range(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or lo_col not in df.columns:
-            # a partition with no interval match omits right-side columns
+            # a partition with no interval match omits right-side columns;
+            # re-add ALL interval payload columns exactly once so every
+            # block shares one schema
             cols = [c for c in df.columns if c != _BAND]
-            return pd.DataFrame(columns=cols + [lo_col, hi_col])
+            extra = [c for c in iv_cols if c not in cols]
+            return pd.DataFrame(columns=cols + extra)
         ts = df[point_ts_col].to_numpy()
         keep = (df[lo_col].to_numpy() <= ts) & (ts <= df[hi_col].to_numpy())
         return df.loc[keep].drop(columns=[_BAND]).reset_index(drop=True)

@@ -40,7 +40,15 @@ def block_prefix_offsets(srt, order_col: str, value_col: str) -> dict:
     parts = parts.sort_values("first_key", kind="stable")
     sums = parts["s"].to_numpy(np.int64)
     offsets = np.concatenate([[np.int64(0)], np.cumsum(sums)[:-1]])
-    return dict(zip(parts["first_key"].tolist(), offsets.tolist()))
+    out = dict(zip(parts["first_key"].tolist(), offsets.tolist()))
+    if len(out) != len(parts):
+        # two blocks share a first key -> the unique-order_col precondition
+        # is violated; failing loudly beats silently corrupting every
+        # downstream offset
+        raise ValueError(
+            "block_prefix_offsets: duplicate order_col values straddle a "
+            "block boundary; order_col must be unique")
+    return out
 
 
 def packed_bins(ds, *, order_col: str, value_col: str, capacity: int):
@@ -55,6 +63,9 @@ def packed_bins(ds, *, order_col: str, value_col: str, capacity: int):
 
     from ..stages.keyed_reduce import combine_low_card
 
+    if int(capacity) <= 0:
+        raise ValueError(f"packed_bins: capacity must be positive, got "
+                         f"{capacity}")
     srt = ds.sort(order_col).materialize()
     off_ref = ray.put(block_prefix_offsets(srt, order_col, value_col))
 

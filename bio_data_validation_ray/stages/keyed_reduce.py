@@ -17,7 +17,14 @@ vectorized:
      boundary-stitching pattern as convstage.MergeSegments.
 
 Mergeable aggregate hows: sum, min, max, count (count partials merge by
-sum), first. Results are exact, not approximate.
+sum), first. sum/min/max/count are exact on every path. ``first`` is
+exact through ``combine_low_card`` (which preserves dataset order) but
+ORDER-DEPENDENT through the sort-based ``keyed_reduce`` path: the range
+shuffle does not preserve intra-key partial order, so a key spanning
+batches gets whichever partial lands first — use min/max (or carry an
+explicit order column and take min over (order, value)) when the choice
+must be deterministic. No in-repo caller uses ``first`` on the sorted
+path.
 """
 
 from __future__ import annotations

@@ -99,3 +99,102 @@ def test_span_cap_enforced(ray_session):
     # raising the band width makes the same intervals legal
     got = run_join(points, iv, ray_session, band=16 * W, max_copies=4)
     pd.testing.assert_frame_equal(got, brute(points, iv))
+
+
+class TestRangeJoinEdges:
+    def test_empty_side_yields_empty_result(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.joins import (
+            banded_range_join,
+        )
+
+        pts = rd.from_pandas(pd.DataFrame(
+            {"k": pd.Series([], dtype=np.int64),
+             "ts": pd.Series([], dtype=np.int64)}))
+        iv = rd.from_pandas(pd.DataFrame(
+            {"k": np.int64([1]), "lo": np.int64([0]),
+             "hi": np.int64([5]), "iid": np.int64([7])}))
+        out = banded_range_join(pts, iv, key="k", point_ts_col="ts",
+                                lo_col="lo", hi_col="hi", band_width_us=10)
+        assert out.count() == 0
+        # and the symmetric case
+        pts2 = rd.from_pandas(pd.DataFrame(
+            {"k": np.int64([1]), "ts": np.int64([3])}))
+        iv2 = rd.from_pandas(pd.DataFrame(
+            {"k": pd.Series([], dtype=np.int64),
+             "lo": pd.Series([], dtype=np.int64),
+             "hi": pd.Series([], dtype=np.int64)}))
+        assert banded_range_join(
+            pts2, iv2, key="k", point_ts_col="ts", lo_col="lo",
+            hi_col="hi", band_width_us=10).count() == 0
+
+    def test_span_exactly_max_copies_bands_is_legal(self, ray_session):
+        """Span == max_copies * W covers max_copies+1 bands and must join,
+        per the documented contract."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.joins import (
+            banded_range_join,
+        )
+
+        pts = rd.from_pandas(pd.DataFrame(
+            {"k": np.int64([1, 1]), "ts": np.int64([9, 29])}))
+        iv = rd.from_pandas(pd.DataFrame(
+            {"k": np.int64([1]), "lo": np.int64([9]),
+             "hi": np.int64([29]), "iid": np.int64([3])}))
+        out = banded_range_join(pts, iv, key="k", point_ts_col="ts",
+                                lo_col="lo", hi_col="hi", band_width_us=10,
+                                max_copies=2).to_pandas()
+        assert len(out) == 2
+
+    def test_tz_aware_timestamps(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.joins import (
+            banded_range_join,
+        )
+
+        pts = rd.from_pandas(pd.DataFrame(
+            {"k": np.int64([1]),
+             "ts": pd.to_datetime(["2024-01-01 00:00:01"])
+             .tz_localize("UTC")}))
+        iv = rd.from_pandas(pd.DataFrame(
+            {"k": np.int64([1]),
+             "lo": pd.to_datetime(["2024-01-01"]).tz_localize("UTC"),
+             "hi": pd.to_datetime(["2024-01-02"]).tz_localize("UTC"),
+             "iid": np.int64([5])}))
+        out = banded_range_join(pts, iv, key="k", point_ts_col="ts",
+                                lo_col="lo", hi_col="hi",
+                                band_width_us=86400 * 1_000_000).to_pandas()
+        assert len(out) == 1
+
+
+class TestScanGuards:
+    def test_capacity_must_be_positive(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.scan import packed_bins
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"o": np.int64([1]), "v": np.int64([1])}))
+        for cap in (0, -5):
+            with pytest.raises(ValueError):
+                packed_bins(ds, order_col="o", value_col="v", capacity=cap)
+
+    def test_duplicate_boundary_keys_raise(self, ray_session):
+        """Duplicate order_col values straddling a block boundary violate
+        the unique-key precondition and must fail loudly, not corrupt
+        offsets."""
+        import pytest
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.scan import (
+            block_prefix_offsets,
+        )
+
+        dup = pd.DataFrame({"o": np.int64([1, 1]), "v": np.int64([2, 3])})
+        ds = rd.from_pandas([dup.iloc[:1], dup.iloc[1:]])
+        with pytest.raises(ValueError, match="unique"):
+            block_prefix_offsets(ds, "o", "v")
