@@ -91,10 +91,25 @@ def char_shingle_windows_batch(texts, k: int = 5) -> tuple[np.ndarray, np.ndarra
         arr = pa.array(texts, type=pa.large_string())
     except (pa.ArrowInvalid, pa.ArrowTypeError):
         # non-encodable input (lone surrogates): per-doc fallback keeps the
-        # errors="ignore" semantics
-        sets = [char_shingles(s, k) for s in texts]
-        lens = np.array([s.size for s in sets], dtype=np.int64)
-        cat = np.concatenate(sets) if lens.sum() else np.zeros(0, np.uint64)
+        # errors="ignore" semantics AND the stream-order MULTISET contract
+        # (char_shingles returns sorted-unique hashes, which would misalign
+        # _WindowVerify's hit-index -> byte-position mapping)
+        outs, lens_l = [], []
+        for s in texts:
+            b = str(s).encode("utf-8", "ignore")
+            if len(b) < k:
+                outs.append(_hash64([s]))
+                lens_l.append(1)
+                continue
+            a = np.frombuffer(b, dtype=np.uint8)
+            m = len(b) - k + 1
+            h = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                h = h * _FNV_PRIME + a[j:j + m]
+            outs.append(h)
+            lens_l.append(m)
+        lens = np.array(lens_l, dtype=np.int64)
+        cat = np.concatenate(outs) if lens.sum() else np.zeros(0, np.uint64)
         return cat, lens
     buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
     buf_off = buf_off[arr.offset: arr.offset + n + 1]
@@ -205,6 +220,10 @@ class MinHashBands:
         offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
         sigs = np.empty((n, self.n_perm), dtype=np.uint64)
         if allsh.size:
+            # reduceat rejects an offset == allsh.size (trailing doc whose
+            # custom shingle_fn returned an empty set); clip — the
+            # sigs[empty] overwrite below discards whatever that slot reads
+            offsets = np.minimum(offsets, allsh.size - 1)
             for p0 in range(0, self.n_perm, 16):  # chunk perms to bound memory
                 p1 = min(p0 + 16, self.n_perm)
                 prod = (
@@ -941,12 +960,15 @@ def _verify_cosine(df: pd.DataFrame, threshold: float) -> pd.DataFrame:
         return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
     va = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["v_a"]])
     vb = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["v_b"]])
-    sims = np.round(np.einsum("ij,ij->i", va, vb), 6)
+    # threshold the UNROUNDED cosine, round only the reported value —
+    # rounding first would admit pairs strictly below threshold (e.g.
+    # 0.9499996 -> 0.95), the same discipline as _verify_pairs
+    sims = np.einsum("ij,ij->i", va, vb)
     keep = sims >= threshold
     return pd.DataFrame({
         "id_a": df["id_a"].to_numpy()[keep].astype(np.int64),
         "id_b": df["id_b"].to_numpy()[keep].astype(np.int64),
-        "cosine": sims[keep],
+        "cosine": np.round(sims[keep], 6),
     })
 
 
@@ -976,10 +998,15 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
         return df[[id_col, "bucket"]]
 
     empty = pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+    # pass the CLASS (actor pool), not an instance: a pickled instance
+    # ships with _h=None and regenerates the hyperplane matrix per task,
+    # which is what the class docstring's one-allocation-per-worker
+    # promise exists to avoid
     banded = ds.map_batches(
-        HyperplaneBands(vec_col=vec_col, id_col=id_col, bands=bands,
-                        band_bits=band_bits),
-        batch_format="pandas",
+        HyperplaneBands,
+        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col,
+                                   bands=bands, band_bits=band_bits),
+        batch_format="pandas", concurrency=(1, max(2, int(concurrency))),
     ).map_batches(fuse, batch_format="pandas")
     pairs, pairs_df = _candidate_pairs(banded, id_col, bucket_cap,
                                        "embedding_near_dups",
@@ -1133,12 +1160,28 @@ def decontaminate(ds, bench_texts, *, col: str = "text",
     )
 
 
+def _byte_lengths(texts: np.ndarray) -> np.ndarray:
+    """UTF-8 byte length per doc, Arrow-side (one C pass) with a per-doc
+    errors='ignore' fallback for non-encodable input — matching exactly
+    which encoding the shingle kernels use on the same input."""
+    import pyarrow.compute as pc
+
+    try:
+        arr = pa.array(texts, type=pa.large_string())
+        return pc.binary_length(
+            arr.cast(pa.large_binary())).to_numpy().astype(np.int64)
+    except (pa.ArrowInvalid, pa.ArrowTypeError):
+        return np.array(
+            [len(str(s).encode("utf-8", "ignore")) for s in texts],
+            dtype=np.int64)
+
+
 def _window_hash_rows(df: pd.DataFrame, col: str, id_col: str, window: int
                       ) -> pd.DataFrame:
     """Per-doc DISTINCT window-hash inventory rows (hash, doc_id). Docs
     shorter than ``window`` bytes have no windows and emit nothing."""
     texts = df[col].fillna("").to_numpy(dtype=object)
-    blen = np.array([len(str(s).encode("utf-8", "ignore")) for s in texts])
+    blen = _byte_lengths(texts)
     keep = blen >= window
     if not keep.any():
         return pd.DataFrame({"h": np.zeros(0, np.uint64),
@@ -1168,8 +1211,9 @@ class _WindowVerify:
                               "win": np.zeros(0, object),
                               "h": np.zeros(0, np.uint64)})
         texts = df[self.col].fillna("").to_numpy(dtype=object)
-        enc = [str(s).encode("utf-8", "ignore") for s in texts]
-        keep = np.array([len(b) >= w for b in enc], dtype=bool)
+        # Arrow-side byte lengths for the filter; docs encode in Python
+        # ONLY when they carry a candidate hit (a tiny fraction)
+        keep = _byte_lengths(texts) >= w
         if not keep.any():
             return empty
         kept = np.flatnonzero(keep)
@@ -1185,10 +1229,18 @@ class _WindowVerify:
         off = np.concatenate([[0], np.cumsum(lens)])
         doc_idx = np.searchsorted(off, hit, side="right") - 1
         win_pos = hit - off[doc_idx]
+        # group on the LITERAL BYTES — decode-ignore would conflate
+        # distinct byte windows that strip to the same string on
+        # non-ASCII text (same (id, bytes) -> same hash, so the
+        # overwrite is harmless)
         seen: dict = {}
+        enc_cache: dict = {}
         for i, d, p in zip(hit, doc_idx, win_pos):
-            b = enc[kept[d]]
-            seen[(ids[d], b[p:p + w].decode("utf-8", "ignore"))] = hs[i]
+            b = enc_cache.get(d)
+            if b is None:
+                b = str(texts[kept[d]]).encode("utf-8", "ignore")
+                enc_cache[d] = b
+            seen[(ids[d], bytes(b[p:p + w]))] = hs[i]
         keys = list(seen)
         return pd.DataFrame({self.id_col: [k[0] for k in keys],
                              "win": [k[1] for k in keys],

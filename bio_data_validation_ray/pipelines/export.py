@@ -130,14 +130,23 @@ def collapse_cross_block_dups(survivors, *, already_local_deduped: bool = True):
         return np.fromiter((k in dups for k in keys), dtype=bool,
                            count=len(df))
 
-    clean = survivors.map_batches(
-        lambda df: df[~in_dup_group(df)] if len(df) else df,
+    # ONE tagging pass: the row hash (full-row, incl. text — the dominant
+    # cost) is computed once per batch; the clean/dup split is then two
+    # cheap boolean filters over the tagged blocks
+    tagged = survivors.map_batches(
+        lambda df: df.assign(
+            __dup=in_dup_group(df) if len(df)
+            else pd.Series([], dtype=bool)),
+        batch_format="pandas",
+    ).materialize()
+    clean = tagged.map_batches(
+        lambda df: df[~df["__dup"]].drop(columns="__dup"),
         batch_format="pandas",
     )
     # the dup-group rows are violations-scale by construction; collapse
     # them once on the driver (exact DISTINCT over the full row)
-    dup_rows = survivors.map_batches(
-        lambda df: df[in_dup_group(df)] if len(df) else df,
+    dup_rows = tagged.map_batches(
+        lambda df: df[df["__dup"]].drop(columns="__dup"),
         batch_format="pandas",
     ).to_pandas()
     if "shard" not in dup_rows.columns:  # all-empty schema quirk
@@ -168,8 +177,20 @@ def write_clean_output(input_dir: str, out_dir: str, *,
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         bc = ray.get(convs_ref)
         br = ray.get(rows_ref)
-        if len(df) == 0:
-            return pd.DataFrame(columns=DATA_COLS + ["shard"])
+        if len(df) == 0 and "path" not in df.columns:
+            # schemaless empty block: emit DTYPE-CORRECT empty columns —
+            # an all-object empty frame would give this block a different
+            # Arrow schema (null/string) than the typed blocks and break
+            # the downstream union/write
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype=np.int64),
+                "role": pd.Series([], dtype=object),
+                "text": pd.Series([], dtype=object),
+                "tool": pd.Series([], dtype=object),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "shard": pd.Series([], dtype=object),
+            })
         df = df.rename(columns={"path": "shard"})
         df["shard"] = df["shard"].str.rsplit("/", n=1).str[-1]
         mask = ~df["conv_id"].isin(bc)

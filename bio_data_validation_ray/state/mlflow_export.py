@@ -62,14 +62,37 @@ def _params(report: dict) -> dict[str, str]:
     return {k: v for k, v in p.items() if v}
 
 
+def _experiment_id(root: str, experiment: str) -> str:
+    """Stable file-store experiment id per NAME: reuse the existing
+    experiment dir whose meta.yaml carries this name, else allocate the
+    next integer id — two different experiment names must not merge into
+    one id (the client path keeps them separate; so must this one)."""
+    taken = []
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            meta = os.path.join(root, d, "meta.yaml")
+            if not (d.isdigit() and os.path.isfile(meta)):
+                continue
+            taken.append(int(d))
+            with open(meta) as fh:
+                if f"name: {experiment}\n" in fh.read():
+                    return d
+    return str(max(taken) + 1 if taken else 0)
+
+
 def export_run(report: dict, root: str,
                experiment: str = "bio_data_validation_ray") -> str:
     """Log one validation run's metrics/params/tags under ``root`` in
     MLflow file-store layout (or via the mlflow client if importable).
     Returns the run directory (file path) / run_id (client path)."""
+    # scope the gate to the IMPORT alone: an ImportError raised from
+    # inside mlflow's own calls (lazy optional deps) must surface, not
+    # silently fall through and double-log the run into the file store
     try:  # optional real client — absent in this container by design
         import mlflow  # noqa: F401
-
+    except ImportError:
+        mlflow = None
+    if mlflow is not None:
         mlflow.set_tracking_uri(f"file:{os.path.abspath(root)}")
         mlflow.set_experiment(experiment)
         with mlflow.start_run() as run:
@@ -77,10 +100,8 @@ def export_run(report: dict, root: str,
             mlflow.log_params(_params(report))
             mlflow.set_tag("decision", report.get("final_decision", ""))
             return run.info.run_id
-    except ImportError:
-        pass
 
-    exp_id = "0"
+    exp_id = _experiment_id(root, experiment)
     run_id = report.get("validation_id") or uuid.uuid4().hex
     now_ms = int(time.time() * 1000)
     exp_dir = os.path.join(root, exp_id)

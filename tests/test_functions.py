@@ -1003,6 +1003,50 @@ class TestSharedWindowDocs:
         n_wins = len(shared) - 32 + 1
         assert got == {1: n_wins, 2: n_wins}
 
+    def test_non_ascii_windows_group_on_bytes(self, ray_session):
+        """Byte-distinct windows whose decode-ignore forms COLLIDE (window
+        slicing splits a multibyte char: a9|61.. and a8|61.. both strip to
+        'abcdefg') must stay distinct groups; the per-doc count is checked
+        against a byte-level brute force over every doc pair."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import (
+            shared_window_docs,
+        )
+
+        w = 8
+        texts = {
+            1: "\u00e9abcdefg--pad--\u00e8abcdefg",  # shares with 2 AND 3
+            2: "\u00e9abcdefgZZ",                     # é-windows with 1
+            3: "\u00e8abcdefgQQ",                     # è-windows with 1
+            4: "no overlap here at all 123456",
+        }
+        df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        out = shared_window_docs(rd.from_pandas(df).repartition(4),
+                                 window=w)
+        got = dict(zip(out["doc_id"], out["n_shared_windows"]))
+
+        def wins(s):
+            bb = s.encode("utf-8")
+            return {bb[i:i + w] for i in range(len(bb) - w + 1)}
+
+        allw = {d: wins(t) for d, t in texts.items()}
+        want = {}
+        for d, wd in allw.items():
+            others = set().union(*(v for k, v in allw.items() if k != d))
+            n = len(wd & others)
+            if n:
+                want[d] = n
+        # the construction really exercises the decode collision: doc 1
+        # carries byte-distinct windows from both the \u00e9 and \u00e8
+        # regions that strip to identical ascii
+        a9 = "\u00e9abcdefg".encode()[1:1 + w]
+        a8 = "\u00e8abcdefg".encode()[1:1 + w]
+        assert a9 != a8
+        assert (a9.decode("utf-8", "ignore")
+                == a8.decode("utf-8", "ignore"))
+        assert got == want
+
     def test_no_dups_returns_empty(self, ray_session):
         import ray.data as rd
 

@@ -147,3 +147,28 @@ class TestMlflowExport:
         a = export_run(dict(self.REPORT), str(tmp_path / "mlruns"))
         b = export_run(dict(self.REPORT), str(tmp_path / "mlruns"))
         assert a == b  # keyed by validation_id -> same run dir, overwritten
+
+
+def test_mlflow_experiments_get_distinct_ids(tmp_path):
+    """Two experiment names must land in two file-store experiment dirs
+    (the hardcoded-'0' regression merged them and rewrote the name)."""
+    from bio_data_validation_ray.state.mlflow_export import export_run
+
+    rep = {"severity_counts": {"error": 1}, "stages": {},
+           "final_decision": "rejected", "validation_id": "run_a"}
+    d1 = export_run(rep, str(tmp_path), experiment="exp_a")
+    rep2 = dict(rep, validation_id="run_b")
+    d2 = export_run(rep2, str(tmp_path), experiment="exp_b")
+    rep3 = dict(rep, validation_id="run_c")
+    d3 = export_run(rep3, str(tmp_path), experiment="exp_a")
+    import os
+
+    e1 = os.path.relpath(d1, tmp_path).split(os.sep)[0]
+    e2 = os.path.relpath(d2, tmp_path).split(os.sep)[0]
+    e3 = os.path.relpath(d3, tmp_path).split(os.sep)[0]
+    assert e1 != e2          # distinct names -> distinct experiment ids
+    assert e1 == e3          # same name -> reused id
+    with open(os.path.join(tmp_path, e1, "meta.yaml")) as fh:
+        assert "name: exp_a" in fh.read()
+    with open(os.path.join(tmp_path, e2, "meta.yaml")) as fh:
+        assert "name: exp_b" in fh.read()
