@@ -35,7 +35,7 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         V = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
         if V.size == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], pa.int64()),
                              "dim": pa.array([], pa.int64()),
                              "q": pa.array([], pa.int64())})
         mx = np.abs(V).max(axis=1)
@@ -44,13 +44,13 @@ def quantize_embeddings(ds, *, id_col: str = "vec_id",
         Q = (np.floor(np.abs(y) + 0.5) * np.sign(y)).astype(np.int64)
         n, d = Q.shape
         return pa.table({
-            "vec_id": np.repeat(ids, d),
+            id_col: np.repeat(ids, d),
             "dim": np.tile(np.arange(d, dtype=np.int64), n),
             "q": Q.reshape(-1),
         })
 
     out = ds.map_batches(q, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    return out.sort_values([id_col, "dim"]).reset_index(drop=True)
 
 
 def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
@@ -65,6 +65,9 @@ def topk_cosine(ds, query: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
     qref = ray.put(q)
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:  # e.g. a block fully pruned by an IVF probe
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
         qv = ray.get(qref)
         m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
         sims = np.round(m @ qv, 6)
@@ -105,6 +108,9 @@ class IVFIndex:
         return cls(c)
 
     def assign_batch(self, batch: pd.DataFrame, vec_col: str = "embedding") -> pd.DataFrame:
+        if len(batch) == 0:
+            batch["ivf_list"] = pd.Series([], dtype=np.int64)
+            return batch
         m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
         batch["ivf_list"] = np.argmax(m @ self.centroids.T, axis=1).astype(np.int64)
         return batch
@@ -198,10 +204,15 @@ def _seed_centroids(ds, n_clusters: int, id_col: str, vec_col: str) -> np.ndarra
     and the result is tiny."""
     import pyarrow.compute as pc
 
+    # exact "n lowest ids" for ANY id distribution (ids need not be dense
+    # or 0-based): mergeable per-batch nsmallest partials, n rows each
     seed = ds.map_batches(
-        lambda t: t.filter(pc.less(t[id_col], n_clusters)),
-        batch_format="pyarrow",
-    ).to_pandas().sort_values(id_col)
+        lambda df: df.nsmallest(n_clusters, id_col),
+        batch_format="pandas",
+    ).to_pandas()
+    seed = seed.nsmallest(n_clusters, id_col).sort_values(id_col)
+    if len(seed) == 0:
+        raise ValueError("_seed_centroids: empty dataset")
     return _quantize_rows(np.stack(seed[vec_col].to_numpy()).astype(np.float64))
 
 
@@ -222,13 +233,13 @@ def cluster_assign(ds, *, n_clusters: int = 8, id_col: str = "vec_id",
     def assign(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ids) == 0:
-            return pa.table({"vec_id": pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], pa.int64()),
                              "cluster": pa.array([], pa.int64())})
         C = ray.get(cref)
         Q = _quantize_rows(np.asarray(t[vec_col].to_pylist(), dtype=np.float64))
         d2 = ((Q * Q).sum(1)[:, None] - 2 * (Q @ C.T)
               + (C * C).sum(1)[None, :])
-        return pa.table({"vec_id": ids,
+        return pa.table({id_col: ids,
                          "cluster": d2.argmin(1).astype(np.int64)})
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -256,7 +267,7 @@ def semdedup(ds, *, n_clusters: int = 8, radius2: int = 50,
         d = len(ray.get(cref)[0])
         if len(ids) == 0:
             return pa.table({
-                "vec_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
                 "cluster": pa.array([], pa.int64()),
                 "q": pa.array([], pa.list_(pa.int64(), d)),
             })
@@ -265,15 +276,15 @@ def semdedup(ds, *, n_clusters: int = 8, radius2: int = 50,
         d2 = ((Q * Q).sum(1)[:, None] - 2 * (Q @ C.T)
               + (C * C).sum(1)[None, :])
         return pa.table({
-            "vec_id": ids,
+            id_col: ids,
             "cluster": d2.argmin(1).astype(np.int64),
             "q": pa.FixedSizeListArray.from_arrays(
                 pa.array(Q.reshape(-1), pa.int64()), Q.shape[1]),
         })
 
     def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("vec_id")
-        ids = df["vec_id"].to_numpy().astype(np.int64)
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy().astype(np.int64)
         Q = np.stack(df["q"].to_numpy()).astype(np.int64)
         sq = (Q * Q).sum(1)
         drop = np.zeros(len(ids), dtype=bool)
@@ -286,7 +297,7 @@ def semdedup(ds, *, n_clusters: int = 8, radius2: int = 50,
             row = np.arange(lo, hi)[:, None]
             drop[lo:hi] = (close & (col < row)).any(axis=1)
         return pd.DataFrame({
-            "vec_id": ids,
+            id_col: ids,
             "cluster": df["cluster"].to_numpy().astype(np.int64),
             "keep": ~drop,
         })

@@ -69,7 +69,10 @@ def add_quality_metrics(t: pa.Table, col: str = "text") -> pa.Table:
     """Deterministic quality-score components (reference analog: derived
     per-row scalars like GC content, bio_rules.py:216-227/312-319 — here as
     pure Arrow kernels, no Python apply)."""
-    text = t[col]
+    # null text counts as empty: every stat fills to the empty-string
+    # value so keep/reason stay a TOTAL two-state classification (a null
+    # propagating through the if_else chain would yield a null keep)
+    text = pc.fill_null(t[col], "")
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())
     n_digit = pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64())
@@ -137,7 +140,9 @@ class LangId:
 def add_fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     """Document fingerprint = md5 hex of the raw text (oracle: md5(text))."""
     batch["fingerprint"] = [
-        hashlib.md5(s.encode("utf-8")).hexdigest() for s in batch[col]
+        hashlib.md5(("" if s is None or (isinstance(s, float) and s != s)
+                     else str(s)).encode("utf-8")).hexdigest()
+        for s in batch[col]
     ]
     return batch
 
@@ -154,7 +159,10 @@ def add_quality_filter(t: pa.Table, col: str = "text", *,
     (100*n_alpha < pct*n_chars) so the semantics are exactly SQL-statable —
     no float division anywhere. First failing rule wins, in a fixed
     priority order."""
-    text = t[col]
+    # null text counts as empty: every stat fills to the empty-string
+    # value so keep/reason stay a TOTAL two-state classification (a null
+    # propagating through the if_else chain would yield a null keep)
+    text = pc.fill_null(t[col], "")
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
     n_alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.int64())

@@ -21,6 +21,8 @@ split or glue sessions differently than a single pass would.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -443,19 +445,14 @@ def gap_stats(ds, *, key: str, order_cols: list[str], ts_col: str,
         # stitch on the driver (same invariant as sessionize)
         srt2 = partials.sort(["key", *ord_snap, "first_ts"]).materialize()
 
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df["key"].to_numpy()
-            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
+        split = functools.partial(_split_boundary, key="key")
 
         interior = srt2.map_batches(
-            lambda df: _merge_gap_partials(split(df, False)),
+            lambda df: _merge_gap_partials(split(df, want_boundary=False)),
             batch_format="pandas",
         ).to_pandas()
         boundary = srt2.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
+            lambda df: split(df, want_boundary=True), batch_format="pandas"
         ).to_pandas()
         if "key" not in boundary.columns:
             boundary = pd.DataFrame(columns=GAP_PARTIAL_COLS)
@@ -483,7 +480,8 @@ def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df
-        return df.groupby(key, sort=False).head(n)
+        # dropna=False: a null key is a group, not a silent row drop
+        return df.groupby(key, sort=False, dropna=False).head(n)
 
     if srt.count() <= driver_cap:
         out = kernel(srt.to_pandas())
@@ -792,7 +790,15 @@ def _roll_partials(df: pd.DataFrame, key: str, value_col: str, k: int
     if len(df) == 0:
         return pd.DataFrame(columns=cols)
     kcol = df[key].to_numpy()
+    if not np.issubdtype(df[value_col].dtype, np.integer):
+        raise TypeError(
+            f"rolling_sum_max: {value_col} must be an integer column "
+            f"(got {df[value_col].dtype}); floats would truncate silently")
     v = df[value_col].to_numpy(dtype=np.int64)
+    if v.min(initial=0) < 0:
+        raise ValueError(
+            "rolling_sum_max requires value_col >= 0 (the leading-window "
+            "domination argument in the docstring fails otherwise)")
     newkey = np.concatenate([[True], kcol[1:] != kcol[:-1]])
     starts = np.flatnonzero(newkey)
     ends = np.concatenate([starts[1:], [len(kcol)]])
@@ -967,19 +973,14 @@ def assemble_docs(ds, *, key: str, order_cols: list[str], text_col: str,
     if take_driver:
         out = _finalize_docs(partials.to_pandas(), sep)
     else:
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df["key"].to_numpy()
-            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
-
         interior = partials.map_batches(
-            lambda df: _finalize_docs(split(df, False), sep),
+            lambda df: _finalize_docs(_split_boundary(df, "key", False),
+                                      sep),
             batch_format="pandas",
         ).to_pandas()
         boundary = partials.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
+            lambda df: _split_boundary(df, "key", True),
+            batch_format="pandas",
         ).to_pandas()
         out = pd.concat([interior, _finalize_docs(boundary, sep)],
                         ignore_index=True)
@@ -1090,7 +1091,11 @@ def _transition_partials(df: pd.DataFrame, key: str, type_col: str
         return (pd.DataFrame(columns=["from_type", "to_type", "n"]),
                 pd.DataFrame(columns=["key", "first_type", "last_type"]))
     kk = df[key].to_numpy()
-    codes, types = pd.factorize(df[type_col], sort=True)
+    # use_na_sentinel=False: a null type becomes a real category instead of
+    # code -1 (which would feed np.bincount a negative and mislabel run
+    # endpoints as the lexicographically-last type)
+    codes, types = pd.factorize(df[type_col], sort=True,
+                                use_na_sentinel=False)
     same = kk[1:] == kk[:-1]
     frm, to = codes[:-1][same], codes[1:][same]
     t = len(types)
@@ -1197,19 +1202,14 @@ def funnel(ds, *, key: str, ts_col: str, type_col: str, steps: tuple,
     else:
         srt2 = partials.sort(["key", "first_ts"]).materialize()
 
-        def split(df: pd.DataFrame, want_boundary: bool) -> pd.DataFrame:
-            if len(df) == 0:
-                return df
-            kk = df["key"].to_numpy()
-            bmask = df["key"].isin({kk[0], kk[-1]}).to_numpy()
-            return df[bmask] if want_boundary else df[~bmask]
-
         interior = srt2.map_batches(
-            lambda df: _merge_funnel_partials(split(df, False), k),
+            lambda df: _merge_funnel_partials(
+                _split_boundary(df, "key", False), k),
             batch_format="pandas",
         ).to_pandas()
         boundary = srt2.map_batches(
-            lambda df: split(df, True), batch_format="pandas"
+            lambda df: _split_boundary(df, "key", True),
+            batch_format="pandas",
         ).to_pandas()
         out = pd.concat([interior, _merge_funnel_partials(boundary, k)],
                         ignore_index=True)
@@ -1287,8 +1287,17 @@ def _pwc_partials(df: pd.DataFrame, key: str, ts_col: str,
     # range (3e14 us) and 1e4 runs/batch that is ~3e18 < 2^63.
     t0 = ts.min()
     span = np.int64(int(ts.max()) - int(t0) + window_us + 1)
-    s = (ts - t0) + run_id * span
-    lb = np.searchsorted(s, s - window_us, side="left")
+    if int(span) * len(starts) < (1 << 62):
+        s = (ts - t0) + run_id * span
+        lb = np.searchsorted(s, s - window_us, side="left")
+    else:
+        # the surrogate would overflow int64 (enormous ts range x many
+        # runs in one batch): per-run searchsorted fallback, correct at
+        # any scale, just not single-pass
+        lb = np.empty(len(ts), dtype=np.int64)
+        for a, b in zip(starts, ends):
+            lb[a:b] = a + np.searchsorted(ts[a:b], ts[a:b] - window_us,
+                                          side="left")
     cnt = np.arange(len(ts)) - lb + 1  # trailing in-run count per row
     peaks = np.maximum.reduceat(cnt, starts).astype(np.int64)
     out = pd.DataFrame({
