@@ -2674,7 +2674,12 @@ def t_max_role_run(sf_dir):
     windows.max_run_length) — how long one speaker holds the floor. Same
     order and tie note as t_role_repeats; the fixture has no null roles,
     so the SQL islands form states identical semantics (null-break
-    behavior is pinned by the hypothesis property instead)."""
+    behavior is pinned by the hypothesis property instead). The oracle's
+    two row_number windows share one TOTAL order (a row_number() rid
+    tiebreak): with the seeded exact-duplicate turns, independent tie
+    orders can pair rn/rnr inconsistently and split a real island —
+    the engine's answer (identical rows are always adjacent) is the
+    stable one."""
     import ray.data as rd
 
     from ..functions.windows import max_run_length
@@ -3565,12 +3570,14 @@ s AS (SELECT conv_id, role, lag(role) OVER (
 SELECT conv_id, CAST(count(*) FILTER (role = prev) AS BIGINT) AS n_repeats
 FROM s GROUP BY conv_id ORDER BY conv_id""",
         "t_max_role_run": f"""{tq},
+t2 AS (SELECT conv_id, turn_idx, ts, role,
+              row_number() OVER () AS rid FROM t),
 s AS (SELECT conv_id, role,
         row_number() OVER (PARTITION BY conv_id
-          ORDER BY turn_idx, ts, role) AS rn,
+          ORDER BY turn_idx, ts, role, rid) AS rn,
         row_number() OVER (PARTITION BY conv_id, role
-          ORDER BY turn_idx, ts, role) AS rnr
-      FROM t),
+          ORDER BY turn_idx, ts, role, rid) AS rnr
+      FROM t2),
 i AS (SELECT conv_id, count(*) AS len
       FROM s GROUP BY conv_id, role, rn - rnr)
 SELECT conv_id, CAST(max(len) AS BIGINT) AS max_run

@@ -48,7 +48,7 @@ from ..stages.convstage import (
 )
 from ..sources.writers import write_parquet_idempotent
 from ..stages.rowstage import ValidateBatch
-from ..stages.statstage import agg_violations, reduce_sketches
+from ..stages.statstage import ShardStats, agg_violations, reduce_sketches
 from ..state.checkpoint import Lineage
 
 VIO_COLS = ["shard", "conv_id", "turn_idx", "rule_id", "rule_version",
@@ -107,6 +107,45 @@ def list_shards(input_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
 
+def _near_dup_violation(registry, files: list[str]) -> pd.DataFrame:
+    """Evaluate a registry ``near_dup`` spec over ``files`` with the
+    distributed MinHash+LSH pipeline, returning the one ``__all__``
+    violation row when pairs exist — shared by validate_dir's agg stage
+    and validate_resumable's final merge (which previously never ran it,
+    silently dropping the rule in resumable mode). Ids are content hashes,
+    so exact copies collapse (those are DUP_001's job) and only genuine
+    near-duplicates pair up."""
+    import ray.data as rd
+
+    nd_spec = next((s for s in registry.agg_rules() if s.kind == "near_dup"),
+                   None)
+    if nd_spec is None or not files:
+        return pd.DataFrame(columns=VIO_COLS)
+    from ..functions.dedup import content_hash_batch, minhash_near_dups
+
+    col = nd_spec.column or "text"
+    nd_ds = rd.read_parquet(files, columns=[col]).map_batches(
+        lambda b: content_hash_batch(b.dropna(subset=[col]), col=col)
+        .rename(columns={"content_hash": "doc_id"})[["doc_id", col]],
+        batch_format="pandas",
+    )
+    nd_pairs = minhash_near_dups(
+        nd_ds, col=col, id_col="doc_id",
+        threshold=nd_spec.params.get("threshold", 0.9),
+        bucket_cap=nd_spec.params.get("bucket_cap", 512),
+    )
+    if not len(nd_pairs):
+        return pd.DataFrame(columns=VIO_COLS)
+    return pd.DataFrame({
+        "shard": ["__all__"], "conv_id": [None],
+        "turn_idx": pd.array([None], dtype="Int32"),
+        "rule_id": [nd_spec.rule_id],
+        "rule_version": [nd_spec.version],
+        "severity": [nd_spec.severity], "column": [col],
+        "offending_value": [f"near_dup_pairs={len(nd_pairs)}"],
+    })
+
+
 def validate_dir(
     input_dir: str,
     *,
@@ -157,21 +196,54 @@ def validate_dir(
     report["shards_skipped_committed"] = len(files) - len(pending)
 
     if not pending:
-        report["final_decision"] = "accepted_from_checkpoint"
+        # consult the COMMITTED per-shard decisions: a resume over a run
+        # whose shards were rejected must not report "accepted" just
+        # because nothing is left to scan
+        decisions = {rec.get("decision") for rec in committed.values()}
+        if "rejected" in decisions:
+            worst = "rejected"
+        elif "conditional_accept" in decisions:
+            worst = "conditional_accept"
+        else:
+            worst = "accepted"
+        report["final_decision"] = f"{worst}_from_checkpoint"
         report["committed"] = committed
         report["execution_time_s"] = round(time.time() - t0, 3)
         return report
 
     # ---- stage A: declared-schema check (DRV, short-circuit) ----
+    # EVERY pending file's footer is probed (metadata-only reads, thread
+    # pool), not just the first: a malformed later shard must fail here
+    # with the clean rejection, not as an opaque task error mid-scan.
+    # Identical schemas dedupe, so check_schema runs once per distinct
+    # schema, not per file.
     t_schema = time.time()
-    actual = pq.ParquetFile(pending[0]).schema_arrow
-    sc = check_schema(actual)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=16) as ex:
+        schemas = list(ex.map(
+            lambda f: (f, pq.ParquetFile(f).schema_arrow), pending))
+    distinct: dict[str, tuple] = {}
+    for f, actual in schemas:
+        distinct.setdefault(str(actual), (f, actual))
+    sc = None
+    bad_file = None
+    for f, actual in distinct.values():
+        sc_f = check_schema(actual)
+        if sc is None or not sc_f.passed:
+            sc, bad_file = sc_f, f
+        if not sc_f.passed:
+            break
     report["stages"]["schema"] = {
         "passed": sc.passed,
         "issues": [vars(i) for i in sc.issues],
+        "files_probed": len(pending),
+        "distinct_schemas": len(distinct),
         "time_s": round(time.time() - t_schema, 4),
     }
     if not sc.passed:
+        report["stages"]["schema"]["failed_file"] = os.path.basename(
+            bad_file)
         report["final_decision"] = "rejected"
         report["rejection_reason"] = "schema_validation_failed"
         report["execution_time_s"] = round(time.time() - t0, 3)
@@ -239,7 +311,17 @@ def validate_dir(
     if driver_mode:
         import ray as _ray2
 
-        out_tbl = pa.concat_tables(_ray2.get(out.to_arrow_refs()))
+        from ..stages.rowstage import OUT_SCHEMA as _OUT_SCHEMA
+
+        # a zero-row input shard can surface as a SCHEMALESS empty block
+        # (the fused read->map never runs on it); zero-row tables carry no
+        # data, so drop them before the concat instead of letting a blank
+        # schema poison it
+        tbls = [t for t in _ray2.get(out.to_arrow_refs()) if t.num_rows]
+        out_tbl = (pa.concat_tables(tbls) if tbls
+                   else pa.Table.from_pydict(
+                       {f.name: [] for f in _OUT_SCHEMA},
+                       schema=_OUT_SCHEMA))
 
     def kind_df(kind: str, cols: list[str]) -> pd.DataFrame:
         return (
@@ -397,34 +479,10 @@ def validate_dir(
     # caps instead of an input-size cap. Not in the default suite (it adds a
     # scan); ids are content hashes, so exact copies collapse (those are
     # DUP_001's job) and only genuine near-duplicates pair up. ----
-    nd_spec = next((s for s in registry.agg_rules() if s.kind == "near_dup"),
-                   None)
-    if nd_spec is not None and agg_stage:
-        from ..functions.dedup import content_hash_batch, minhash_near_dups
-
-        col = nd_spec.column or "text"
-        nd_ds = rd.read_parquet(pending, columns=[col]).map_batches(
-            lambda b: content_hash_batch(b.dropna(subset=[col]), col=col)
-            .rename(columns={"content_hash": "doc_id"})[["doc_id", col]],
-            batch_format="pandas",
-        )
-        nd_pairs = minhash_near_dups(
-            nd_ds, col=col, id_col="doc_id",
-            threshold=nd_spec.params.get("threshold", 0.9),
-            bucket_cap=nd_spec.params.get("bucket_cap", 512),
-        )
-        if len(nd_pairs):
-            agg_vio = pd.concat(
-                [agg_vio, pd.DataFrame({
-                    "shard": ["__all__"], "conv_id": [None],
-                    "turn_idx": pd.array([None], dtype="Int32"),
-                    "rule_id": [nd_spec.rule_id],
-                    "rule_version": [nd_spec.version],
-                    "severity": [nd_spec.severity], "column": [col],
-                    "offending_value": [f"near_dup_pairs={len(nd_pairs)}"],
-                })],
-                ignore_index=True,
-            )
+    if agg_stage:
+        ndv = _near_dup_violation(registry, pending)
+        if len(ndv):
+            agg_vio = pd.concat([agg_vio, ndv], ignore_index=True)
 
     # ---- violations sink + severity counts ----
     t_vio = time.time()
@@ -493,6 +551,12 @@ def validate_dir(
     }
 
     # ---- stage E: policy verdicts ----
+    # a zero-row shard emits no sketch rows, but it was scanned and MUST
+    # get a verdict + lineage commit — otherwise a resumable run over a
+    # directory containing one empty shard can never reach completion
+    scanned_names = {os.path.basename(f) for f in pending}
+    for s in scanned_names - set(stats):
+        stats[s] = ShardStats()
     shard_names = sorted(
         s for s in stats.keys() if s != "__all__"
     )
@@ -500,12 +564,17 @@ def validate_dir(
     global_counts = SeverityCounts()
     sev_map = {"CRITICAL": "critical", "ERROR": "error",
                "WARNING": "warning", "INFO": "info"}
+    # one groupby, then O(1) per-shard lookups (a per-shard boolean filter
+    # over the counts frame is O(shards^2) driver time at 50k shards)
+    by_shard = (dict(tuple(counts_df.groupby("shard")))
+                if len(counts_df) else {})
+    empty_counts = counts_df.iloc[0:0]
     for shard in shard_names + ["__all__"]:
-        sub = counts_df[counts_df["shard"] == shard] if len(counts_df) else counts_df
+        sub = by_shard.get(shard, empty_counts)
         kw = {"critical": 0, "error": 0, "warning": 0, "info": 0}
         if len(sub):
-            for _, r in sub.iterrows():
-                kw[sev_map[r["severity"]]] += int(r["count()"])
+            for sev, n in zip(sub["severity"], sub["count()"]):
+                kw[sev_map[sev]] += int(n)
         c = SeverityCounts(**kw)
         if shard == "__all__":
             global_counts = global_counts + c  # dataset-level (agg) violations
@@ -522,7 +591,8 @@ def validate_dir(
     report["final_decision"] = decide(global_counts, thresholds)
     report["requires_review"] = needs_review(global_counts, thresholds)
     report["passed"] = passed(global_counts)
-    report["rationale"] = _rationale(report["final_decision"], global_counts)
+    report["rationale"] = _rationale(report["final_decision"], global_counts,
+                                     thresholds)
 
     # top issues for human review: severity- and novelty-prioritized,
     # capped at 20 — the driver-side analog of HumanReviewCoordinator's
@@ -772,16 +842,22 @@ def _append_rowdup_violations(extras, exact_rowdups, results, rowdup_spec):
     )
 
 
-def _rationale(decision: str, c) -> str:
-    """Human-readable decision rationale (policy_engine.py:210-280 analog)."""
+def _rationale(decision: str, c, thresholds: dict | None = None) -> str:
+    """Human-readable decision rationale (policy_engine.py:210-280 analog);
+    the cited thresholds are the ones actually in effect for the run."""
+    from ..policy import DEFAULT_THRESHOLDS
+
+    t = thresholds or DEFAULT_THRESHOLDS
     if decision == "rejected":
         if c.critical:
             return f"rejected: {c.critical} critical issue(s)"
-        return f"rejected: {c.error} errors (threshold 5)"
+        return (f"rejected: {c.error} errors "
+                f"(threshold {t['reject_errors']})")
     if decision == "conditional_accept":
         if c.error:
             return f"conditional accept: {c.error} error(s) require remediation"
-        return f"conditional accept: {c.warning} warnings (threshold 5)"
+        return (f"conditional accept: {c.warning} warnings "
+                f"(threshold {t['conditional_warnings']})")
     return "accepted: no blocking issues"
 
 
@@ -951,12 +1027,19 @@ def validate_resumable(
             files=group,
             conv_stage=False,
             agg_stage=False,
+            policy=policy,  # per-pass lineage decisions use the SAME
+            # thresholds as the final report, not the defaults
             segments_out=os.path.join(seg_dir, f"group-{gid}.parquet"),
             violations_subdir=os.path.join("violations", f"group-{gid}"),
             **kw,
         )
-        if rep.get("rejection_reason") == "schema_validation_failed":
-            return rep  # short-circuit, nothing committed
+        if rep.get("rejection_reason") in ("schema_validation_failed",
+                                           "critical_rule_violations"):
+            # short-circuit, nothing committed for this group: the run IS
+            # rejected — swallowing a strict-mode critical rejection here
+            # would report 'incomplete' and reprocess/re-reject the same
+            # group on every resume, never completing and never rejecting
+            return rep
         n_pass += 1
 
     committed = lineage.committed()
@@ -1033,30 +1116,53 @@ def validate_resumable(
     )
 
     # correction: per-pass within-batch DUP_001 detections for flagged convs
-    # are superseded by the exact re-check above — subtract them
+    # are superseded by the exact re-check above — subtract them from the
+    # counts AND remove them from the on-disk per-pass artifacts (consumers
+    # read run_dir/violations back; leaving both the superseded rows and
+    # the exact-pass conv-final rows would double-represent duplicates).
+    # The subtraction total persists in dup_corrections.json so a RE-merge
+    # (which no longer sees the removed rows) subtracts identically.
     if exact_ids and rowdup_spec:
         vio_root = os.path.join(run_dir, "violations")
+        corr_path = os.path.join(vio_root, "dup_corrections.json")
+        prior_counts: dict[str, int] = {}
+        if os.path.exists(corr_path):
+            with open(corr_path) as fh:
+                prior_counts = {k: int(v) for k, v in json.load(fh).items()}
         vfiles = glob.glob(os.path.join(vio_root, "group-*", "*.parquet"))
         if vfiles:
             dset = pads.dataset(vfiles)
+            flt = ((pads.field("rule_id") == rowdup_spec.rule_id)
+                   & pads.field("conv_id").isin(exact_ids))
             prior = dset.to_table(
                 columns=["shard", "conv_id", "rule_id", "severity"],
-                filter=(
-                    (pads.field("rule_id") == rowdup_spec.rule_id)
-                    & pads.field("conv_id").isin(exact_ids)
-                ),
+                filter=flt,
             ).to_pandas()
             for shard, grp in prior.groupby("shard"):
-                sub = SeverityCounts(
-                    **{rowdup_spec.severity.lower(): len(grp)}
-                )
-                c = shard_counts.get(shard, SeverityCounts())
-                shard_counts[shard] = SeverityCounts(
-                    critical=c.critical - sub.critical,
-                    error=c.error - sub.error,
-                    warning=c.warning - sub.warning,
-                    info=c.info - sub.info,
-                )
+                prior_counts[shard] = prior_counts.get(shard, 0) + len(grp)
+            if len(prior):
+                eset = pa.array(sorted(set(exact_ids)))
+                for vf in vfiles:
+                    t = pq.read_table(vf)
+                    m = pc.fill_null(pc.and_(
+                        pc.equal(t["rule_id"], rowdup_spec.rule_id),
+                        pc.is_in(t["conv_id"], value_set=eset),
+                    ), False)
+                    if pc.any(m).as_py():
+                        pq.write_table(t.filter(pc.invert(m)), vf)
+        if prior_counts:
+            os.makedirs(vio_root, exist_ok=True)
+            with open(corr_path, "w") as fh:
+                json.dump(prior_counts, fh)
+        for shard, n in prior_counts.items():
+            sub = SeverityCounts(**{rowdup_spec.severity.lower(): int(n)})
+            c = shard_counts.get(shard, SeverityCounts())
+            shard_counts[shard] = SeverityCounts(
+                critical=c.critical - sub.critical,
+                error=c.error - sub.error,
+                warning=c.warning - sub.warning,
+                info=c.info - sub.info,
+            )
 
     # attribute global conversation violations to shards (interior convs'
     # violations — the distributed branch's Dataset — contribute via a small
@@ -1128,6 +1234,12 @@ def validate_resumable(
         agg_violations({**per_shard_stats, "__all__": stats_all}, registry)
         if stats_all.content_rows else pd.DataFrame(columns=VIO_COLS)
     )
+    # near_dup is a whole-dataset scan rule: it runs here over every
+    # committed file (validate_dir's agg stage is disabled per pass, so
+    # without this the rule would silently never fire in resumable mode)
+    ndv = _near_dup_violation(registry, committed_files)
+    if len(ndv):
+        agg_extra = _concat_vio_frames([agg_extra, ndv])
     for _, row in agg_extra.iterrows():
         kw2 = vars(total).copy()
         kw2[sev_key[row["severity"]]] += 1
@@ -1167,7 +1279,8 @@ def validate_resumable(
         report["final_decision"] = decide(total, thresholds)
         report["passed"] = passed(total)
         report["requires_review"] = needs_review(total, thresholds)
-        report["rationale"] = _rationale(report["final_decision"], total)
+        report["rationale"] = _rationale(report["final_decision"], total,
+                                         thresholds)
     else:
         report["final_decision"] = "incomplete"
     _write_summary(run_dir, report)

@@ -13,6 +13,9 @@ DECISION_TITLES = {
     "accepted_from_checkpoint": "✅ Validation Passed (from checkpoint)",
     "conditional_accept": "⚠️ Validation Passed with Warnings",
     "rejected": "❌ Validation Failed",
+    "rejected_from_checkpoint": "❌ Validation Failed (from checkpoint)",
+    "conditional_accept_from_checkpoint":
+        "⚠️ Validation Passed with Warnings (from checkpoint)",
     "incomplete": "⏳ Validation Incomplete",
 }
 

@@ -71,6 +71,17 @@ class RuleSpec:
     version: str = "1"
     description: str = ""
 
+    def __post_init__(self):
+        # fail at LOAD time, not at the verdict stage after a full scan:
+        # an unknown severity (e.g. YAML 'FATAL' or lowercase 'error')
+        # would otherwise KeyError in the severity lattice at the end
+        sev = str(self.severity).upper()
+        if sev not in ("CRITICAL", "ERROR", "WARNING", "INFO"):
+            raise ValueError(
+                f"rule {self.rule_id}: unknown severity {self.severity!r} "
+                f"(expected CRITICAL/ERROR/WARNING/INFO)")
+        object.__setattr__(self, "severity", sev)
+
     def spec_dict(self) -> dict[str, Any]:
         # canonical, hash-stable representation (callables excluded)
         p = {k: v for k, v in self.params.items() if not callable(v)}

@@ -107,12 +107,21 @@ class TestResume:
         from bio_data_validation_ray.pipelines.validate import validate_dir
         from bio_data_validation_ray.sources.transcripts import ensure_transcripts
 
+        # seeded (rejected) data: the checkpoint short-circuit must carry
+        # the committed verdict, not report "accepted" for a rejected run
         d = ensure_transcripts(SF)
         run_dir = str(tmp_path / "run")
-        validate_dir(d, run_dir=run_dir, concurrency=2)
+        r1 = validate_dir(d, run_dir=run_dir, concurrency=2)
+        assert r1["final_decision"] == "rejected"
         r2 = validate_dir(d, run_dir=run_dir, concurrency=2)
-        assert r2["final_decision"] == "accepted_from_checkpoint"
+        assert r2["final_decision"] == "rejected_from_checkpoint"
         assert r2["shards_skipped_committed"] == r2["shards_total"]
+        # clean data: short-circuit reports accepted
+        dc = ensure_transcripts(SF, clean=True)
+        run_dir2 = str(tmp_path / "run_clean")
+        validate_dir(dc, run_dir=run_dir2, concurrency=2)
+        r3 = validate_dir(dc, run_dir=run_dir2, concurrency=2)
+        assert r3["final_decision"] == "accepted_from_checkpoint"
 
     def test_ruleset_change_invalidates_lineage(self, ray_session, tmp_path):
         from bio_data_validation_ray.registry import transcript_registry
@@ -748,3 +757,122 @@ class TestDistributedPath:
                           concurrency=2, driver_cap=0)
         assert rep["final_decision"] == "accepted"
         assert rep["stages"]["violations"]["total"] == 0
+
+
+class TestDecisionIntegrity:
+    """Round-4 review regressions: the decision gate must never silently
+    soften (strict rejections in resumable mode, resumes over rejected
+    runs, zero-row shards, malformed later shards, near_dup in resumable
+    mode)."""
+
+    def _mini_table(self, texts, start=0):
+        import datetime as dt
+
+        import pyarrow as pa
+
+        n = len(texts)
+        return pa.table({
+            "conv_id": pa.array([f"c{start + i}" for i in range(n)]),
+            "turn_idx": pa.array([0] * n, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(texts),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array([dt.datetime(2025, 1, 1)] * n,
+                           type=pa.timestamp("us")),
+        })
+
+    def test_resumable_propagates_strict_critical_rejection(
+            self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.pipelines.validate import (
+            validate_resumable,
+        )
+        from bio_data_validation_ray.registry import transcript_registry
+        from bio_data_validation_ray.rules import RuleSpec
+
+        din = tmp_path / "in"
+        din.mkdir()
+        pq.write_table(self._mini_table(["ok text", ""]),
+                       din / "s0.parquet")
+        reg = transcript_registry()
+        reg.rules.append(RuleSpec("CRIT_EMPTY", "no_empty", "text", {},
+                                  "CRITICAL", "1", "critical empty text"))
+        rep = validate_resumable(str(din), run_dir=str(tmp_path / "r"),
+                                 registry=reg, strict=True)
+        assert rep["final_decision"] == "rejected"
+        assert rep["rejection_reason"] == "critical_rule_violations"
+
+    def test_zero_row_shard_commits_and_completes(self, ray_session,
+                                                  tmp_path):
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.pipelines.validate import (
+            validate_resumable,
+        )
+
+        din = tmp_path / "in"
+        din.mkdir()
+        pq.write_table(self._mini_table(["some valid text here"]),
+                       din / "s0.parquet")
+        empty = self._mini_table(["x"]).schema.empty_table()
+        pq.write_table(empty, din / "s1-empty.parquet")
+        rep = validate_resumable(str(din), run_dir=str(tmp_path / "r"))
+        assert rep["complete"] is True
+        assert rep["shards_committed"] == 2
+        assert "s1-empty.parquet" in rep["per_shard"]
+
+    def test_schema_failure_in_later_shard_short_circuits(
+            self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+
+        din = tmp_path / "in"
+        din.mkdir()
+        pq.write_table(self._mini_table(["fine"]), din / "a.parquet")
+        bad = self._mini_table(["missing ts col"]).drop_columns(["ts"])
+        pq.write_table(bad, din / "z.parquet")
+        rep = validate_dir(str(din))
+        assert rep["final_decision"] == "rejected"
+        assert rep["rejection_reason"] == "schema_validation_failed"
+        assert rep["stages"]["schema"]["failed_file"] == "z.parquet"
+
+    def test_near_dup_fires_in_resumable_mode(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.pipelines.validate import (
+            validate_resumable,
+        )
+        from bio_data_validation_ray.registry import transcript_registry
+        from bio_data_validation_ray.rules import RuleSpec
+
+        rng = np.random.default_rng(13)
+        words = [f"tok{i}" for i in range(300)]
+        texts = [" ".join(rng.choice(words, 40)) for _ in range(20)]
+        texts.append(texts[0].replace("tok", "xok", 1))
+        din = tmp_path / "in"
+        din.mkdir()
+        pq.write_table(self._mini_table(texts[:10]), din / "s0.parquet")
+        pq.write_table(self._mini_table(texts[10:], start=10),
+                       din / "s1.parquet")
+        reg = transcript_registry()
+        reg.rules.append(RuleSpec("DUP_004_NEAR", "near_dup", "text",
+                                  {"threshold": 0.6}, "WARNING", "1",
+                                  "near-duplicate pair count"))
+        rep = validate_resumable(str(din), run_dir=str(tmp_path / "r"),
+                                 registry=reg, files_per_pass=1)
+        rules = [v["rule_id"] for v in rep["aggregate_violations"]]
+        assert "DUP_004_NEAR" in rules
+
+    def test_unknown_severity_fails_at_load(self):
+        import pytest
+
+        from bio_data_validation_ray.rules import RuleSpec
+
+        with pytest.raises(ValueError, match="severity"):
+            RuleSpec("X", "text_empty", "text", {}, "FATAL", "1", "")
+        # lowercase normalizes instead of KeyError-ing at the verdict stage
+        assert RuleSpec("Y", "text_empty", "text", {}, "error", "1",
+                        "").severity == "ERROR"
