@@ -138,8 +138,6 @@ def per_shard_digests(input_dir: str, *, text_col: str = "text"
         lens = pc.utf8_length(t[text_col]).to_numpy(
             zero_copy_only=False).astype(float)
         rows_s, rows_p = [], []
-        import numpy as np
-
         for c, shard in enumerate(shards):
             sub = lens[codes == c]
             if sub.size:
@@ -197,6 +195,13 @@ def score_partitions(
         if shard == "__all__":
             continue
         k, p = ks_statistic(td, baseline), psi(td, baseline)
+        if not (np.isfinite(k) and np.isfinite(p)):
+            # empty digest (e.g. an all-null column): there is NO signal —
+            # say so explicitly instead of a confident 'not drifted', and
+            # keep the report JSON-valid (NaN is not JSON)
+            out[shard] = {"ks": None, "psi": None, "drifted": False,
+                          "insufficient_data": True}
+            continue
         out[shard] = {
             "ks": round(k, 6),
             "psi": round(p, 6),

@@ -299,7 +299,18 @@ def _bit_length(v: np.ndarray) -> np.ndarray:
 @dataclass
 class HLL:
     p: int = 14
-    registers: np.ndarray = field(default_factory=lambda: np.zeros(1 << 14, np.uint8))
+    registers: np.ndarray | None = None
+
+    def __post_init__(self):
+        # register count must derive from p — a fixed 2^14 default silently
+        # broke every HLL(p != 14) (3/4 of registers never written at p=12,
+        # so linear counting always fired and estimates were ~20x low)
+        if self.registers is None:
+            self.registers = np.zeros(1 << self.p, np.uint8)
+        elif self.registers.size != (1 << self.p):
+            raise ValueError(
+                f"HLL: {self.registers.size} registers for p={self.p} "
+                f"(expected {1 << self.p})")
 
     def add_hashes(self, h: np.ndarray) -> "HLL":
         p = np.uint64(self.p)

@@ -178,6 +178,40 @@ class ValidateBatch:
                 )
             )
 
+        # --- structural guard: rows whose GROUPING KEYS are null cannot
+        # join a conversation segment (a null conv_id dictionary code
+        # indexes out of bounds; a null turn_idx/ts silently corrupts to
+        # INT64_MIN/NaN). Emit one violation per such row and exclude them
+        # from segment construction — the validator must flag malformed
+        # keys, not crash on them. ---
+        null_key = np.zeros(n, dtype=bool)
+        for c in (self.key_group, self.key_order, self.ts_col):
+            if c in t.column_names:
+                null_key |= pc.is_null(t[c]).to_numpy(zero_copy_only=False)
+        if null_key.any():
+            nidx = np.flatnonzero(null_key)
+            ia = pa.array(nidx)
+            parts.append(
+                _rows(
+                    "violation",
+                    nidx.size,
+                    shard=[shard] * nidx.size,
+                    conv_id=conv.take(ia).to_pylist(),
+                    turn_idx=turn.take(ia).to_pylist(),
+                    rule_id=["STRUCT_NULL_KEY"] * nidx.size,
+                    rule_version=["1"] * nidx.size,
+                    severity=["CRITICAL"] * nidx.size,
+                    column=[None] * nidx.size,
+                    offending_value=["null grouping key"] * nidx.size,
+                )
+            )
+            t = t.filter(pa.array(~null_key))
+            n = t.num_rows
+            if n == 0:
+                return
+            conv = t[self.key_group]
+            turn = t[self.key_order]
+
         # --- conversation segments (mergeable partials for group rules) ---
         # dictionary-encode the conversation key: per-row work stays on int
         # codes; only the (small) dictionary ever becomes Python strings
@@ -314,11 +348,18 @@ class ValidateBatch:
 
     def _row_hash(self, t: pa.Table, ts_np: np.ndarray) -> np.ndarray:
         """64-bit hash over the non-key columns (role, text, tool) + ts, for
-        whole-row duplicate detection (buffer-level, no Python objects)."""
+        whole-row duplicate detection. Uses the full siphash (_hash64), NOT
+        the buffer-level length/byte-sum fingerprint: that fingerprint
+        collides on transpositions ('acb' vs 'bac'), which here would mint
+        FALSE exact-duplicate violations. This path only ever sees rows
+        inside equal-(conv,turn,ts) runs — a tiny fraction — so the
+        per-row object cost is off the hot path by construction."""
         h = ts_np.astype(np.uint64).copy()
         for c in ("role", self.text_col, "tool"):
             if c in t.column_names:
-                h = h * np.uint64(0x100000001B3) + hash_string_array(t[c])
+                col = pc.fill_null(t[c], "\x00NULL\x00").to_numpy(
+                    zero_copy_only=False)
+                h = h * np.uint64(0x100000001B3) + _hash64(col)
         return h
 
     def _content_hash(self, conv_hash: np.ndarray, turn_np, t) -> tuple:
@@ -397,7 +438,11 @@ class RowRulesOnly:
             for k in self.key_cols:
                 keys[k].extend(t[k].take(ia).to_pylist())
             col = cr.spec.column
-            vals = pc.cast(t[col].take(ia), pa.string()).to_pylist()
+            if col in t.column_names:  # same guard as ValidateBatch:
+                # column-less/custom rules report 'null', never KeyError
+                vals = pc.cast(t[col].take(ia), pa.string()).to_pylist()
+            else:
+                vals = ["null"] * idx.size
             meta["rule_id"] += [cr.spec.rule_id] * idx.size
             meta["rule_version"] += [cr.spec.version] * idx.size
             meta["severity"] += [cr.spec.severity] * idx.size

@@ -66,13 +66,24 @@ class Lineage:
         }
         if extra:
             rec.update(extra)
-        safe = partition_id.replace("/", "_")
-        path = os.path.join(self.dir, f"{safe}.json")
+        path = os.path.join(self.dir, _lineage_filename(partition_id))
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "w") as fh:
             json.dump(rec, fh)
         os.replace(tmp, path)  # atomic, idempotent on re-commit
         return rec
+
+
+def _lineage_filename(partition_id: str) -> str:
+    """Collision-proof lineage filename: sanitizing '/' alone could map two
+    DISTINCT partition ids (a/b.parquet vs a_b.parquet) to one file, where
+    the commits would silently clobber each other and the losing partition
+    re-runs forever; an id-hash suffix keeps every partition distinct."""
+    import hashlib
+
+    safe = partition_id.replace("/", "_")
+    tag = hashlib.sha1(partition_id.encode()).hexdigest()[:8]
+    return f"{safe}.{tag}.json"
 
 
 def write_stats_bundle(lineage_dir: str, stats_map: dict[str, bytes]) -> str:
@@ -101,7 +112,14 @@ def load_stats_blobs(lineage_dir: str) -> dict[str, bytes]:
 
     out: dict[str, bytes] = {}
     unreadable = 0
-    for f in sorted(_glob.glob(os.path.join(lineage_dir, "stats-*.pkl"))):
+    # 'later bundles win' must mean later IN TIME: the filenames carry a
+    # random uuid, so a lexicographic sort would pick an arbitrary winner
+    # when a crashed-then-resumed pass wrote a shard into two bundles
+    bundles = sorted(
+        _glob.glob(os.path.join(lineage_dir, "stats-*.pkl")),
+        key=lambda p: (os.path.getmtime(p), p),
+    )
+    for f in bundles:
         try:
             with open(f, "rb") as fh:
                 out.update(pickle.load(fh))

@@ -876,3 +876,74 @@ class TestDecisionIntegrity:
         # lowercase normalizes instead of KeyError-ing at the verdict stage
         assert RuleSpec("Y", "text_empty", "text", {}, "error", "1",
                         "").severity == "ERROR"
+
+
+class TestMalformedRows:
+    """Null grouping keys must become violations, not crashes; anagram
+    texts must not mint false exact-duplicate violations."""
+
+    def _tbl(self, conv, turn, ts, text):
+        import pyarrow as pa
+
+        n = len(conv)
+        return pa.table({
+            "conv_id": pa.array(conv, type=pa.string()),
+            "turn_idx": pa.array(turn, type=pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        })
+
+    def test_null_keys_become_violations(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+
+        t0 = dt.datetime(2025, 1, 1)
+        tbl = self._tbl(
+            ["c1", None, "c1", "c2"],
+            [0, 1, None, 0],
+            [t0, t0, t0, None],
+            ["a", "b", "c", "d"],
+        )
+        din = tmp_path / "in"
+        din.mkdir()
+        pq.write_table(tbl, din / "s0.parquet")
+        rep = validate_dir(str(din), run_dir=str(tmp_path / "r"))
+        import pandas as pd
+
+        vio = pd.read_parquet(tmp_path / "r" / "violations")
+        nk = vio[vio["rule_id"] == "STRUCT_NULL_KEY"]
+        assert len(nk) == 3          # one per null-keyed row
+        assert (nk["severity"] == "CRITICAL").all()
+        assert rep["final_decision"] == "rejected"
+
+    def test_anagram_texts_are_not_duplicates(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+
+        t0 = dt.datetime(2025, 1, 1)
+        # same (conv, turn, ts) so they enter the duplicate-candidate run,
+        # but the texts are transpositions the old fingerprint collided on
+        tbl = self._tbl(["c1", "c1"], [0, 0], [t0, t0], ["acb", "bac"])
+        din = tmp_path / "in"
+        din.mkdir()
+        pq.write_table(tbl, din / "s0.parquet")
+        validate_dir(str(din), run_dir=str(tmp_path / "r"))
+        vio = pd.read_parquet(tmp_path / "r" / "violations")
+        assert (vio["rule_id"] != "DUP_001_ROW").all()
+        # and a REAL exact duplicate still fires
+        tbl2 = self._tbl(["c1", "c1"], [0, 0], [t0, t0], ["same", "same"])
+        din2 = tmp_path / "in2"
+        din2.mkdir()
+        pq.write_table(tbl2, din2 / "s0.parquet")
+        validate_dir(str(din2), run_dir=str(tmp_path / "r2"))
+        vio2 = pd.read_parquet(tmp_path / "r2" / "violations")
+        assert (vio2["rule_id"] == "DUP_001_ROW").sum() == 1

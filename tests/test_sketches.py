@@ -160,3 +160,19 @@ class TestBloomFilter:
         fp = b.contains_hashes(probe).mean()
         # theoretical ~ (1 - e^(-5*10000/262144))^5 ~= 1.6e-4
         assert fp < 2e-3
+
+
+def test_hll_respects_p():
+    """Registers must derive from p — a fixed 2^14 default made every
+    HLL(p != 14) estimate ~20x low (linear counting always fired)."""
+    rng = np.random.default_rng(5)
+    vals = np.array([f"v{i}" for i in range(100_000)], dtype=object)
+    for p in (10, 12, 14):
+        h = sketches.HLL(p=p).add_values(vals)
+        assert h.registers.size == 1 << p
+        est = h.estimate()
+        assert abs(est - 100_000) / 100_000 < 0.1, (p, est)
+    import pytest
+
+    with pytest.raises(ValueError):
+        sketches.HLL(p=10, registers=np.zeros(1 << 14, np.uint8))
