@@ -35,8 +35,11 @@ PII_PATTERNS: list[tuple[str, str]] = [
 def pii_stats(t: pa.Table, col: str = "text") -> pa.Table:
     """Append one ``n_<kind>`` int64 count column per PII pattern plus the
     ``n_pii`` total. Counts are leftmost non-overlapping matches on the
-    ORIGINAL text (patterns are screened independently, not sequentially)."""
-    text = t[col]
+    ORIGINAL text (patterns are screened independently, not sequentially).
+    Null text counts as empty (0 everywhere) so the n_* columns stay a
+    total classification — a null n_pii would drop the row from BOTH
+    sides of a `n_pii > 0` split."""
+    text = pc.fill_null(t[col], "")
     total = None
     for name, pattern in PII_PATTERNS:
         n = pc.cast(pc.count_substring_regex(text, pattern), pa.int64())

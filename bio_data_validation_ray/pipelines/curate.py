@@ -83,7 +83,7 @@ def curate_documents(ds, *, col: str = "text", out_dir: str | None = None,
     minima attach via Ray hash joins (compact key/id columns; text never
     joins), the verdict Dataset writes to ``out_dir`` with deterministic
     idempotent part names, and only per-stage COUNTS return."""
-    from ..stages.keyed_reduce import keyed_reduce_pandas
+    from ..stages.keyed_reduce import keyed_reduce, keyed_reduce_pandas
 
     derived = ds.map_batches(
         lambda t: _derive(t, col, quality_kwargs), batch_format="pyarrow"
@@ -91,29 +91,37 @@ def curate_documents(ds, *, col: str = "text", out_dir: str | None = None,
 
     # pyarrow-format filters: empty pandas blocks lose their schema, which
     # breaks the downstream hash joins (same Ray 2.49 issue as
-    # dedup._join_payloads); arrow filter keeps the schema on empty blocks
+    # dedup._join_payloads); arrow filter keeps the schema on empty blocks.
+    # Materialized: three consumers (two minima reduces + the join) would
+    # otherwise re-run the filter scan three times.
     kept = derived.map_batches(
         lambda t: t.filter(pc.equal(t["reason"], "")),
         batch_format="pyarrow",
-    )
-    set_min = keyed_reduce_pandas(
-        kept, ["set_hash"], {"set_canon": ("doc_id", "min")},
-        driver_cap=driver_cap, batch_format="pyarrow",
-    )
-    text_min = keyed_reduce_pandas(
-        kept, ["text_hash"], {"text_canon": ("doc_id", "min")},
-        driver_cap=driver_cap, batch_format="pyarrow",
-    )
-    # an all-quality-failed input leaves the minima frames without columns
-    if "set_hash" not in set_min.columns:
-        set_min = pd.DataFrame({"set_hash": pd.Series(dtype=np.int64),
-                                "set_canon": pd.Series(dtype=np.int64)})
-    if "text_hash" not in text_min.columns:
-        text_min = pd.DataFrame({"text_hash": pd.Series(dtype=np.int64),
-                                 "text_canon": pd.Series(dtype=np.int64)})
+    ).materialize()
+
     if out_dir is None:
+        set_min = keyed_reduce_pandas(
+            kept, ["set_hash"], {"set_canon": ("doc_id", "min")},
+            driver_cap=driver_cap, batch_format="pyarrow",
+        )
+        text_min = keyed_reduce_pandas(
+            kept, ["text_hash"], {"text_canon": ("doc_id", "min")},
+            driver_cap=driver_cap, batch_format="pyarrow",
+        )
+        # an all-quality-failed input leaves the minima without columns
+        if "set_hash" not in set_min.columns:
+            set_min = pd.DataFrame({"set_hash": pd.Series(dtype=np.int64),
+                                    "set_canon": pd.Series(dtype=np.int64)})
+        if "text_hash" not in text_min.columns:
+            text_min = pd.DataFrame(
+                {"text_hash": pd.Series(dtype=np.int64),
+                 "text_canon": pd.Series(dtype=np.int64)})
         # attach group minima back with a vectorized merge (compact frames)
         docs = derived.to_pandas()
+        if "set_hash" not in docs.columns:  # empty input dataset
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "keep": pd.Series(dtype=bool),
+                                 "stage": pd.Series(dtype=object)})
         docs = docs.merge(set_min, on="set_hash", how="left")
         docs = docs.merge(text_min, on="text_hash", how="left")
         return _verdict_frame(docs).sort_values("doc_id") \
@@ -133,18 +141,35 @@ def curate_documents(ds, *, col: str = "text", out_dir: str | None = None,
         lambda df: _verdict_frame(df.assign(set_canon=-1, text_canon=-1)),
         batch_format="pandas",
     )
-    kept_joined = (
-        kept.repartition(nparts)
-        .join(rd.from_pandas(set_min).repartition(nparts), "inner", nparts,
-              on=("set_hash",))
-        .repartition(nparts)
-        .join(rd.from_pandas(text_min).repartition(nparts), "inner", nparts,
-              on=("text_hash",))
-    )
-    kept_verdicts = kept_joined.map_batches(
-        _verdict_frame, batch_format="pandas"
-    )
-    verdicts = quality_vio.union(kept_verdicts).materialize()
+    if kept.count() == 0:
+        # all docs quality-failed: nothing to canonicalize, and Ray's hash
+        # join would crash on the schemaless empty side
+        verdicts = quality_vio.materialize()
+    else:
+        # the at-scale path keeps the group minima DISTRIBUTED (interior
+        # Dataset + compact boundary stitch): collecting one row per
+        # distinct hash to the driver is O(#documents) for mostly-unique
+        # corpora — exactly what this branch exists to avoid
+        si, sb = keyed_reduce(kept, ["set_hash"],
+                              {"set_canon": ("doc_id", "min")},
+                              batch_format="pyarrow")
+        set_min_ds = (si.union(rd.from_pandas(sb)) if len(sb) else si)
+        ti_, tb = keyed_reduce(kept, ["text_hash"],
+                               {"text_canon": ("doc_id", "min")},
+                               batch_format="pyarrow")
+        text_min_ds = (ti_.union(rd.from_pandas(tb)) if len(tb) else ti_)
+        kept_joined = (
+            kept.repartition(nparts)
+            .join(set_min_ds.repartition(nparts), "inner", nparts,
+                  on=("set_hash",))
+            .repartition(nparts)
+            .join(text_min_ds.repartition(nparts), "inner", nparts,
+                  on=("text_hash",))
+        )
+        kept_verdicts = kept_joined.map_batches(
+            _verdict_frame, batch_format="pandas"
+        )
+        verdicts = quality_vio.union(kept_verdicts).materialize()
     write_parquet_idempotent(verdicts, out_dir, prefix="curate")
     counts = combine_low_card(verdicts, ["stage"],
                               {"n": ("doc_id", "count")})

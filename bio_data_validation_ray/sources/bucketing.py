@@ -34,16 +34,12 @@ def write_bucketed(ds, out_dir: str, *, key: str, n_buckets: int = 32) -> str:
     """Write ``ds`` as hive-partitioned Parquet ``out_dir/bucket=<b>/`` —
     one directory per key-hash bucket (resumable layout: a failed rewrite
     re-runs per partition; deterministic filenames overwrite-on-retry)."""
-    from .writers import DeterministicFilenames
+    from .writers import write_parquet_idempotent
 
     bucketed = ds.map_batches(
         lambda df: add_bucket(df, key, n_buckets), batch_format="pandas"
     )
-    bucketed.write_parquet(
-        out_dir, partition_cols=["bucket"],
-        filename_provider=DeterministicFilenames("part"),
-        mode="overwrite",
-    )
+    write_parquet_idempotent(bucketed, out_dir, partition_cols=["bucket"])
     return out_dir
 
 

@@ -138,7 +138,11 @@ class EnrichStage:
         # in a batch cost one probe
         keys = pd.Index(batch[self.key_col].unique())
         found = self._index.reindex(keys)
-        hit_mask = ~found[self.add_cols[0]].isna()
+        # membership = key present in the reference INDEX, not "first
+        # add_col non-null": a reference row whose first attribute is
+        # legitimately null is a HIT (and must not be overwritten by the
+        # fallback), and an empty add_cols list must not IndexError
+        hit_mask = pd.Series(keys.isin(self._index.index), index=keys)
         status = pd.Series(MISS, index=keys, dtype=object)
         status[hit_mask] = HIT
         missing = keys[~hit_mask]
@@ -156,7 +160,12 @@ class EnrichStage:
                 self.fallback_hits += len(fb_keys)
         self.hits += int(hit_mask.sum())
         self.misses += int((status == MISS).sum())
-        out = batch.merge(
+        # pre-drop output columns the batch already carries: default merge
+        # suffixes would silently rename to _x/_y and break the documented
+        # schema when re-enriching an already-enriched dataset
+        clash = [c for c in self.add_cols + [STATUS_COL]
+                 if c in batch.columns]
+        out = (batch.drop(columns=clash) if clash else batch).merge(
             found.assign(**{STATUS_COL: status}),
             left_on=self.key_col, right_index=True, how="left",
         )

@@ -70,3 +70,53 @@ def test_curate_distributed_sink_matches_driver(ray_session, tmp_path):
         written[["doc_id", "keep", "stage"]], drv, check_dtype=False)
     truth_counts = drv.groupby("stage").size().to_dict()
     assert dict(zip(counts["stage"], counts["n"])) == truth_counts
+
+
+def test_curate_all_quality_failed_and_empty(ray_session, tmp_path):
+    """An all-quality-failed shard (and an empty dataset) must yield
+    verdicts, not a hash-join crash on a schemaless empty side."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.pipelines.curate import curate_documents
+
+    bad = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                        "text": ["short", "tiny", "x"]})
+    # collect path
+    v = curate_documents(rd.from_pandas(bad))
+    assert (~v["keep"]).all() and (v["stage"] == "too_short").all()
+    # distributed sink path
+    counts = curate_documents(rd.from_pandas(bad),
+                              out_dir=str(tmp_path / "out"))
+    assert dict(zip(counts["stage"], counts["n"])) == {"too_short": 3}
+    # empty dataset
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series(dtype=np.int64),
+        "text": pd.Series(dtype=object)}))
+    v2 = curate_documents(empty)
+    assert len(v2) == 0 and list(v2.columns) == ["doc_id", "keep", "stage"]
+
+
+def test_enrich_null_attribute_is_a_hit(ray_session):
+    """A reference key whose first attribute is legitimately null is a HIT
+    (the old first-column-isna membership test called it a miss and let
+    the fallback overwrite the reference row)."""
+    import ray.data as rd
+
+    from bio_data_validation_ray.stages.enrich import EnrichStage
+
+    ref = pd.DataFrame({"k": np.int64([1, 2]),
+                        "v": pd.array([pd.NA, 7], dtype="Int64")})
+    batch = pd.DataFrame({"k": np.int64([1, 2, 3])})
+
+    def fb(keys):
+        return pd.DataFrame({"k": keys.astype(np.int64),
+                             "v": np.int64(999)})
+
+    st = EnrichStage(ref_data=ref, key_col="k", ref_key="k",
+                     add_cols=["v"], fallback=fb)
+    out = st(batch).set_index("k")
+    assert out.loc[1, "enrich_status"] == "hit"      # null attr, still a hit
+    assert pd.isna(out.loc[1, "v"])                  # not overwritten by fb
+    assert out.loc[2, "enrich_status"] == "hit"
+    assert out.loc[3, "enrich_status"] == "fallback"
+    assert int(out.loc[3, "v"]) == 999
