@@ -166,24 +166,47 @@ def _split_boundary(df: pd.DataFrame, key: str, want_boundary: bool
     return df[bmask] if want_boundary else df[~bmask]
 
 
-def _dual_path_merge(partials, merge_fn, driver_cap: int) -> pd.DataFrame:
-    """Shared finalize for the compact-partial window ops: collect-and-
-    merge on the driver below ``driver_cap`` partial rows, else merge
-    interior keys inside map_batches and stitch only each block's boundary
-    keys (at most two per block) centrally. ``merge_fn(frame) -> frame``
-    must be chunking-invariant over stream-ordered partials — exactly the
-    property each op's hypothesis test pins."""
+def _dual_path_merge(partials, merge_fn, driver_cap: int):
+    """Shared finalize for the compact-partial window ops ->
+    ``(interior_ds | None, frame)``.
+
+    Driver path (partial volume under ``driver_cap``): every compact
+    partial collects once and merges vectorized — ``(None, frame)``.
+    Distributed path: interior keys merge to FINAL rows inside map_batches
+    and stay a Dataset (the driver never holds them — at 10^9 keys the
+    final rows are themselves big data); only each block's boundary keys
+    (at most two per block) stitch centrally — ``(Dataset,
+    boundary_frame)``; the union of both is the full result (a key is
+    interior XOR boundary). ``merge_fn(frame) -> frame`` must be
+    chunking-invariant over stream-ordered partials — exactly the property
+    each op's hypothesis test pins — and must itself restore stream order
+    from the partials' order snapshots (``__ord{i}`` / first_ts), never
+    rely on collection order."""
     partials = partials.materialize()
     if partials.count() <= driver_cap:
-        return merge_fn(partials.to_pandas())
+        return None, merge_fn(partials.to_pandas())
     interior = partials.map_batches(
         lambda df: merge_fn(_split_boundary(df, "key", False)),
         batch_format="pandas",
-    ).to_pandas()
+    )
     boundary = partials.map_batches(
         lambda df: _split_boundary(df, "key", True), batch_format="pandas"
     ).to_pandas()
-    return pd.concat([interior, merge_fn(boundary)], ignore_index=True)
+    return interior, merge_fn(boundary)
+
+
+def _collect_pair(interior_ds, frame: pd.DataFrame) -> pd.DataFrame:
+    """Convenience collapse of a ``(interior_ds, boundary_frame)`` pair to
+    one driver frame. COLLECTS the interior Dataset — callers at unbounded
+    key cardinality must consume the pair form instead (write/aggregate
+    the Dataset, stitch only the small boundary frame)."""
+    if interior_ds is None:
+        return frame
+    got = interior_ds.to_pandas()
+    frames = [f for f in (got, frame) if len(f)]
+    if not frames:
+        return frame
+    return pd.concat(frames, ignore_index=True)
 
 
 def _asof_partials(df: pd.DataFrame, key: str, ts_col: str, marker_col: str,
@@ -426,8 +449,23 @@ def gap_stats(ds, *, key: str, order_cols: list[str], ts_col: str,
     ordering checks (SURVEY.md §2.6). Fully compact at scale: every batch
     reduces to one partial per key (first/last ts + internal stats), and
     partials merge exactly — a hot key crossing many batches reaches the
-    merge as #batches tiny rows, never as raw rows.
+    merge as #batches tiny rows, never as raw rows. COLLECTS the full
+    per-key result — use ``gap_stats_ds`` at unbounded key cardinality.
     -> DataFrame[(key, n_gaps, max_gap_us)] sorted by key."""
+    out = _collect_pair(*gap_stats_ds(
+        ds, key=key, order_cols=order_cols, ts_col=ts_col,
+        driver_cap=driver_cap))
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    out["max_gap_us"] = out["max_gap_us"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+def gap_stats_ds(ds, *, key: str, order_cols: list[str], ts_col: str,
+                 driver_cap: int = 5_000_000):
+    """Scale form of ``gap_stats`` -> ``(interior_ds | None,
+    boundary_frame)``: interior keys merge to final (key, n_gaps,
+    max_gap_us) rows inside map_batches and stay a Dataset; only each
+    block's first/last keys' partials stitch on the driver."""
     partials = (
         ds.sort([key] + order_cols + [ts_col])
         .map_batches(lambda df: _gap_partials(df, key, ts_col, order_cols),
@@ -436,31 +474,26 @@ def gap_stats(ds, *, key: str, order_cols: list[str], ts_col: str,
     )
     ord_snap = [f"__ord{i}" for i in range(len(order_cols))]
     if partials.count() <= driver_cap:
-        out = _merge_gap_partials(partials.to_pandas())
-    else:
-        # sort the COMPACT partials into stream order — (key, order-column
-        # snapshots, first_ts), NOT bare first_ts, which lies when ts is
-        # non-monotonic in the key's own ordering; interior keys merge to
-        # final rows in place, each batch's first/last key's partials
-        # stitch on the driver (same invariant as sessionize)
-        srt2 = partials.sort(["key", *ord_snap, "first_ts"]).materialize()
+        return None, _merge_gap_partials(partials.to_pandas())
+    # sort the COMPACT partials into stream order — (key, order-column
+    # snapshots, first_ts), NOT bare first_ts, which lies when ts is
+    # non-monotonic in the key's own ordering; interior keys merge to
+    # final rows in place, each batch's first/last key's partials
+    # stitch on the driver (same invariant as sessionize)
+    srt2 = partials.sort(["key", *ord_snap, "first_ts"]).materialize()
 
-        split = functools.partial(_split_boundary, key="key")
+    split = functools.partial(_split_boundary, key="key")
 
-        interior = srt2.map_batches(
-            lambda df: _merge_gap_partials(split(df, want_boundary=False)),
-            batch_format="pandas",
-        ).to_pandas()
-        boundary = srt2.map_batches(
-            lambda df: split(df, want_boundary=True), batch_format="pandas"
-        ).to_pandas()
-        if "key" not in boundary.columns:
-            boundary = pd.DataFrame(columns=GAP_PARTIAL_COLS)
-        out = pd.concat([interior, _merge_gap_partials(boundary)],
-                        ignore_index=True)
-    out["n_gaps"] = out["n_gaps"].astype(np.int64)
-    out["max_gap_us"] = out["max_gap_us"].astype(np.int64)
-    return out.sort_values("key", kind="stable").reset_index(drop=True)
+    interior = srt2.map_batches(
+        lambda df: _merge_gap_partials(split(df, want_boundary=False)),
+        batch_format="pandas",
+    )
+    boundary = srt2.map_batches(
+        lambda df: split(df, want_boundary=True), batch_format="pandas"
+    ).to_pandas()
+    if "key" not in boundary.columns:
+        boundary = pd.DataFrame(columns=GAP_PARTIAL_COLS)
+    return interior, _merge_gap_partials(boundary)
 
 
 def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
@@ -474,7 +507,20 @@ def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
     each run in a prefix of length <= n), so a hot key costs the driver
     O(n) rows per batch, never its full row set. order_cols + the sort's
     stability must give a total order per key for determinism (include a
-    tiebreaker id column)."""
+    tiebreaker id column). COLLECTS the full head-n result — use
+    ``grouped_top_n_ds`` at unbounded key cardinality."""
+    out = _collect_pair(*grouped_top_n_ds(
+        ds, key=key, order_cols=order_cols, n=n, driver_cap=driver_cap))
+    return out.sort_values([key] + order_cols, kind="stable") \
+        .reset_index(drop=True)
+
+
+def grouped_top_n_ds(ds, *, key: str, order_cols: list[str], n: int,
+                     driver_cap: int = 5_000_000):
+    """Scale form of ``grouped_top_n`` -> ``(interior_ds | None,
+    boundary_frame)``: interior keys' head-n rows stay a Dataset; the
+    driver only ever holds the boundary keys' per-batch head-n
+    partials."""
     srt = ds.sort([key] + order_cols).materialize()
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
@@ -484,23 +530,20 @@ def grouped_top_n(ds, *, key: str, order_cols: list[str], n: int,
         return df.groupby(key, sort=False, dropna=False).head(n)
 
     if srt.count() <= driver_cap:
-        out = kernel(srt.to_pandas())
-    else:
-        interior = srt.map_batches(
-            lambda df: kernel(_split_boundary(df, key, False)),
-            batch_format="pandas",
-        ).to_pandas()
-        # compact boundary partial: this batch's head-n per boundary key
-        boundary = srt.map_batches(
-            lambda df: kernel(_split_boundary(df, key, True)),
-            batch_format="pandas",
-        ).to_pandas()
-        if len(boundary):
-            boundary = kernel(
-                boundary.sort_values([key] + order_cols, kind="stable"))
-        out = pd.concat([interior, boundary], ignore_index=True)
-    return out.sort_values([key] + order_cols, kind="stable") \
-        .reset_index(drop=True)
+        return None, kernel(srt.to_pandas())
+    interior = srt.map_batches(
+        lambda df: kernel(_split_boundary(df, key, False)),
+        batch_format="pandas",
+    )
+    # compact boundary partial: this batch's head-n per boundary key
+    boundary = srt.map_batches(
+        lambda df: kernel(_split_boundary(df, key, True)),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(boundary):
+        boundary = kernel(
+            boundary.sort_values([key] + order_cols, kind="stable"))
+    return interior, boundary
 
 
 def _pdisc_partials(df: pd.DataFrame, key: str, value_col: str
@@ -562,7 +605,20 @@ def grouped_percentile_disc(ds, *, key: str, value_col: str, q: float,
     locates each key's rank inside one batch run; when that run spans a
     single value the answer is immediate, otherwise a targeted second pass
     over the SAME materialized blocks extracts exactly one row per pending
-    key. -> DataFrame[(key, p)] sorted by key."""
+    key. COLLECTS the full per-key result — use
+    ``grouped_percentile_disc_ds`` at unbounded key cardinality.
+    -> DataFrame[(key, p)] sorted by key."""
+    out = _collect_pair(*grouped_percentile_disc_ds(
+        ds, key=key, value_col=value_col, q=q, driver_cap=driver_cap))
+    return out.sort_values(key, kind="stable").reset_index(drop=True)
+
+
+def grouped_percentile_disc_ds(ds, *, key: str, value_col: str, q: float,
+                               driver_cap: int = 5_000_000):
+    """Scale form of ``grouped_percentile_disc`` -> ``(interior_ds | None,
+    boundary_frame)``: interior keys' (key, p) rows stay a Dataset; the
+    driver resolves only boundary keys from compact count partials (plus
+    the targeted one-row-per-pending-key extraction)."""
     import ray
 
     srt = ds.sort([key, value_col]).materialize()
@@ -580,53 +636,52 @@ def grouped_percentile_disc(ds, *, key: str, value_col: str, q: float,
                              "p": df[value_col].to_numpy()[idx]})
 
     if srt.count() <= driver_cap:
-        out = kernel(srt.to_pandas())
-    else:
-        # batch_size=None pins batches to the materialized blocks so the
-        # partial pass and the extraction pass see identical key runs
-        interior = srt.map_batches(
-            lambda df: kernel(_split_boundary(df, key, False)),
-            batch_format="pandas", batch_size=None,
-        ).to_pandas()
-        partials = srt.map_batches(
-            lambda df: _pdisc_partials(
-                _split_boundary(df, key, True), key, value_col),
-            batch_format="pandas", batch_size=None,
-        ).to_pandas()
-        if "key" not in partials.columns:
-            partials = pd.DataFrame(
-                columns=["key", "n_rows", "v_first", "v_last"])
-        done, need = _pdisc_resolve(partials, q)
-        frames = [interior]
-        if len(done):
-            frames.append(done.rename(columns={"key": key}))
-        if need:
-            need_ref = ray.put(need)
+        return None, kernel(srt.to_pandas())
+    # batch_size=None pins batches to the materialized blocks so the
+    # partial pass and the extraction pass see identical key runs
+    interior = srt.map_batches(
+        lambda df: kernel(_split_boundary(df, key, False)),
+        batch_format="pandas", batch_size=None,
+    )
+    partials = srt.map_batches(
+        lambda df: _pdisc_partials(
+            _split_boundary(df, key, True), key, value_col),
+        batch_format="pandas", batch_size=None,
+    ).to_pandas()
+    if "key" not in partials.columns:
+        partials = pd.DataFrame(
+            columns=["key", "n_rows", "v_first", "v_last"])
+    done, need = _pdisc_resolve(partials, q)
+    frames = []
+    if len(done):
+        frames.append(done.rename(columns={"key": key}))
+    if need:
+        need_ref = ray.put(need)
 
-            def extract(df: pd.DataFrame) -> pd.DataFrame:
-                todo = ray.get(need_ref)
-                b = _split_boundary(df, key, True)
-                if len(b) == 0:
-                    return pd.DataFrame(columns=[key, "p"])
-                k = b[key].to_numpy()
-                v = b[value_col].to_numpy()
-                starts = np.concatenate(
-                    [[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
-                ends = np.concatenate([starts[1:], [len(k)]])
-                rows = []
-                for s, e in zip(starts, ends):
-                    off = todo.get((k[s], v[s], v[e - 1]))
-                    if off is not None:
-                        rows.append((k[s], v[s + off - 1]))
-                return pd.DataFrame(rows, columns=[key, "p"])
+        def extract(df: pd.DataFrame) -> pd.DataFrame:
+            todo = ray.get(need_ref)
+            b = _split_boundary(df, key, True)
+            if len(b) == 0:
+                return pd.DataFrame(columns=[key, "p"])
+            k = b[key].to_numpy()
+            v = b[value_col].to_numpy()
+            starts = np.concatenate(
+                [[0], np.flatnonzero(k[1:] != k[:-1]) + 1])
+            ends = np.concatenate([starts[1:], [len(k)]])
+            rows = []
+            for s, e in zip(starts, ends):
+                off = todo.get((k[s], v[s], v[e - 1]))
+                if off is not None:
+                    rows.append((k[s], v[s + off - 1]))
+            return pd.DataFrame(rows, columns=[key, "p"])
 
-            frames.append(srt.map_batches(
-                extract, batch_format="pandas", batch_size=None,
-            ).to_pandas())
-        frames = [f for f in frames if len(f)]
-        out = (pd.concat(frames, ignore_index=True)
-               if frames else pd.DataFrame(columns=[key, "p"]))
-    return out.sort_values(key, kind="stable").reset_index(drop=True)
+        frames.append(srt.map_batches(
+            extract, batch_format="pandas", batch_size=None,
+        ).to_pandas())
+    frames = [f for f in frames if len(f)]
+    boundary = (pd.concat(frames, ignore_index=True)
+                if frames else pd.DataFrame(columns=[key, "p"]))
+    return interior, boundary
 
 
 def _pcont_kernel(df: pd.DataFrame, key: str, value_col: str, q: float
@@ -658,19 +713,31 @@ def grouped_percentile_cont(ds, *, key: str, value_col: str, q: float,
     and a targeted second pass extracts at most two rows per pending key.
     Over integer inputs with q = 0.5 the result is exact in float64 (frac
     is 0 or 0.5), which is how the SQL twin states it bit-identically.
+    COLLECTS the full per-key result — use ``grouped_percentile_cont_ds``
+    at unbounded key cardinality.
     -> DataFrame[(key, p: float64)] sorted by key."""
+    out = _collect_pair(*grouped_percentile_cont_ds(
+        ds, key=key, value_col=value_col, q=q, driver_cap=driver_cap))
+    return out.sort_values(key, kind="stable").reset_index(drop=True)
+
+
+def grouped_percentile_cont_ds(ds, *, key: str, value_col: str, q: float,
+                               driver_cap: int = 5_000_000):
+    """Scale form of ``grouped_percentile_cont`` -> ``(interior_ds | None,
+    boundary_frame)``: interior keys interpolate inside map_batches and
+    stay a Dataset; boundary keys resolve centrally from compact count
+    partials plus an at-most-two-rows-per-key targeted extraction."""
     import ray
 
     srt = ds.sort([key, value_col]).materialize()
     if srt.count() <= driver_cap:
-        out = _pcont_kernel(srt.to_pandas(), key, value_col, q)
-        return out.sort_values(key, kind="stable").reset_index(drop=True)
+        return None, _pcont_kernel(srt.to_pandas(), key, value_col, q)
 
     interior = srt.map_batches(
         lambda df: _pcont_kernel(_split_boundary(df, key, False),
                                  key, value_col, q),
         batch_format="pandas", batch_size=None,
-    ).to_pandas()
+    )
     partials = srt.map_batches(
         lambda df: _pdisc_partials(_split_boundary(df, key, True),
                                    key, value_col),
@@ -729,10 +796,7 @@ def grouped_percentile_cont(ds, *, key: str, value_col: str, q: float,
         vlo, vhi = vals[(kk, 0)], vals[(kk, 1)]
         rows.append((kk, vlo + (rn - lo) * (vhi - vlo)))
     boundary = pd.DataFrame(rows, columns=[key, "p"])
-    frames = [f for f in (interior, boundary) if len(f)]
-    out = (pd.concat(frames, ignore_index=True)
-           if frames else pd.DataFrame(columns=[key, "p"]))
-    return out.sort_values(key, kind="stable").reset_index(drop=True)
+    return interior, boundary
 
 
 def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
@@ -775,8 +839,8 @@ def session_stats(ds, *, key: str = "user_id", ts_col: str = "ts",
 _ROLL_SENT = np.int64(-(1 << 62))
 
 
-def _roll_partials(df: pd.DataFrame, key: str, value_col: str, k: int
-                   ) -> pd.DataFrame:
+def _roll_partials(df: pd.DataFrame, key: str, value_col: str, k: int,
+                   order_cols: list[str] = ()) -> pd.DataFrame:
     """One COMPACT partial per key-run of a sorted batch for a k-row
     rolling-sum maximum: run length / total sum / max over FULL k-windows
     contained in the batch, plus the run's first and last (k-1) values as
@@ -786,7 +850,8 @@ def _roll_partials(df: pd.DataFrame, key: str, value_col: str, k: int
     sessionize; SURVEY.md §2.6 windowed aggregates)."""
     cols = (["key", "n", "total", "interior_max"]
             + [f"h{j}" for j in range(k - 1)]
-            + [f"t{j}" for j in range(k - 1)])
+            + [f"t{j}" for j in range(k - 1)]
+            + [f"__ord{i}" for i in range(len(order_cols))])
     if len(df) == 0:
         return pd.DataFrame(columns=cols)
     kcol = df[key].to_numpy()
@@ -821,17 +886,25 @@ def _roll_partials(df: pd.DataFrame, key: str, value_col: str, k: int
                                 np.int64(0))
         tidx = ends - 1 - j
         out[f"t{j}"] = np.where(j < n, v[np.maximum(tidx, 0)], np.int64(0))
+    # first-row order-column snapshot: the merge re-sorts partials by
+    # (key, __ord...) instead of trusting collection order (cf. gap_stats)
+    for i, oc in enumerate(order_cols):
+        out[f"__ord{i}"] = df[oc].to_numpy()[starts]
     return out
 
 
 def _merge_roll_partials(frame: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Merge rolling partials per key in stream order (partials arrive
-    already stream-ordered within each key: the partial stream is produced
-    by one pass over the key-sorted input, and the caller preserves or
-    restores that order). Keys living in a single partial resolve fully
-    vectorized; only keys that span batch boundaries walk the O(k) stitch."""
+    """Merge rolling partials per key in stream order. Partials carry their
+    first row's order-column snapshot (``__ord{i}``), so the merge
+    re-sorts by (key, snapshots) instead of trusting collection order —
+    Ray's block order surviving a collect is an implementation detail, not
+    a contract. Keys living in a single partial resolve fully vectorized;
+    only keys that span batch boundaries walk the O(k) stitch (numpy row
+    arrays, no per-row pandas indexing)."""
     if len(frame) == 0:
         return pd.DataFrame(columns=["key", "max_roll"])
+    frame = frame.sort_values(["key", *_ord_cols_of(frame)],
+                              kind="stable").reset_index(drop=True)
     counts = frame["key"].value_counts()
     singles = counts[counts == 1].index
     one = frame[frame["key"].isin(singles)]
@@ -846,27 +919,32 @@ def _merge_roll_partials(frame: pd.DataFrame, k: int) -> pd.DataFrame:
     hcols = [f"h{j}" for j in range(k - 1)]
     tcols = [f"t{j}" for j in range(k - 1)]
     for key_val, g in multi.groupby("key", sort=False):
+        pn_a = g["n"].to_numpy(dtype=np.int64)
+        im_a = g["interior_max"].to_numpy(dtype=np.int64)
+        tt_a = g["total"].to_numpy(dtype=np.int64)
+        h_a = g[hcols].to_numpy(dtype=np.int64) if hcols else \
+            np.empty((len(g), 0), dtype=np.int64)
+        t_a = g[tcols].to_numpy(dtype=np.int64) if tcols else \
+            np.empty((len(g), 0), dtype=np.int64)
         carry: list[int] = []
         best = int(_ROLL_SENT)
-        tot_n = 0
-        tot_s = 0
-        for _, p in g.iterrows():
-            pn = int(p["n"])
+        for r in range(len(g)):
+            pn = int(pn_a[r])
             m = min(pn, k - 1)
-            head = [int(p[hcols[j]]) for j in range(m)]
+            head = h_a[r, :m].tolist()
             if carry:
                 for j in range(m):
                     need = k - 1 - j
                     if need > 0 and len(carry) >= need:
                         s = sum(carry[-need:]) + sum(head[: j + 1])
                         best = max(best, s)
-            best = max(best, int(p["interior_max"]))
+            best = max(best, int(im_a[r]))
             if pn >= k - 1:
-                carry = [int(p[tcols[j]]) for j in range(k - 2, -1, -1)]
+                carry = t_a[r, ::-1].tolist()
             else:
                 carry = (carry + head)[-(k - 1):]
-            tot_n += pn
-            tot_s += int(p["total"])
+        tot_n = int(pn_a.sum())
+        tot_s = int(tt_a.sum())
         rows.append((key_val, best if tot_n >= k else tot_s))
     res_multi = pd.DataFrame(rows, columns=["key", "max_roll"])
     out = pd.concat([res_one, res_multi], ignore_index=True)
@@ -886,18 +964,29 @@ def rolling_sum_max(ds, *, key: str, order_cols: list[str], value_col: str,
     sorted scan emitting O(k) bytes per (batch, key); keys interior to a
     batch finalize vectorized; boundary keys stitch from compact partials
     only, so a 10^9-row hot key reaches the driver as #batches tiny rows.
+    COLLECTS the full per-key result on the driver — use
+    ``rolling_sum_max_ds`` at unbounded key cardinality.
     -> DataFrame[(key, max_roll)] sorted by key."""
-    # driver path collects the partial stream in block order: Ray preserves
-    # block order for order-preserving ops, and each key's partials are
-    # stream-contiguous after the range sort, so per-key stream order
-    # survives collection (the invariant every merge_fn relies on).
-    partials = ds.sort([key] + list(order_cols)).map_batches(
-        lambda df: _roll_partials(df, key, value_col, k),
-        batch_format="pandas")
-    out = _dual_path_merge(
-        partials, lambda f: _merge_roll_partials(f, k), driver_cap)
+    out = _collect_pair(*rolling_sum_max_ds(
+        ds, key=key, order_cols=order_cols, value_col=value_col, k=k,
+        driver_cap=driver_cap))
     out["max_roll"] = out["max_roll"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+def rolling_sum_max_ds(ds, *, key: str, order_cols: list[str],
+                       value_col: str, k: int = 3,
+                       driver_cap: int = 5_000_000):
+    """Scale form of ``rolling_sum_max`` -> ``(interior_ds | None,
+    boundary_frame)``: interior keys' final (key, max_roll) rows stay a
+    Dataset (write/aggregate them without a driver collect); only boundary
+    keys' stitched rows hit the driver. Partials carry order-column
+    snapshots, so the merge never depends on collection order."""
+    partials = ds.sort([key] + list(order_cols)).map_batches(
+        lambda df: _roll_partials(df, key, value_col, k, order_cols),
+        batch_format="pandas")
+    return _dual_path_merge(
+        partials, lambda f: _merge_roll_partials(f, k), driver_cap)
 
 
 # --- ordered per-key document assembly ------------------------------------
@@ -959,7 +1048,23 @@ def assemble_docs(ds, *, key: str, order_cols: list[str], text_col: str,
     driver fast path gates on ``size_bytes`` (not row count): beyond
     ``driver_byte_cap`` the interior keys hash in parallel inside
     map_batches and only the two boundary keys per block reach the driver.
-    ``driver_cap`` (rows) is kept for tests that force a path."""
+    ``driver_cap`` (rows) is kept for tests that force a path. COLLECTS
+    the full per-key (len, md5) result — use ``assemble_docs_ds`` at
+    unbounded key cardinality."""
+    out = _collect_pair(*assemble_docs_ds(
+        ds, key=key, order_cols=order_cols, text_col=text_col, sep=sep,
+        driver_byte_cap=driver_byte_cap, driver_cap=driver_cap))
+    out["doc_len"] = out["doc_len"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+def assemble_docs_ds(ds, *, key: str, order_cols: list[str], text_col: str,
+                     sep: str = "\n",
+                     driver_byte_cap: int = 32 << 20,
+                     driver_cap: int | None = None):
+    """Scale form of ``assemble_docs`` -> ``(interior_ds | None,
+    boundary_frame)``: interior keys' (key, doc_len, doc_md5) rows stay a
+    Dataset; only boundary keys' text segments reach the driver."""
     partials = (
         ds.sort([key] + list(order_cols))
         .map_batches(
@@ -971,21 +1076,16 @@ def assemble_docs(ds, *, key: str, order_cols: list[str], text_col: str,
     take_driver = (partials.count() <= driver_cap if driver_cap is not None
                    else partials.size_bytes() <= driver_byte_cap)
     if take_driver:
-        out = _finalize_docs(partials.to_pandas(), sep)
-    else:
-        interior = partials.map_batches(
-            lambda df: _finalize_docs(_split_boundary(df, "key", False),
-                                      sep),
-            batch_format="pandas",
-        ).to_pandas()
-        boundary = partials.map_batches(
-            lambda df: _split_boundary(df, "key", True),
-            batch_format="pandas",
-        ).to_pandas()
-        out = pd.concat([interior, _finalize_docs(boundary, sep)],
-                        ignore_index=True)
-    out["doc_len"] = out["doc_len"].astype(np.int64)
-    return out.sort_values("key", kind="stable").reset_index(drop=True)
+        return None, _finalize_docs(partials.to_pandas(), sep)
+    interior = partials.map_batches(
+        lambda df: _finalize_docs(_split_boundary(df, "key", False), sep),
+        batch_format="pandas",
+    )
+    boundary = partials.map_batches(
+        lambda df: _split_boundary(df, "key", True),
+        batch_format="pandas",
+    ).to_pandas()
+    return interior, _finalize_docs(boundary, sep)
 
 
 def grouped_quota_head(ds, *, key: str, order_cols: list[str],
@@ -1185,8 +1285,21 @@ def funnel(ds, *, key: str, ts_col: str, type_col: str, steps: tuple,
     satisfy two steps even at equal timestamps, and >= ties are
     order-independent). Same sorted-stream + compact-partial skeleton as
     gap_stats; partials are function tables, so merging is function
-    composition and a hot key costs O(batches), never O(rows).
-    -> DataFrame[(key, steps_completed)] sorted by key."""
+    composition and a hot key costs O(batches), never O(rows). COLLECTS
+    the full per-key result — use ``funnel_ds`` at unbounded key
+    cardinality. -> DataFrame[(key, steps_completed)] sorted by key."""
+    out = _collect_pair(*funnel_ds(
+        ds, key=key, ts_col=ts_col, type_col=type_col, steps=steps,
+        driver_cap=driver_cap))
+    out["steps_completed"] = out["steps_completed"].astype(np.int64)
+    return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+def funnel_ds(ds, *, key: str, ts_col: str, type_col: str, steps: tuple,
+              driver_cap: int = 5_000_000):
+    """Scale form of ``funnel`` -> ``(interior_ds | None,
+    boundary_frame)`` — interior keys' final rows never touch the
+    driver."""
     if len(set(steps)) != len(steps):
         raise ValueError("funnel steps must be distinct event types")
     k = len(steps)
@@ -1198,23 +1311,19 @@ def funnel(ds, *, key: str, ts_col: str, type_col: str, steps: tuple,
         .materialize()
     )
     if partials.count() <= driver_cap:
-        out = _merge_funnel_partials(partials.to_pandas(), k)
-    else:
-        srt2 = partials.sort(["key", "first_ts"]).materialize()
+        return None, _merge_funnel_partials(partials.to_pandas(), k)
+    srt2 = partials.sort(["key", "first_ts"]).materialize()
 
-        interior = srt2.map_batches(
-            lambda df: _merge_funnel_partials(
-                _split_boundary(df, "key", False), k),
-            batch_format="pandas",
-        ).to_pandas()
-        boundary = srt2.map_batches(
-            lambda df: _split_boundary(df, "key", True),
-            batch_format="pandas",
-        ).to_pandas()
-        out = pd.concat([interior, _merge_funnel_partials(boundary, k)],
-                        ignore_index=True)
-    out["steps_completed"] = out["steps_completed"].astype(np.int64)
-    return out.sort_values("key", kind="stable").reset_index(drop=True)
+    interior = srt2.map_batches(
+        lambda df: _merge_funnel_partials(
+            _split_boundary(df, "key", False), k),
+        batch_format="pandas",
+    )
+    boundary = srt2.map_batches(
+        lambda df: _split_boundary(df, "key", True),
+        batch_format="pandas",
+    ).to_pandas()
+    return interior, _merge_funnel_partials(boundary, k)
 
 
 def temperature_sample(ds, *, key: str, order_cols: list[str],
@@ -1325,12 +1434,17 @@ def _pwc_partials(df: pd.DataFrame, key: str, ts_col: str,
 
 
 def _merge_pwc_partials(frame: pd.DataFrame, window_us: int) -> pd.DataFrame:
-    """Merge peak-window partials per key in stream order. Keys living in a
-    single partial resolve vectorized; spanning keys walk an O(#partials)
-    stitch whose state is one window's worth of timestamps."""
+    """Merge peak-window partials per key in stream order. The stream is
+    (key, ts)-sorted, so (key, first_ts, last_ts) IS stream order — the
+    merge re-sorts by it rather than trusting collection order. Keys
+    living in a single partial resolve vectorized; spanning keys walk an
+    O(#partials) stitch whose state is one window's worth of
+    timestamps."""
     if len(frame) == 0:
         return pd.DataFrame({"key": pd.Series([], dtype=object),
                              "peak_cnt": pd.Series([], dtype=np.int64)})
+    frame = frame.sort_values(["key", "first_ts", "last_ts"],
+                              kind="stable").reset_index(drop=True)
     counts = frame["key"].value_counts()
     singles = counts[counts == 1].index
     one = frame[frame["key"].isin(singles)]
@@ -1341,21 +1455,25 @@ def _merge_pwc_partials(frame: pd.DataFrame, window_us: int) -> pd.DataFrame:
     rows = []
     for key_val, g in frame[~frame["key"].isin(singles)].groupby(
             "key", sort=False):
+        ip_a = g["interior_peak"].to_numpy(dtype=np.int64)
+        last_a = g["last_ts"].to_numpy(dtype=np.int64)
+        hts_l = g["head_ts"].to_list()
+        hcnt_l = g["head_cnt"].to_list()
+        tail_l = g["tail_ts"].to_list()
         carry = np.empty(0, dtype=np.int64)
         best = 0
-        for _, p in g.iterrows():
+        for r in range(len(g)):
             if len(carry):
-                h_ts = _unpack_i64(p["head_ts"])
-                h_cnt = _unpack_i64(p["head_cnt"])
+                h_ts = _unpack_i64(hts_l[r])
+                h_cnt = _unpack_i64(hcnt_l[r])
                 extra = len(carry) - np.searchsorted(
                     carry, h_ts - window_us, side="left")
                 if len(h_ts):
                     best = max(best, int((h_cnt + extra).max()))
-            best = max(best, int(p["interior_peak"]))
-            last = np.int64(p["last_ts"])
-            tail = _unpack_i64(p["tail_ts"])
+            best = max(best, int(ip_a[r]))
+            tail = _unpack_i64(tail_l[r])
             carry = np.concatenate(
-                [carry[carry >= last - window_us], tail])
+                [carry[carry >= last_a[r] - window_us], tail])
         rows.append((key_val, best))
     res_multi = pd.DataFrame(rows, columns=["key", "peak_cnt"])
     out = pd.concat([res_one, res_multi], ignore_index=True)
@@ -1377,29 +1495,46 @@ def peak_window_count(ds, *, key: str, ts_col: str, window_us: int,
     10^9-row hot key ships #batches compact partials, never raw rows.
     Reference ancestor: the per-group ordering checks at
     sample_metadata_validator.py:486-504; semantics from the SQL standard
-    RANGE frame."""
-    partials = ds.sort([key, ts_col]).map_batches(
-        lambda df: _pwc_partials(df, key, ts_col, window_us),
-        batch_format="pandas")
-    out = _dual_path_merge(
-        partials, lambda f: _merge_pwc_partials(f, window_us), driver_cap)
+    RANGE frame. COLLECTS the full per-key result — use
+    ``peak_window_count_ds`` at unbounded key cardinality."""
+    out = _collect_pair(*peak_window_count_ds(
+        ds, key=key, ts_col=ts_col, window_us=window_us,
+        driver_cap=driver_cap))
     out["peak_cnt"] = out["peak_cnt"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
 
 
+def peak_window_count_ds(ds, *, key: str, ts_col: str, window_us: int,
+                         driver_cap: int = 5_000_000):
+    """Scale form of ``peak_window_count`` -> ``(interior_ds | None,
+    boundary_frame)`` — interior keys' final rows never touch the
+    driver."""
+    partials = ds.sort([key, ts_col]).map_batches(
+        lambda df: _pwc_partials(df, key, ts_col, window_us),
+        batch_format="pandas")
+    return _dual_path_merge(
+        partials, lambda f: _merge_pwc_partials(f, window_us), driver_cap)
+
+
 # --- per-key adjacent-equal-pair counts ------------------------------------
 
-def _adjpair_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+def _adjpair_partials(df: pd.DataFrame, key: str, col: str,
+                      order_cols: list[str] = ()) -> pd.DataFrame:
     """One compact row per key-run of a (key, order)-sorted batch for the
     per-key adjacent-equal count: in-run count of positions where
     col[i] == col[i+1], plus the run's first/last value for cross-batch
     bridging — the transition-partials discipline specialized to equality,
-    with PER-KEY output (transition_counts aggregates globally)."""
+    with PER-KEY output (transition_counts aggregates globally). Carries
+    the first row's order-column snapshot so the merge can restore stream
+    order."""
     if len(df) == 0:
-        return pd.DataFrame({"key": pd.Series([], dtype=object),
-                             "n_pairs": pd.Series([], dtype=np.int64),
-                             "first_v": pd.Series([], dtype=object),
-                             "last_v": pd.Series([], dtype=object)})
+        return pd.DataFrame(
+            {"key": pd.Series([], dtype=object),
+             "n_pairs": pd.Series([], dtype=np.int64),
+             "first_v": pd.Series([], dtype=object),
+             "last_v": pd.Series([], dtype=object),
+             **{f"__ord{i}": pd.Series([], dtype=object)
+                for i in range(len(order_cols))}})
     kk = df[key].to_numpy()
     vv = df[col].to_numpy()
     same_key = kk[1:] == kk[:-1]
@@ -1411,20 +1546,27 @@ def _adjpair_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
     # count of equal-adjacent pairs inside each run
     cum = np.concatenate([[0], np.cumsum(eq)])
     n_pairs = cum[ends - 1] - cum[starts]
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "key": kk[starts],
         "n_pairs": n_pairs.astype(np.int64),
         "first_v": vv[starts],
         "last_v": vv[ends - 1],
     })
+    for i, oc in enumerate(order_cols):
+        out[f"__ord{i}"] = df[oc].to_numpy()[starts]
+    return out
 
 
 def _merge_adjpair_partials(frame: pd.DataFrame) -> pd.DataFrame:
     """Sum per-key in-run counts and add one bridge per adjacent same-key
-    partial pair where last_v(i) == first_v(i+1)."""
+    partial pair where last_v(i) == first_v(i+1). Re-sorts by the
+    partials' order snapshots — bridging needs true stream adjacency, not
+    collection order."""
     if len(frame) == 0:
         return pd.DataFrame({"key": pd.Series([], dtype=object),
                              "n_pairs": pd.Series([], dtype=np.int64)})
+    frame = frame.sort_values(["key", *_ord_cols_of(frame)],
+                              kind="stable").reset_index(drop=True)
     kk = frame["key"].to_numpy()
     same = kk[1:] == kk[:-1]
     lv = frame["last_v"].to_numpy()[:-1][same]
@@ -1449,12 +1591,25 @@ def adjacent_pair_counts(ds, *, key: str, order_cols: list[str], col: str,
     order_cols))`` grouped by key. The dialogue-structure rule primitive
     ("same role speaks twice in a row"). One sorted scan, one compact row
     per (batch, run); bridging across batches compares two scalars per
-    boundary — a hot key costs O(batches) rows, never raw turns."""
-    partials = ds.sort([key] + list(order_cols)).map_batches(
-        lambda df: _adjpair_partials(df, key, col), batch_format="pandas")
-    out = _dual_path_merge(partials, _merge_adjpair_partials, driver_cap)
+    boundary — a hot key costs O(batches) rows, never raw turns.
+    COLLECTS the full per-key result — use ``adjacent_pair_counts_ds`` at
+    unbounded key cardinality."""
+    out = _collect_pair(*adjacent_pair_counts_ds(
+        ds, key=key, order_cols=order_cols, col=col,
+        driver_cap=driver_cap))
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+def adjacent_pair_counts_ds(ds, *, key: str, order_cols: list[str],
+                            col: str, driver_cap: int = 5_000_000):
+    """Scale form of ``adjacent_pair_counts`` -> ``(interior_ds | None,
+    boundary_frame)`` — interior keys' final rows never touch the
+    driver."""
+    partials = ds.sort([key] + list(order_cols)).map_batches(
+        lambda df: _adjpair_partials(df, key, col, order_cols),
+        batch_format="pandas")
+    return _dual_path_merge(partials, _merge_adjpair_partials, driver_cap)
 
 
 # --- per-key maximum run length (RLE / gaps-and-islands) --------------------
@@ -1463,7 +1618,8 @@ _RUN_COLS = ["key", "n", "first_v", "first_run", "last_v", "last_run",
              "interior_max"]
 
 
-def _runlen_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+def _runlen_partials(df: pd.DataFrame, key: str, col: str,
+                     order_cols: list[str] = ()) -> pd.DataFrame:
     """One compact row per key-run of a (key, order)-sorted batch for the
     per-key longest constant-value streak: the run's total length, its
     leading and trailing streak (value, length), and the max interior
@@ -1478,6 +1634,8 @@ def _runlen_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
             "last_v": pd.Series([], dtype=object),
             "last_run": pd.Series([], dtype=np.int64),
             "interior_max": pd.Series([], dtype=np.int64),
+            **{f"__ord{i}": pd.Series([], dtype=object)
+               for i in range(len(order_cols))},
         })
     kk = df[key].to_numpy()
     vv = df[col].to_numpy()
@@ -1502,7 +1660,7 @@ def _runlen_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
     lens2[s1] = 0
     interior = np.maximum.reduceat(lens2, s0) if len(s0) else np.array(
         [], dtype=np.int64)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "key": kk[key_starts],
         "n": (key_ends - key_starts).astype(np.int64),
         "first_v": vv[key_starts],
@@ -1511,15 +1669,21 @@ def _runlen_partials(df: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
         "last_run": streak_lens[s1].astype(np.int64),
         "interior_max": interior.astype(np.int64),
     })
+    for i, oc in enumerate(order_cols):
+        out[f"__ord{i}"] = df[oc].to_numpy()[key_starts]
+    return out
 
 
 def _merge_runlen_partials(frame: pd.DataFrame) -> pd.DataFrame:
-    """Merge run-length partials per key in stream order: a trailing streak
+    """Merge run-length partials per key in stream order (restored from the
+    partials' order snapshots, never collection order): a trailing streak
     chains into the next partial's leading streak iff the values match
     (non-null); a partial that is one single streak chains through."""
     if len(frame) == 0:
         return pd.DataFrame({"key": pd.Series([], dtype=object),
                              "max_run": pd.Series([], dtype=np.int64)})
+    frame = frame.sort_values(["key", *_ord_cols_of(frame)],
+                              kind="stable").reset_index(drop=True)
     counts = frame["key"].value_counts()
     singles = counts[counts == 1].index
     one = frame[frame["key"].isin(singles)]
@@ -1533,11 +1697,16 @@ def _merge_runlen_partials(frame: pd.DataFrame) -> pd.DataFrame:
     rows = []
     for key_val, g in frame[~frame["key"].isin(singles)].groupby(
             "key", sort=False):
+        n_a = g["n"].to_numpy(dtype=np.int64)
+        fr_a = g["first_run"].to_numpy(dtype=np.int64)
+        lr_a = g["last_run"].to_numpy(dtype=np.int64)
+        im_a = g["interior_max"].to_numpy(dtype=np.int64)
+        fv_l = g["first_v"].to_list()
+        lv_l = g["last_v"].to_list()
         best = 0
         carry_v, carry_len = None, 0
-        for _, p in g.iterrows():
-            n, fv, fr = int(p["n"]), p["first_v"], int(p["first_run"])
-            lv, lr = p["last_v"], int(p["last_run"])
+        for r in range(len(g)):
+            n, fv, fr = int(n_a[r]), fv_l[r], int(fr_a[r])
             chains = (carry_len > 0 and not pd.isna(carry_v)
                       and not pd.isna(fv) and carry_v == fv)
             if fr == n:  # whole partial is one streak
@@ -1548,8 +1717,8 @@ def _merge_runlen_partials(frame: pd.DataFrame) -> pd.DataFrame:
                     carry_v, carry_len = fv, n
             else:
                 head = carry_len + fr if chains else max(carry_len, fr)
-                best = max(best, head, int(p["interior_max"]))
-                carry_v, carry_len = lv, lr
+                best = max(best, head, int(im_a[r]))
+                carry_v, carry_len = lv_l[r], int(lr_a[r])
         best = max(best, carry_len)
         rows.append((key_val, best))
     res_multi = pd.DataFrame(rows, columns=["key", "max_run"])
@@ -1565,9 +1734,22 @@ def max_run_length(ds, *, key: str, order_cols: list[str], col: str,
     count). Dialogue use: longest uninterrupted same-role burst per
     conversation. One sorted scan; each (batch, run) reduces to a 7-field
     partial; the stitch chains trailing/leading streaks on value equality
-    — a hot key costs O(batches) rows, never raw turns."""
-    partials = ds.sort([key] + list(order_cols)).map_batches(
-        lambda df: _runlen_partials(df, key, col), batch_format="pandas")
-    out = _dual_path_merge(partials, _merge_runlen_partials, driver_cap)
+    — a hot key costs O(batches) rows, never raw turns. COLLECTS the full
+    per-key result — use ``max_run_length_ds`` at unbounded key
+    cardinality."""
+    out = _collect_pair(*max_run_length_ds(
+        ds, key=key, order_cols=order_cols, col=col,
+        driver_cap=driver_cap))
     out["max_run"] = out["max_run"].astype(np.int64)
     return out.sort_values("key", kind="stable").reset_index(drop=True)
+
+
+def max_run_length_ds(ds, *, key: str, order_cols: list[str], col: str,
+                      driver_cap: int = 5_000_000):
+    """Scale form of ``max_run_length`` -> ``(interior_ds | None,
+    boundary_frame)`` — interior keys' final rows never touch the
+    driver."""
+    partials = ds.sort([key] + list(order_cols)).map_batches(
+        lambda df: _runlen_partials(df, key, col, order_cols),
+        batch_format="pandas")
+    return _dual_path_merge(partials, _merge_runlen_partials, driver_cap)

@@ -691,19 +691,37 @@ def t_drift_ks_exact(sf_dir):
     counts = keyed_reduce_pandas(
         ds.map_batches(prep, batch_format="pyarrow"),
         ["shard", "len"], {"n": ("len", "count")}, batch_format="pyarrow")
+    # aggfunc='sum': keyed_reduce already emits one row per (shard, len),
+    # but the default 'mean' would silently average rather than error if a
+    # duplicate ever slipped through — sum keeps counts counts.
     pv = (counts.pivot_table(index="len", columns="shard", values="n",
-                             fill_value=0).sort_index())
-    cum = pv.cumsum(axis=0).astype(np.int64)
-    ns = cum.iloc[-1]                      # per-shard totals
-    bcum = cum.sum(axis=1).astype(np.int64)  # baseline cumulative
-    nb = int(bcum.iloc[-1])
+                             aggfunc="sum", fill_value=0).sort_index())
+    cum = pv.cumsum(axis=0)
+    # Python-int arithmetic for the cross products: cs·NB and cb·Ns
+    # overflow int64 once Ns·NB approaches 2^63 (~3e9-row shard against a
+    # 3e9-row baseline), which would silently break the exact-rational
+    # contract. The output columns stay int64 for the oracle; a corpus
+    # whose Ns·NB exceeds int64 is rejected loudly instead of wrapping.
+    bcum = [int(v) for v in cum.sum(axis=1)]
+    nb = bcum[-1]
+    shards, n_rows, ks_num, ks_den = [], [], [], []
+    for s in cum.columns:
+        cs = [int(v) for v in cum[s]]
+        n_s = cs[-1]
+        if n_s * nb >= 2 ** 63:
+            raise OverflowError(
+                f"exact KS rational Ns*NB={n_s}*{nb} exceeds int64; "
+                "use the t-digest KS (t_drift) at this scale")
+        shards.append(s)
+        n_rows.append(n_s)
+        ks_num.append(max(abs(c * nb - b * n_s)
+                          for c, b in zip(cs, bcum)))
+        ks_den.append(n_s * nb)
     out = pd.DataFrame({
-        "shard": list(cum.columns),
-        "n_rows": ns.to_numpy().astype(np.int64),
-        "ks_num": [int(np.max(np.abs(cum[s].to_numpy() * nb
-                                     - bcum.to_numpy() * int(ns[s]))))
-                   for s in cum.columns],
-        "ks_den": (ns.to_numpy().astype(np.int64) * nb),
+        "shard": shards,
+        "n_rows": np.asarray(n_rows, dtype=np.int64),
+        "ks_num": np.asarray(ks_num, dtype=np.int64),
+        "ks_den": np.asarray(ks_den, dtype=np.int64),
     })
     return out.sort_values("shard", kind="stable").reset_index(drop=True)
 

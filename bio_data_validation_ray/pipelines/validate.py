@@ -196,16 +196,36 @@ def validate_dir(
     report["shards_skipped_committed"] = len(files) - len(pending)
 
     if not pending:
-        # consult the COMMITTED per-shard decisions: a resume over a run
-        # whose shards were rejected must not report "accepted" just
-        # because nothing is left to scan
-        decisions = {rec.get("decision") for rec in committed.values()}
-        if "rejected" in decisions:
-            worst = "rejected"
-        elif "conditional_accept" in decisions:
-            worst = "conditional_accept"
-        else:
-            worst = "accepted"
+        # prefer the run's persisted GLOBAL decision: dataset-level causes
+        # ('__all__' agg rules such as near_dup, cross-shard conversation
+        # rules, drift) never appear in any single shard's committed
+        # decision, so deriving from the per-shard worst alone could
+        # resume a globally-rejected run as accepted
+        worst = None
+        if run_dir:
+            sp = os.path.join(run_dir, "run_summary.json")
+            if os.path.exists(sp):
+                try:
+                    with open(sp) as fh:
+                        summ = json.load(fh)
+                    dec = summ.get("final_decision")
+                    if (summ.get("ruleset_metadata", {}).get("rules_hash")
+                            == registry.ruleset_hash
+                            and dec and dec != "incomplete"):
+                        worst = dec.removesuffix("_from_checkpoint")
+                except (json.JSONDecodeError, OSError):
+                    pass
+        if worst is None:
+            # fallback: worst COMMITTED per-shard decision — a resume over
+            # a run whose shards were rejected must not report "accepted"
+            # just because nothing is left to scan
+            decisions = {rec.get("decision") for rec in committed.values()}
+            if "rejected" in decisions:
+                worst = "rejected"
+            elif "conditional_accept" in decisions:
+                worst = "conditional_accept"
+            else:
+                worst = "accepted"
         report["final_decision"] = f"{worst}_from_checkpoint"
         report["committed"] = committed
         report["execution_time_s"] = round(time.time() - t0, 3)
@@ -1120,15 +1140,30 @@ def validate_resumable(
     # counts AND remove them from the on-disk per-pass artifacts (consumers
     # read run_dir/violations back; leaving both the superseded rows and
     # the exact-pass conv-final rows would double-represent duplicates).
-    # The subtraction total persists in dup_corrections.json so a RE-merge
-    # (which no longer sees the removed rows) subtracts identically.
+    # Crash-safety protocol (order matters):
+    #   1. scan the committed files for superseded rows, keyed per
+    #      (shard, conv_id); merge into dup_corrections.json — conv_ids
+    #      already recorded there are NOT re-counted, so a re-merge after
+    #      any crash point converges to the same totals;
+    #   2. persist the merged JSON via tmp+os.replace (atomic);
+    #   3. rewrite each violation file via tmp+os.replace (atomic) — a
+    #      crash mid-rewrite leaves whole old/new files, never truncated
+    #      parquet, and step 1 of the next merge finishes the removal
+    #      without double-counting.
     if exact_ids and rowdup_spec:
         vio_root = os.path.join(run_dir, "violations")
         corr_path = os.path.join(vio_root, "dup_corrections.json")
-        prior_counts: dict[str, int] = {}
+        # {shard: {conv_id: n_removed}}; legacy flat {shard: n} totals from
+        # older runs are folded in under a conv_id key that cannot collide.
+        by_conv: dict[str, dict[str, int]] = {}
         if os.path.exists(corr_path):
             with open(corr_path) as fh:
-                prior_counts = {k: int(v) for k, v in json.load(fh).items()}
+                raw = json.load(fh)
+            if raw.get("format") == "by_conv":
+                by_conv = {s: {c: int(n) for c, n in m.items()}
+                           for s, m in raw["by_conv"].items()}
+            else:  # legacy flat {shard: total}
+                by_conv = {s: {"\x00legacy": int(n)} for s, n in raw.items()}
         vfiles = glob.glob(os.path.join(vio_root, "group-*", "*.parquet"))
         if vfiles:
             dset = pads.dataset(vfiles)
@@ -1138,8 +1173,18 @@ def validate_resumable(
                 columns=["shard", "conv_id", "rule_id", "severity"],
                 filter=flt,
             ).to_pandas()
-            for shard, grp in prior.groupby("shard"):
-                prior_counts[shard] = prior_counts.get(shard, 0) + len(grp)
+            for (shard, conv), grp in prior.groupby(["shard", "conv_id"]):
+                m = by_conv.setdefault(shard, {})
+                # a conv_id already recorded was counted by a prior merge
+                # whose file rewrite may not have completed — don't re-add
+                if conv not in m:
+                    m[conv] = len(grp)
+            if by_conv:
+                os.makedirs(vio_root, exist_ok=True)
+                tmp = corr_path + f".tmp{os.getpid()}"
+                with open(tmp, "w") as fh:
+                    json.dump({"format": "by_conv", "by_conv": by_conv}, fh)
+                os.replace(tmp, corr_path)
             if len(prior):
                 eset = pa.array(sorted(set(exact_ids)))
                 for vf in vfiles:
@@ -1149,11 +1194,10 @@ def validate_resumable(
                         pc.is_in(t["conv_id"], value_set=eset),
                     ), False)
                     if pc.any(m).as_py():
-                        pq.write_table(t.filter(pc.invert(m)), vf)
-        if prior_counts:
-            os.makedirs(vio_root, exist_ok=True)
-            with open(corr_path, "w") as fh:
-                json.dump(prior_counts, fh)
+                        vtmp = vf + f".tmp{os.getpid()}"
+                        pq.write_table(t.filter(pc.invert(m)), vtmp)
+                        os.replace(vtmp, vf)
+        prior_counts = {s: sum(m.values()) for s, m in by_conv.items()}
         for shard, n in prior_counts.items():
             sub = SeverityCounts(**{rowdup_spec.severity.lower(): int(n)})
             c = shard_counts.get(shard, SeverityCounts())

@@ -62,22 +62,60 @@ def _params(report: dict) -> dict[str, str]:
     return {k: v for k, v in p.items() if v}
 
 
+def _yaml_name(experiment: str) -> str:
+    """YAML-safe scalar for the experiment name. Simple names stay plain
+    (what stock mlflow writes); anything that could corrupt meta.yaml —
+    newlines, ': ', '#', leading symbols, edge whitespace — gets JSON
+    double-quoting, which is valid YAML."""
+    import json
+    import re
+
+    if re.fullmatch(r"[A-Za-z0-9_][A-Za-z0-9 _.\-/]*", experiment) \
+            and not experiment.endswith(" "):
+        return experiment
+    return json.dumps(experiment)
+
+
 def _experiment_id(root: str, experiment: str) -> str:
     """Stable file-store experiment id per NAME: reuse the existing
     experiment dir whose meta.yaml carries this name, else allocate the
     next integer id — two different experiment names must not merge into
-    one id (the client path keeps them separate; so must this one)."""
-    taken = []
-    if os.path.isdir(root):
-        for d in sorted(os.listdir(root)):
-            meta = os.path.join(root, d, "meta.yaml")
-            if not (d.isdigit() and os.path.isfile(meta)):
-                continue
-            taken.append(int(d))
-            with open(meta) as fh:
-                if f"name: {experiment}\n" in fh.read():
-                    return d
-    return str(max(taken) + 1 if taken else 0)
+    one id (the client path keeps them separate; so must this one).
+    Lookup parses the ``name:`` line exactly (a run_name: or substring
+    hit must not match) and allocation claims the directory with
+    ``os.makedirs(exist_ok=False)`` in a retry loop so two concurrent
+    exporters can never race onto one id."""
+    wanted = (f"name: {_yaml_name(experiment)}",
+              f"name: {experiment}")  # quoted (current) + legacy unquoted
+    while True:
+        taken = []
+        if os.path.isdir(root):
+            for d in sorted(os.listdir(root)):
+                if not d.isdigit():
+                    continue
+                # a dir without meta.yaml is CLAIMED (another exporter
+                # between makedirs and its meta write, or a crash) — it
+                # counts as taken so the allocator skips past it instead
+                # of retrying the same id forever
+                taken.append(int(d))
+                meta = os.path.join(root, d, "meta.yaml")
+                if not os.path.isfile(meta):
+                    continue
+                with open(meta) as fh:
+                    if any(line.rstrip("\n") in wanted for line in fh):
+                        return d
+        cand = str(max(taken) + 1 if taken else 0)
+        exp_dir = os.path.join(root, cand)
+        try:
+            os.makedirs(exp_dir, exist_ok=False)
+        except FileExistsError:
+            continue  # lost the race — rescan (the winner may own our name)
+        _write(os.path.join(exp_dir, "meta.yaml"),
+               f"artifact_location: file:{os.path.abspath(exp_dir)}\n"
+               f"experiment_id: '{cand}'\n"
+               "lifecycle_stage: active\n"
+               f"name: {_yaml_name(experiment)}\n")
+        return cand
 
 
 def export_run(report: dict, root: str,
@@ -107,11 +145,7 @@ def export_run(report: dict, root: str,
     exp_dir = os.path.join(root, exp_id)
     run_dir = os.path.join(exp_dir, run_id)
     art = os.path.join(run_dir, "artifacts")
-    _write(os.path.join(exp_dir, "meta.yaml"),
-           f"artifact_location: file:{os.path.abspath(exp_dir)}\n"
-           f"experiment_id: '{exp_id}'\n"
-           "lifecycle_stage: active\n"
-           f"name: {experiment}\n")
+    # experiment meta.yaml is written once at id allocation (_experiment_id)
     _write(os.path.join(run_dir, "meta.yaml"),
            f"artifact_uri: file:{os.path.abspath(art)}\n"
            f"end_time: {now_ms}\n"
