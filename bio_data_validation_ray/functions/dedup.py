@@ -885,16 +885,65 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
+_PLANES_CACHE: dict = {}
+
+
+def _hyperplanes(seed: int, bands: int, band_bits: int,
+                 dim: int) -> np.ndarray:
+    """Deterministic seeded hyperplane matrix, cached per WORKER PROCESS
+    keyed by (seed, bands, band_bits, dim): stateless map_batches tasks
+    then pay the allocation once per worker — no actor pool, no
+    constructor args in the object store, parallelism bounded only by the
+    cluster (the r4 actor-pool variant capped banding at `concurrency`
+    actors and its spin-up dominated small runs)."""
+    k = (seed, bands, band_bits, dim)
+    h = _PLANES_CACHE.get(k)
+    if h is None:
+        rng = np.random.default_rng(seed)
+        h = rng.standard_normal((bands * band_bits, dim))
+        _PLANES_CACHE[k] = h
+    return h
+
+
+def hyperplane_bands(batch: pd.DataFrame, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id", bands: int = 16,
+                     band_bits: int = 12,
+                     seed: int = 0x5EED) -> pd.DataFrame:
+    """map_batches stage: embedding -> one row per random-hyperplane LSH
+    band (SimHash-for-cosine, the public random-projection scheme):
+    ``band_bits`` sign bits per band packed into an integer band hash. Two
+    vectors at cosine c collide in a band with
+    p = (1 - arccos(c)/pi)^band_bits; the defaults (16 bands x 12 bits)
+    give recall ~0.995 at c>=0.95 while random (c~0) pairs collide in only
+    ~0.4% of cases — fewer bits make the candidate set quadratic-ish in n
+    (8 bits => ~6% of ALL pairs). The hyperplane matrix is seeded and
+    process-cached (``_hyperplanes``); each batch is a single matmul."""
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                             "band": pd.Series(dtype=np.int64),
+                             "band_hash": pd.Series(dtype=np.int64)})
+    m = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+    planes = _hyperplanes(seed, bands, band_bits, m.shape[1])
+    bits = (m @ planes.T) > 0  # (n, bands*bits)
+    bb = bits.reshape(n, bands, band_bits)
+    weights = (np.uint64(1) << np.arange(band_bits, dtype=np.uint64))
+    bh = (bb.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+    # mix the band index into the hash so bands share one bucket space
+    bh = bh * np.uint64(0x100000001B3) + np.arange(
+        bands, dtype=np.uint64)[None, :]
+    return pd.DataFrame({
+        id_col: np.repeat(
+            batch[id_col].to_numpy().astype(np.int64), bands),
+        "band": np.tile(np.arange(bands, dtype=np.int64), n),
+        "band_hash": bh.reshape(-1).astype(np.int64),
+    })
+
+
 class HyperplaneBands:
-    """map_batches stage: embedding -> one row per random-hyperplane LSH band
-    (SimHash-for-cosine, the public random-projection scheme): ``band_bits``
-    sign bits per band packed into an integer band hash. Two vectors at
-    cosine c collide in a band with p = (1 - arccos(c)/pi)^band_bits; the
-    defaults (16 bands x 12 bits) give recall ~0.995 at c>=0.95 while
-    random (c~0) pairs collide in only ~0.4% of cases — fewer bits make the
-    candidate set quadratic-ish in n (8 bits => ~6% of ALL pairs).
-    The hyperplane matrix is deterministic (seeded) and lives in the actor —
-    one allocation per worker, a single matmul per batch."""
+    """Callable-class wrapper over ``hyperplane_bands`` (kept for API
+    compatibility; the pipeline uses the stateless function — the
+    process-level matrix cache makes actor-held state redundant)."""
 
     def __init__(self, vec_col: str = "embedding", id_col: str = "vec_id",
                  bands: int = 16, band_bits: int = 12, dim: int | None = None,
@@ -902,34 +951,11 @@ class HyperplaneBands:
         self.vec_col, self.id_col = vec_col, id_col
         self.bands, self.band_bits = bands, band_bits
         self.seed = seed
-        self._h = None
-
-    def _planes(self, dim: int) -> np.ndarray:
-        if self._h is None or self._h.shape[1] != dim:
-            rng = np.random.default_rng(self.seed)
-            self._h = rng.standard_normal((self.bands * self.band_bits, dim))
-        return self._h
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        if n == 0:
-            return pd.DataFrame({self.id_col: pd.Series(dtype=np.int64),
-                                 "band": pd.Series(dtype=np.int64),
-                                 "band_hash": pd.Series(dtype=np.int64)})
-        m = np.stack(batch[self.vec_col].to_numpy()).astype(np.float64)
-        bits = (m @ self._planes(m.shape[1]).T) > 0  # (n, bands*bits)
-        bb = bits.reshape(n, self.bands, self.band_bits)
-        weights = (np.uint64(1) << np.arange(self.band_bits, dtype=np.uint64))
-        bh = (bb.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
-        # mix the band index into the hash so bands share one bucket space
-        bh = bh * np.uint64(0x100000001B3) + np.arange(
-            self.bands, dtype=np.uint64)[None, :]
-        return pd.DataFrame({
-            self.id_col: np.repeat(
-                batch[self.id_col].to_numpy().astype(np.int64), self.bands),
-            "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
-            "band_hash": bh.reshape(-1).astype(np.int64),
-        })
+        return hyperplane_bands(
+            batch, vec_col=self.vec_col, id_col=self.id_col,
+            bands=self.bands, band_bits=self.band_bits, seed=self.seed)
 
 
 def _vec_frame(t: pa.Table, id_col: str, vec_col: str, out_id: str,
@@ -990,24 +1016,23 @@ def embedding_near_dups(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
     buckets miss boundary-crossing pairs unless probes are replicated."""
     import ray
 
-    def fuse(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = (
-            (df["band"].to_numpy().astype(np.int64) * np.int64(0x9E3779B9))
-            ^ df["band_hash"].to_numpy()
+    def band_and_fuse(df: pd.DataFrame) -> pd.DataFrame:
+        out = hyperplane_bands(df, vec_col=vec_col, id_col=id_col,
+                               bands=bands, band_bits=band_bits)
+        out["bucket"] = (
+            (out["band"].to_numpy() * np.int64(0x9E3779B9))
+            ^ out["band_hash"].to_numpy()
         )
-        return df[[id_col, "bucket"]]
+        return out[[id_col, "bucket"]]
 
     empty = pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-    # pass the CLASS (actor pool), not an instance: a pickled instance
-    # ships with _h=None and regenerates the hyperplane matrix per task,
-    # which is what the class docstring's one-allocation-per-worker
-    # promise exists to avoid
-    banded = ds.map_batches(
-        HyperplaneBands,
-        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col,
-                                   bands=bands, band_bits=band_bits),
-        batch_format="pandas", concurrency=(1, max(2, int(concurrency))),
-    ).map_batches(fuse, batch_format="pandas")
+    # ONE stateless task stage, not an actor pool + a second fuse stage:
+    # the hyperplane matrix is process-cached by seed (`_hyperplanes`), so
+    # tasks pay the allocation once per worker with no pool spin-up, no
+    # constructor args in the object store, and parallelism bounded by the
+    # cluster instead of `concurrency` actors (the r4 pool variant
+    # regressed the bench 3.2x; the extra stage doubled task launches)
+    banded = ds.map_batches(band_and_fuse, batch_format="pandas")
     pairs, pairs_df = _candidate_pairs(banded, id_col, bucket_cap,
                                        "embedding_near_dups",
                                        driver_cap=driver_cap)

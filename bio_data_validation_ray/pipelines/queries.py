@@ -1556,25 +1556,26 @@ def emb_near_dups(sf_dir):
     threshold 0.999 — every (i, i+100000) pair must surface."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from ..functions.dedup import embedding_near_dups
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         override_num_blocks=_nblocks())
+    ds = _read_table(sf_dir, "embeddings")
 
-    def shift(t: pa.Table) -> pa.Table:
+    def dup(t: pa.Table) -> pa.Table:
+        # emit original + id-shifted copy in ONE stage: a union of two
+        # map_batches over the same read doubled the per-block task count
+        # for zero parallelism gain at this table size
+        ids = t["vec_id"].cast(pa.int64())
         return pa.table({
-            "vec_id": pc.add(t["vec_id"].cast(pa.int64()), 100000),
-            "embedding": t["embedding"],
+            "vec_id": pa.concat_arrays([
+                ids.combine_chunks(),
+                pc.add(ids, 100000).combine_chunks()]),
+            "embedding": pa.concat_arrays(
+                [t["embedding"].combine_chunks()] * 2),
         })
 
-    both = ds.map_batches(
-        lambda t: pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
-                            "embedding": t["embedding"]}),
-        batch_format="pyarrow",
-    ).union(ds.map_batches(shift, batch_format="pyarrow"))
-    out = embedding_near_dups(both, threshold=0.999)
+    out = embedding_near_dups(ds.map_batches(dup, batch_format="pyarrow"),
+                              threshold=0.999)
     return out[["id_a", "id_b"]]
 
 
