@@ -216,19 +216,72 @@ def _seed_centroids(ds, n_clusters: int, id_col: str, vec_col: str) -> np.ndarra
     return _quantize_rows(np.stack(seed[vec_col].to_numpy()).astype(np.float64))
 
 
+def _hash_sample(ds, n: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Deterministic pseudo-random sample of ~``n`` vectors: per batch,
+    keep the rows whose Knuth-hashed id is smallest (mergeable nsmallest
+    partials, n rows per batch), then the global n smallest hashes on the
+    driver. Unbiased w.r.t. id order (unlike a lowest-id sample, which
+    inherits any id/content correlation) and stable across runs/blockings.
+    Only the sample rows are ever collected."""
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df[id_col].to_numpy().astype(np.uint64)
+             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        out = df[[id_col, vec_col]].copy()
+        out["__h"] = h.astype(np.int64)
+        return out.nsmallest(n, "__h")
+
+    samp = ds.map_batches(part, batch_format="pandas").to_pandas()
+    samp = samp.nsmallest(n, "__h").sort_values(id_col)
+    if len(samp) == 0:
+        raise ValueError("_hash_sample: empty dataset")
+    return np.stack(samp[vec_col].to_numpy()).astype(np.float64)
+
+
+def _trained_centroids(ds, n_clusters: int, id_col: str, vec_col: str,
+                       train_sample: int = 4096,
+                       iters: int = 10) -> np.ndarray:
+    """Balanced centroids for the 100-TB path: mini k-means
+    (``IVFIndex.train``'s loop) over a deterministic hash sample, then
+    quantized into the same int64 space as the vectors so assignment
+    arithmetic stays identical to the seed path. Unlike seed-by-lowest-id
+    this adapts centroids to the data distribution, which is what bounds
+    cluster sizes when clusters must grow with corpus size."""
+    x = _hash_sample(ds, train_sample, id_col, vec_col)
+    idx = IVFIndex.train(x, n_lists=n_clusters, iters=iters)
+    return _quantize_rows(idx.centroids)
+
+
+def _centroids_of(ds, n_clusters: int, id_col: str, vec_col: str,
+                  centroids) -> np.ndarray:
+    if isinstance(centroids, np.ndarray):
+        return _quantize_rows(centroids.astype(np.float64))
+    if centroids == "trained":
+        return _trained_centroids(ds, n_clusters, id_col, vec_col)
+    if centroids == "seed":
+        return _seed_centroids(ds, n_clusters, id_col, vec_col)
+    raise ValueError(f"centroids must be 'seed', 'trained' or an array, "
+                     f"got {centroids!r}")
+
+
 def cluster_assign(ds, *, n_clusters: int = 8, id_col: str = "vec_id",
-                   vec_col: str = "embedding"):
+                   vec_col: str = "embedding", centroids="seed"):
     """Nearest-centroid cluster assignment over quantized embeddings —
     integer-exact squared-L2, ties to the lowest centroid id (np.argmin
     takes the first minimum). The centroid matrix broadcasts once via
     ray.put; per batch one int64 matmul. Returns Dataset[(vec_id, cluster)].
+
+    ``centroids``: 'seed' (the n_clusters lowest-id vectors — SQL-statable,
+    so assignment gets an exact oracle), 'trained' (mini k-means over a
+    deterministic hash sample — the scale path: balanced clusters for any
+    data distribution), or an explicit float array.
 
     This is the bucketing step of SemDeDup-style semantic dedup (Abbas et
     al. 2023): clusters bound the pairwise-comparison cost downstream."""
     import pyarrow as pa
     import ray
 
-    cref = ray.put(_seed_centroids(ds, n_clusters, id_col, vec_col))
+    cref = ray.put(_centroids_of(ds, n_clusters, id_col, vec_col,
+                                 centroids))
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -247,20 +300,29 @@ def cluster_assign(ds, *, n_clusters: int = 8, id_col: str = "vec_id",
 
 def semdedup(ds, *, n_clusters: int = 8, radius2: int = 50,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             chunk: int = 1024):
+             chunk: int = 1024, centroids="seed",
+             cluster_cap: int | None = 100_000):
     """SemDeDup-style semantic dedup: drop a vector when an EARLIER (lower
     id) member of its cluster lies within integer squared-L2 ``radius2``
     on the quantized vectors. Returns Dataset[(vec_id, cluster, keep)].
 
     Scale shape: pairwise work happens ONLY within a cluster
     (groupby(cluster).map_groups — the SemDeDup partitioning assumption:
-    one cluster fits in a worker block; n_clusters should grow with data so
-    cluster sizes stay bounded). The within-group kernel is a chunked int64
-    matmul, O(chunk x n_c) memory, no Python loop over rows."""
+    one cluster fits in a worker block). ``n_clusters`` must grow with
+    corpus size so clusters stay bounded; ``centroids='trained'`` (mini
+    k-means over a deterministic hash sample) is the scale path that keeps
+    them balanced — 'seed' (lowest-id vectors) exists for the exact SQL
+    oracle. ``cluster_cap`` bounds the comparison set inside a runaway
+    cluster: members beyond the cap compare only against the cap's
+    lowest-id prefix, with the truncation logged (the same logged-
+    truncation discipline as the LSH bucket_cap — no silent sampling).
+    The within-group kernel is a chunked int64 matmul, O(chunk x n_c)
+    memory, no Python loop over rows."""
     import pyarrow as pa
     import ray
 
-    cref = ray.put(_seed_centroids(ds, n_clusters, id_col, vec_col))
+    cref = ray.put(_centroids_of(ds, n_clusters, id_col, vec_col,
+                                 centroids))
 
     def assign_q(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -286,14 +348,30 @@ def semdedup(ds, *, n_clusters: int = 8, radius2: int = 50,
         df = df.sort_values(id_col)
         ids = df[id_col].to_numpy().astype(np.int64)
         Q = np.stack(df["q"].to_numpy()).astype(np.int64)
+        n = len(ids)
+        # comparison-set cap: every row still gets a decision, but only
+        # against the cluster's lowest-id prefix — O(n * cap) worst case
+        # instead of O(n^2) when one cluster degenerates
+        ncmp = n if cluster_cap is None else min(n, int(cluster_cap))
+        if ncmp < n:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semdedup: cluster %s has %d members > cluster_cap=%d; "
+                "comparisons truncated to the lowest-id prefix "
+                "(raise n_clusters or use centroids='trained')",
+                int(df["cluster"].iloc[0]), n, ncmp,
+            )
+        Qc = Q[:ncmp]
         sq = (Q * Q).sum(1)
-        drop = np.zeros(len(ids), dtype=bool)
-        for lo in range(0, len(ids), chunk):
-            hi = min(lo + chunk, len(ids))
-            d2 = (sq[lo:hi, None] - 2 * (Q[lo:hi] @ Q.T) + sq[None, :])
+        sqc = sq[:ncmp]
+        drop = np.zeros(n, dtype=bool)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            d2 = (sq[lo:hi, None] - 2 * (Q[lo:hi] @ Qc.T) + sqc[None, :])
             close = d2 <= radius2
             # earlier = strictly lower id == strictly lower sorted position
-            col = np.arange(len(ids))[None, :]
+            col = np.arange(ncmp)[None, :]
             row = np.arange(lo, hi)[:, None]
             drop[lo:hi] = (close & (col < row)).any(axis=1)
         return pd.DataFrame({

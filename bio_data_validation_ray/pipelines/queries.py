@@ -2898,7 +2898,16 @@ def events_key_skew(sf_dir):
     return out
 
 
+# Ordering contract: correctness harnesses that sample a prefix of this
+# dict (the driver checks the first 50) must see one entry per DISTINCT
+# operator family first — rule suite, sketch exact-twins, drift, the
+# window family, joins, stateful enrichment, profile stats, the dedup /
+# decontamination / curation chain, and embedding LSH. Variants of an
+# already-covered operator (alternate planted fixtures, sketch non-exact
+# twins, extra SQL shapes over the same primitive) come after; every
+# entry regardless of position stays gated by tests/test_entry_oracle.py.
 QUERIES = {
+    # -- rule suite (row-local vectorized predicates) --
     "t_role_vocab": t_role_vocab,
     "t_tool_pattern": t_tool_pattern,
     "t_tool_role": t_tool_role,
@@ -2906,52 +2915,75 @@ QUERIES = {
     "t_text_null": t_text_null,
     "t_turn_range": t_turn_range,
     "t_ts_window": t_ts_window,
+    # -- conversation-level (hash-partitioned cross-shard) rules --
     "t_dup_turn_key": t_dup_turn_key,
     "t_contig": t_contig,
     "t_ts_mono": t_ts_mono,
     "t_conv_span_shards": t_conv_span_shards,
     "t_row_dup": t_row_dup,
+    # -- decision / verdict assembly + survivor export --
     "t_rule_counts": t_rule_counts,
     "t_verdicts": t_verdicts,
-    "t_conv_stats": t_conv_stats,
-    "t_rolling_max": t_rolling_max,
-    "t_role_stats": t_role_stats,
-    "t_distinct_convs": t_distinct_convs,
-    "t_drift": t_drift,
-    "t_drift_exact": t_drift_exact,
-    "events_validate": events_validate,
-    "events_by_type": events_by_type,
-    "events_props_k": events_props_k,
-    "events_daily": events_daily,
-    "events_rollup": events_rollup,
     "t_clean_rows": t_clean_rows,
-    "t_textlen_hist": t_textlen_hist,
-    "t_turn_gaps": t_turn_gaps,
+    # -- aggregates + sketch exact twins --
+    "t_conv_stats": t_conv_stats,
+    "t_role_stats": t_role_stats,
     "t_distinct_convs_exact": t_distinct_convs_exact,
+    "t_textlen_hist": t_textlen_hist,
+    # -- drift vs baseline (exact PSI-bin + exact-rational KS twins) --
+    "t_drift_exact": t_drift_exact,
+    "t_drift_ks_exact": t_drift_ks_exact,
+    "events_validate": events_validate,
+    # -- window / sorted-stream family --
+    "t_turn_gaps": t_turn_gaps,
+    "t_rolling_max": t_rolling_max,
+    "t_conv_doc": t_conv_doc,
+    "t_max_role_run": t_max_role_run,
+    "t_role_repeats": t_role_repeats,
     "events_sessions": events_sessions,
     "events_last_view": events_last_view,
     "events_head_per_type": events_head_per_type,
     "events_value_p50": events_value_p50,
+    "events_value_p50_cont": events_value_p50_cont,
+    "events_peak_rate": events_peak_rate,
+    "events_daily": events_daily,
+    "events_hopping": events_hopping,
+    "events_funnel": events_funnel,
+    # -- joins / co-location --
     "cust_orders_join": cust_orders_join,
-    "cust_enrich": cust_enrich,
-    "part_units": part_units,
-    "cust_status_confound": cust_status_confound,
-    "role_variants": role_variants,
-    "li_col_profile": li_col_profile,
-    "li_corr_pairs": li_corr_pairs,
     "li_orders_join": li_orders_join,
+    "events_attrib_pairs": events_attrib_pairs,
+    "cust_nation_region": cust_nation_region,
+    # -- stateful enrichment + profile statistics --
+    "cust_enrich": cust_enrich,
+    "li_col_profile": li_col_profile,
+    "cust_status_confound": cust_status_confound,
+    # -- LLM-corpus dedup / decontam / curation chain --
+    "doc_dedup_exact": doc_dedup_exact,
+    "doc_minhash_planted": doc_minhash_planted,
+    "doc_dup_windows": doc_dup_windows,
+    "doc_decontam": doc_decontam,
+    "doc_curate": doc_curate,
+    "doc_pretrain_prep": doc_pretrain_prep,
+    # -- embedding LSH near-dup --
+    "emb_near_dups": emb_near_dups,
+    # ---------------- variants / additional shapes ----------------
+    "t_distinct_convs": t_distinct_convs,
+    "t_drift": t_drift,
+    "events_by_type": events_by_type,
+    "events_props_k": events_props_k,
+    "events_rollup": events_rollup,
+    "part_units": part_units,
+    "role_variants": role_variants,
+    "li_corr_pairs": li_corr_pairs,
     "cust_top_orders": cust_top_orders,
     "cust_order_dist": cust_order_dist,
-    "t_conv_doc": t_conv_doc,
     "doc_dup_clusters": doc_dup_clusters,
     "li_ship_lag": li_ship_lag,
     "doc_pack_bins": doc_pack_bins,
     "li_not_open_orders": li_not_open_orders,
     "events_retention": events_retention,
-    "events_funnel": events_funnel,
     "events_transitions": events_transitions,
-    "doc_dup_windows": doc_dup_windows,
-    "events_peak_rate": events_peak_rate,
     "events_rank_head": events_rank_head,
     "daily_full_join": daily_full_join,
     "events_key_skew": events_key_skew,
@@ -2961,30 +2993,20 @@ QUERIES = {
     "events_repeat_buyers": events_repeat_buyers,
     "events_value_deciles": events_value_deciles,
     "doc_chunks": doc_chunks,
-    "t_role_repeats": t_role_repeats,
-    "t_max_role_run": t_max_role_run,
     "t_role_transitions": t_role_transitions,
-    "events_value_p50_cont": events_value_p50_cont,
-    "t_drift_ks_exact": t_drift_ks_exact,
-    "events_attrib_pairs": events_attrib_pairs,
     "events_value_outliers": events_value_outliers,
-    "doc_pretrain_prep": doc_pretrain_prep,
     "orders_daily_cum": orders_daily_cum,
     "cust_no_urgent": cust_no_urgent,
     "events_mode_type": events_mode_type,
     "events_view_no_purchase": events_view_no_purchase,
     "doc_charstats": doc_charstats,
-    "events_hopping": events_hopping,
     "orders_pivot": orders_pivot,
-    "cust_nation_region": cust_nation_region,
     "orders_distinct_cust": orders_distinct_cust,
-    "doc_dedup_exact": doc_dedup_exact,
     "doc_token_count": doc_token_count,
     "doc_quality": doc_quality,
     "doc_fingerprint": doc_fingerprint,
     "doc_langid": doc_langid,
     "doc_minhash_pairs": doc_minhash_pairs,
-    "doc_minhash_planted": doc_minhash_planted,
     "doc_ngram_planted": doc_ngram_planted,
     "doc_simhash": doc_simhash,
     "doc_simhash_dups": doc_simhash_dups,
@@ -2992,11 +3014,9 @@ QUERIES = {
     "doc_token_bpe": doc_token_bpe,
     "doc_word_counts": doc_word_counts,
     "doc_tfidf": doc_tfidf,
-    "doc_decontam": doc_decontam,
     "doc_temp_sample": doc_temp_sample,
     "doc_top_words_sketch": doc_top_words_sketch,
     "doc_quality_filter": doc_quality_filter,
-    "doc_curate": doc_curate,
     "doc_sample_per_source": doc_sample_per_source,
     "doc_pii": doc_pii,
     "doc_pii_redact": doc_pii_redact,
@@ -3005,7 +3025,6 @@ QUERIES = {
     "emb_topk_ids": emb_topk_ids,
     "emb_ivf_topk": emb_ivf_topk,
     "emb_ivf_topk_full": emb_ivf_topk_full,
-    "emb_near_dups": emb_near_dups,
     "emb_quantize": emb_quantize,
     "emb_cluster_assign": emb_cluster_assign,
     "emb_semdedup": emb_semdedup,

@@ -828,6 +828,77 @@ class TestSemDedup:
         pd.testing.assert_frame_equal(a, b)
         assert (~a["keep"]).sum() == 10
 
+    def test_trained_centroids_balance_skewed_corpus(self, ray_session):
+        """centroids='trained' (hash-sample mini k-means) must spread a
+        corpus whose LOWEST-id vectors all sit in one tight blob — the
+        exact failure mode of seed-by-lowest-id — across clusters."""
+        import numpy as np
+
+        from bio_data_validation_ray.functions.similarity import (
+            cluster_assign, semdedup)
+
+        rng = np.random.default_rng(3)
+        # ids 0..7 (the seed path's centroid picks) are one tight blob;
+        # the rest spread over 4 well-separated modes
+        blob = (rng.normal(scale=0.01, size=(8, 6)) + 5.0).tolist()
+        modes = np.eye(4)
+        rest = [(modes[i % 4] * 10
+                 + rng.normal(scale=0.05, size=4)).tolist() + [0.0, 0.0]
+                for i in range(200)]
+        rest = [r[:6] for r in rest]
+        vecs = blob + rest
+        ds = self._ds(vecs)
+        seeded = cluster_assign(ds, n_clusters=4).to_pandas()
+        trained = cluster_assign(ds, n_clusters=4,
+                                 centroids="trained").to_pandas()
+        # seed centroids all come from the blob -> mode points collapse
+        # into few clusters; trained centroids must use all 4
+        assert trained["cluster"].nunique() == 4
+        assert (trained.groupby("cluster").size().max()
+                <= seeded.groupby("cluster").size().max())
+        # determinism: same input -> same assignment
+        trained2 = cluster_assign(ds, n_clusters=4,
+                                  centroids="trained").to_pandas()
+        pd.testing.assert_frame_equal(
+            trained.sort_values("vec_id").reset_index(drop=True),
+            trained2.sort_values("vec_id").reset_index(drop=True))
+        # semdedup accepts the same option
+        out = (semdedup(ds, n_clusters=4, radius2=0, centroids="trained")
+               .to_pandas())
+        assert len(out) == len(vecs)
+
+    def test_cluster_cap_bounds_work_and_logs(self, ray_session, caplog):
+        """One degenerate cluster: cluster_cap truncates the comparison
+        set to the lowest-id prefix with a logged warning; duplicates of
+        a PREFIX member still drop, every row still gets a decision, and
+        an uncapped run matches a large-cap run exactly."""
+        import logging
+
+        import numpy as np
+
+        from bio_data_validation_ray.functions.similarity import semdedup
+
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(size=(40, 4)).tolist()
+        vecs += [vecs[0]] * 3  # dups of id 0 (always in the prefix)
+        ds = self._ds(vecs)
+        with caplog.at_level(logging.WARNING,
+                             logger="bio_data_validation_ray.functions"
+                                    ".similarity"):
+            capped = (semdedup(ds, n_clusters=1, radius2=0, cluster_cap=5)
+                      .to_pandas().sort_values("vec_id")
+                      .reset_index(drop=True))
+        assert len(capped) == len(vecs)
+        # dups of id 0 compare against the 5-row prefix and still drop
+        assert not capped.loc[capped.vec_id >= 40, "keep"].any()
+        uncapped = (semdedup(ds, n_clusters=1, radius2=0, cluster_cap=None)
+                    .to_pandas().sort_values("vec_id")
+                    .reset_index(drop=True))
+        big_cap = (semdedup(ds, n_clusters=1, radius2=0, cluster_cap=10_000)
+                   .to_pandas().sort_values("vec_id")
+                   .reset_index(drop=True))
+        pd.testing.assert_frame_equal(uncapped, big_cap)
+
 
 class TestDupClusters:
     def test_transitive_chain_and_min_label(self):
