@@ -1117,6 +1117,105 @@ def dup_clusters(pairs: pd.DataFrame, *, a_col: str = "id_a",
     return pd.DataFrame({"doc_id": nodes, "cluster_id": labels})
 
 
+def dup_clusters_ds(pairs, *, a_col: str = "id_a", b_col: str = "id_b",
+                    nparts: int = 8, max_rounds: int = 64):
+    """Distributed connected components over a duplicate-pair DATASET ->
+    Dataset[(doc_id, cluster_id)], cluster_id = component minimum — the
+    scale fallback ``dup_clusters``'s docstring promises for the regime
+    where the verified-pair list itself exceeds the driver (a corpus that
+    is mostly one duplicate cluster).
+
+    Algorithm: min-label propagation with pointer doubling. Each round,
+    every node takes the min of its own label, its neighbors' labels
+    (one hash join of the edge list against the label table), and its
+    label's label (a second join — the pointer-doubling step that makes
+    convergence O(log diameter) rounds instead of O(diameter)). Labels
+    are monotone non-increasing, so the global label SUM is a convergence
+    witness: one unchanged sum proves a fixpoint. Per round: 2 hash joins
+    + 1 groupby-min over |pairs|-scale rows — nothing ever collects."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def undirected(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df[a_col].to_numpy(np.int64),
+                                   df[b_col].to_numpy(np.int64)]),
+            "dst": np.concatenate([df[b_col].to_numpy(np.int64),
+                                   df[a_col].to_numpy(np.int64)]),
+        })
+
+    edges = pairs.map_batches(undirected,
+                              batch_format="pandas").materialize()
+    labels = (
+        edges.groupby("src").aggregate(Min("dst"))
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["src"].to_numpy(np.int64),
+                "label": np.minimum(df["src"].to_numpy(np.int64),
+                                    df["min(dst)"].to_numpy(np.int64)),
+            }),
+            batch_format="pandas")
+        .materialize()
+    )
+
+    if labels.count() == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "cluster_id": pd.Series([], dtype=np.int64)}))
+
+    def lab_sum(lab) -> int:
+        agg = lab.aggregate(Sum("label"))
+        return int(agg["sum(label)"])
+
+    prev = lab_sum(labels)
+    for _ in range(max_rounds):
+        # neighbor min: label(dst) flows to src
+        nbr = (
+            edges.repartition(nparts)
+            .join(labels.map_batches(
+                lambda df: df.rename(columns={"node": "dst",
+                                              "label": "cand"}),
+                batch_format="pandas").repartition(nparts),
+                "inner", nparts, on=("dst",))
+            .map_batches(lambda df: df.rename(
+                columns={"src": "node"})[["node", "cand"]],
+                batch_format="pandas")
+        )
+        # pointer doubling: label(label(node)) flows to node
+        ptr = (
+            labels.map_batches(
+                lambda df: df.rename(columns={"label": "key"}),
+                batch_format="pandas").repartition(nparts)
+            .join(labels.map_batches(
+                lambda df: df.rename(columns={"node": "key",
+                                              "label": "cand"}),
+                batch_format="pandas").repartition(nparts),
+                "inner", nparts, on=("key",))
+            .map_batches(lambda df: df[["node", "cand"]],
+                         batch_format="pandas")
+        )
+        own = labels.map_batches(
+            lambda df: df.rename(columns={"label": "cand"}),
+            batch_format="pandas")
+        labels = (
+            nbr.union(ptr).union(own)
+            .groupby("node").aggregate(Min("cand"))
+            .map_batches(lambda df: df.rename(
+                columns={"min(cand)": "label"}),
+                batch_format="pandas")
+            .materialize()
+        )
+        cur = lab_sum(labels)
+        if cur == prev:  # labels never increase: equal sum == fixpoint
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["node"].to_numpy(np.int64),
+            "cluster_id": df["label"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
 class _Decontam:
     """Actor-pool membership stage: the benchmark shingle set arrives via
     ONE object-store broadcast per actor (ray.get in __init__)."""

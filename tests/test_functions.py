@@ -940,6 +940,39 @@ class TestDupClusters:
             out.sort_values("doc_id").reset_index(drop=True),
             exp.astype(np.int64))
 
+    def test_distributed_label_prop_matches_union_find(self, ray_session):
+        """dup_clusters_ds (pointer-doubling label propagation, the scale
+        path for pair lists that exceed the driver) must equal the driver
+        union-find exactly — including a long chain (diameter >> rounds
+        without doubling) and a giant-star hot component."""
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import (
+            dup_clusters, dup_clusters_ds)
+
+        rng = np.random.default_rng(17)
+        pairs = [(i, i + 1) for i in range(100, 164)]      # chain, diam 64
+        pairs += [(500, x) for x in range(501, 540)]       # star
+        for _ in range(400):                               # random comps
+            u, v = (int(x) for x in rng.integers(0, 150, 2))
+            if u != v:
+                pairs.append((1000 + min(u, v), 1000 + max(u, v)))
+        df = pd.DataFrame(pairs, columns=["id_a", "id_b"]).drop_duplicates()
+        want = dup_clusters(df).sort_values("doc_id").reset_index(drop=True)
+        got = (dup_clusters_ds(rd.from_pandas(df, override_num_blocks=4))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_distributed_label_prop_empty(self, ray_session):
+        import ray.data as rd
+
+        from bio_data_validation_ray.functions.dedup import dup_clusters_ds
+
+        out = dup_clusters_ds(rd.from_pandas(
+            pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64)})))
+        assert out.count() == 0
+
 
 class TestPrefixScan:
     def test_packed_bins_matches_pandas_scan(self, ray_session):
