@@ -86,6 +86,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also log run metrics/params in MLflow file-store "
                         "layout under DIR (reference push_to_mlflow.py "
                         "semantics; no mlflow package needed)")
+    v.add_argument("--feedback", default=None, metavar="PATH",
+                   help="reviewer-feedback JSON (state/feedback.py): "
+                        "consistently reviewed patterns rank below novel "
+                        "ones in top_issues")
     v.add_argument("--policy", default=None,
                    choices=["default", "strict", "lenient", "production"],
                    help="decision-table preset (decision_tables.py:258-298 "
@@ -319,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
                     and bool(cfg.get("validation", "resume", default=True))),
             policy=args.policy,
             strict=args.strict,
+            feedback_path=args.feedback,
         )
     if args.clean_out:
         if not args.run_dir:

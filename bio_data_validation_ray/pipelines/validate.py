@@ -165,6 +165,7 @@ def validate_dir(
     driver_cap: int = 5_000_000,
     policy: str | dict | None = None,
     strict: bool = False,
+    feedback_path: str | None = None,
 ) -> dict:
     """Run the full validation suite over ``input_dir``'s Parquet shards and
     return the run report (JSON-serializable). For crash-resumable
@@ -632,7 +633,14 @@ def validate_dir(
         rt = _clc(vio_all, ["rule_id"], {"n": ("rule_id", "count")})
         rule_totals = (dict(zip(rt["rule_id"], rt["n"].astype(int)))
                        if len(rt) else {})
-    report["top_issues"] = select_top_issues(sample, rule_totals, cap=20)
+    fb = None
+    if feedback_path:
+        from ..state.feedback import FeedbackStore
+
+        fb = FeedbackStore.load(feedback_path)
+        report["review_feedback"] = fb.metrics()
+    report["top_issues"] = select_top_issues(sample, rule_totals, cap=20,
+                                             feedback=fb)
 
     # ---- lineage commits (idempotent, per shard) ----
     wall = time.time() - t0

@@ -125,20 +125,34 @@ def novelty_score(rule_count: int) -> float:
 
 
 def select_top_issues(sample, rule_totals: dict[str, int],
-                      cap: int = 20) -> list[dict]:
+                      cap: int = 20, feedback=None) -> list[dict]:
     """Severity- AND novelty-prioritized review selection
     (human_review_coordinator.py:364-395): CRITICAL always leads; within a
     severity band, issues from RARER rules rank first by
     informativeness = 0.6 * uncertainty + 0.4 * novelty. ``sample`` is a
     violations DataFrame; ``rule_totals`` the run-wide per-rule counts.
-    Returns at most ``cap`` issue dicts with the scores attached."""
+    ``feedback`` (a ``state.feedback.FeedbackStore``) closes the learning
+    loop: patterns a reviewer has consistently confirmed/dismissed get the
+    reference's low uncertainty (human_review_coordinator.py:396-416) and
+    rank below never-reviewed ones; without a store every issue keeps the
+    flat DEFAULT_UNCERTAINTY. Returns at most ``cap`` issue dicts with
+    the scores attached."""
     import pandas as pd
 
     if not len(sample):
         return []
     nov = sample["rule_id"].map(
         lambda r: novelty_score(int(rule_totals.get(r, 0))))
-    info = 0.6 * DEFAULT_UNCERTAINTY + 0.4 * nov
+    if feedback is not None:
+        col = (sample["column"] if "column" in sample.columns
+               else pd.Series([None] * len(sample), index=sample.index))
+        unc = pd.Series(
+            [feedback.uncertainty(r, c, s) for r, c, s in
+             zip(sample["rule_id"], col, sample["severity"])],
+            index=sample.index)
+    else:
+        unc = DEFAULT_UNCERTAINTY
+    info = 0.6 * unc + 0.4 * nov
     ranked = sample.assign(
         _r=sample["severity"].map(SEVERITY_RANK),
         _info=info,
