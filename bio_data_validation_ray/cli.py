@@ -137,6 +137,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-digit-pct", type=int, default=30)
     c.add_argument("--no-terminal-punct-rule", action="store_true")
     c.add_argument("--num-cpus", type=int, default=None)
+    srv = sub.add_parser(
+        "serve",
+        help="HTTP service surface: submit/poll/fetch validation runs "
+             "(reference routes.py analog on the stdlib http.server)")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8099)
+    srv.add_argument("--reports-dir", default="/tmp/bdvr_reports")
+    srv.add_argument("--num-cpus", type=int, default=None)
     g = sub.add_parser("config",
                        help="show or edit the CLI config file (the "
                             "reference's setup/info command analog)")
@@ -211,6 +219,21 @@ def main(argv: list[str] | None = None) -> int:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    if args.cmd == "serve":
+        from .api import serve
+
+        httpd = serve(args.host, args.port, reports_dir=args.reports_dir)
+        print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+              f"(reports in {args.reports_dir})", flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            httpd.validation_state.close()
+            ray.shutdown()
+        return 0
 
     if args.cmd == "curate":
         import glob as _glob
