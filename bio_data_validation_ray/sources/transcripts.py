@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GENERATOR_VERSION = "3"
+GENERATOR_VERSION = "4"
 CACHE_ROOT = "/tmp/bdvr_transcripts"
 EPOCH_US = np.int64(1_735_689_600_000_000)  # 2025-01-01T00:00:00 UTC in µs
 
@@ -247,20 +247,36 @@ def ensure_transcripts(
             sub = table.filter(pa.array(mask))
             pq.write_table(sub, os.path.join(tmp, f"shard_{s:04d}.parquet"))
     else:
-        for ci, off in enumerate(range(0, n_convs, CHUNK)):
-            nc = min(CHUNK, n_convs - off)
-            table, shard = generate(
-                nc, seed=seed + ci, violations=not clean,
-                n_shards=n_shards, conv_offset=off, mean_len=mean_len,
-            )
-            for s in range(n_shards):
-                mask = shard == s
-                if not mask.any():
-                    continue
-                sub = table.filter(pa.array(mask))
-                pq.write_table(
-                    sub, os.path.join(tmp, f"shard_{s:04d}_c{ci:03d}.parquet")
+        # ONE file per shard, one row group per generation chunk
+        # (ParquetWriter streams, so peak memory stays one chunk): a
+        # per-(chunk, shard) file layout produced chunks*shards tiny
+        # files, and every extra file costs the scan a footer fetch plus
+        # a read task — at 2304 files that was ~6 s of pure serial
+        # driver time per validation run, the dominant Amdahl term in
+        # the measured scaling pair
+        writers: dict[int, pq.ParquetWriter] = {}
+        try:
+            for ci, off in enumerate(range(0, n_convs, CHUNK)):
+                nc = min(CHUNK, n_convs - off)
+                table, shard = generate(
+                    nc, seed=seed + ci, violations=not clean,
+                    n_shards=n_shards, conv_offset=off, mean_len=mean_len,
                 )
+                for s in range(n_shards):
+                    mask = shard == s
+                    if not mask.any():
+                        continue
+                    sub = table.filter(pa.array(mask))
+                    w = writers.get(s)
+                    if w is None:
+                        w = pq.ParquetWriter(
+                            os.path.join(tmp, f"shard_{s:04d}.parquet"),
+                            sub.schema)
+                        writers[s] = w
+                    w.write_table(sub)
+        finally:
+            for w in writers.values():
+                w.close()
     try:
         os.rename(tmp, out_dir)
     except OSError:
