@@ -2,15 +2,16 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 Decode is REAL for the codec-free formats — binary PPM (P6), uncompressed
-24-bit BMP, and PCM-16 WAV are parsed with pure numpy, with real
-nearest-neighbor resize and deterministic image/audio feature extraction on
-top. Compressed formats (PNG/JPEG/MP4) need codec libraries that are not in
-this container: those payloads raise ``NotImplementedError`` (or take the
-clearly-labelled deterministic fake-feature path with
-``fake_decode=True``), so the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — stays fully testable. Swap ``decode_image``
-for a real codec (PIL, torchaudio, pyav) to productionize; nothing else
-changes.
+24-bit BMP, PCM-16 WAV, and (since round 5) non-interlaced 8-bit PNG
+(stdlib ``zlib`` inflate + the five scanline filters — no codec library
+needed) — all parsed with pure numpy, with real nearest-neighbor resize
+and deterministic image/audio feature extraction on top. Formats whose
+codecs genuinely are not in this container (JPEG, MP3, MP4) raise
+``NotImplementedError`` (or take the clearly-labelled deterministic
+fake-feature path with ``fake_decode=True``), so the Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — stays fully
+testable. Swap ``decode_image`` for a full codec (PIL, torchaudio, pyav)
+to productionize; nothing else changes.
 
 Scale notes: binary payloads are large, so stages here default to SMALL
 ``batch_size`` (payload bytes x batch_size x concurrency must fit worker
@@ -281,18 +282,125 @@ class SpectrogramStage:
         return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (palette/interlace unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for non-interlaced 8-bit PNG (gray / gray+alpha / RGB /
+    RGBA) — stdlib zlib inflate + the five scanline filters, no codec
+    library. Filters None/Up/Sub vectorize (Sub is a per-lane cumsum);
+    Average/Paeth carry an intra-row pixel dependency and walk the row's
+    byte lanes. Palette and Adam7 interlace raise NotImplementedError.
+    -> (H, W) uint8 for grayscale, (H, W, C) uint8 otherwise."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i, ihdr, idat = len(_PNG_SIG), None, []
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        typ = payload[i + 4:i + 8]
+        body = payload[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/graya/RGB/RGBA PNG supported "
+            f"(depth={depth}, color_type={ctype})")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG payload size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    data = lines[:, 1:].astype(np.int64)  # int64: filter math mod 256
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:      # None
+            rec = row
+        elif f == 2:    # Up
+            rec = (row + prev) & 0xFF
+        elif f == 1:    # Sub: per-lane prefix sum mod 256
+            rec = np.cumsum(row.reshape(-1, ch), axis=0).reshape(-1) & 0xFF
+        elif f == 3:    # Average
+            rec = row.copy()
+            rec[:ch] = (rec[:ch] + prev[:ch] // 2) & 0xFF
+            for x in range(ch, stride):
+                rec[x] = (rec[x] + (rec[x - ch] + prev[x]) // 2) & 0xFF
+        elif f == 4:    # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc_) else \
+                    (b if pb <= pc_ else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = rec
+        prev = out[y]
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Inverse of decode_png (test fixture writer): filter-0 scanlines +
+    one zlib stream. Accepts (H, W) gray or (H, W, {2,3,4}) uint8."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload. REAL for the container-friendly uncompressed
-    formats (P6 PPM, 24-bit BMP — pure numpy); compressed formats (PNG/JPEG)
-    require a codec library that is not in this container and raise."""
+    """Decode an image payload. REAL for P6 PPM, 24-bit BMP (pure numpy)
+    and non-interlaced 8-bit PNG (stdlib zlib + filter reconstruction);
+    JPEG requires a codec library that is not in this container and
+    raises."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image decoding requires a codec library (e.g. PIL); "
-        "PPM/BMP decode natively, or use MediaFeaturizer(fake_decode=True) "
-        "for plumbing tests"
+        "JPEG/compressed-video decoding requires a codec library (e.g. "
+        "PIL); PPM/BMP/PNG decode natively, or use "
+        "MediaFeaturizer(fake_decode=True) for plumbing tests"
     )
 
 

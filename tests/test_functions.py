@@ -527,6 +527,105 @@ class TestMultimodal:
         assert small.shape == (4, 3, 3)
         assert (small[0, 0] == img[0, 0]).all()  # nearest-neighbor corners
 
+    def test_png_roundtrip_all_color_types(self):
+        from bio_data_validation_ray.functions.multimodal import (
+            decode_image,
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(5)
+        for shape in [(9, 7), (9, 7, 2), (9, 7, 3), (9, 7, 4)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            back = decode_png(encode_png(img))
+            assert back.shape == img.shape
+            assert (back == img).all(), shape
+        # dispatcher recognizes the PNG signature
+        rgb = rng.integers(0, 256, size=(5, 5, 3), dtype=np.uint8)
+        assert (decode_image(encode_png(rgb)) == rgb).all()
+
+    def test_png_all_five_filters_reconstruct(self):
+        """Hand-filter scanlines with every PNG filter type (the encoder
+        only emits filter 0) and assert exact reconstruction — pins the
+        Sub-cumsum, Average, and Paeth paths against the spec's
+        reference filter math."""
+        import struct
+        import zlib
+
+        from bio_data_validation_ray.functions.multimodal import decode_png
+
+        rng = np.random.default_rng(11)
+        ch = 3
+        img = rng.integers(0, 256, size=(5, 6, ch), dtype=np.uint8)
+        h, w, _ = img.shape
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        raw = b""
+        prev = np.zeros(w * ch, dtype=np.int64)
+        for y in range(h):
+            row = img[y].reshape(-1).astype(np.int64)
+            f = y % 5
+            filt = np.zeros(w * ch, dtype=np.int64)
+            for x in range(w * ch):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                        4: paeth(a, b, c)}[f]
+                filt[x] = (row[x] - pred) & 0xFF
+            raw += bytes([f]) + bytes(filt.astype(np.uint8))
+            prev = row
+
+        def chunk(typ, body):
+            return (struct.pack(">I", len(body)) + typ + body
+                    + struct.pack(">I", zlib.crc32(typ + body)))
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (sig + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+        assert (decode_png(payload) == img).all()
+
+    def test_png_unsupported_variants_raise(self):
+        import struct
+        import zlib
+
+        import pytest
+
+        from bio_data_validation_ray.functions.multimodal import (
+            decode_png, encode_png)
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+        good = encode_png(img)
+
+        def with_ihdr(depth, ctype, interlace):
+            sig = b"\x89PNG\r\n\x1a\n"
+            ihdr = struct.pack(">IIBBBBB", 3, 3, depth, ctype, 0, 0,
+                               interlace)
+
+            def chunk(typ, body):
+                return (struct.pack(">I", len(body)) + typ + body
+                        + struct.pack(">I", zlib.crc32(typ + body)))
+
+            return (sig + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(b"\x00" * 30))
+                    + chunk(b"IEND", b""))
+
+        with pytest.raises(NotImplementedError):
+            decode_png(with_ihdr(8, 2, interlace=1))   # Adam7
+        with pytest.raises(NotImplementedError):
+            decode_png(with_ihdr(8, 3, interlace=0))   # palette
+        with pytest.raises(NotImplementedError):
+            decode_png(with_ihdr(16, 2, interlace=0))  # 16-bit
+        with pytest.raises(ValueError):
+            decode_png(b"nope" + good[4:])
+
     def test_bmp_decode(self):
         from bio_data_validation_ray.functions.multimodal import decode_image
 
