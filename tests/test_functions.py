@@ -591,6 +591,16 @@ class TestMultimodal:
                    + chunk(b"IEND", b""))
         assert (decode_png(payload) == img).all()
 
+    def test_png_degenerate_shapes(self):
+        from bio_data_validation_ray.functions.multimodal import (
+            decode_png, encode_png)
+
+        rng = np.random.default_rng(0)
+        for shape in [(1, 1), (1, 1, 3), (1, 8, 4), (8, 1, 2)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            back = decode_png(encode_png(img))
+            assert back.shape == img.shape and (back == img).all(), shape
+
     def test_png_unsupported_variants_raise(self):
         import struct
         import zlib
