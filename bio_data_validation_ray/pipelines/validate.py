@@ -992,6 +992,7 @@ def validate_resumable(
     files_per_pass: int = 64,
     max_passes: int | None = None,
     policy: str | dict | None = None,
+    feedback_path: str | None = None,
     **kw,
 ) -> dict:
     """Crash-resumable chunked execution: pending shards are processed in
@@ -1335,5 +1336,30 @@ def validate_resumable(
                                          thresholds)
     else:
         report["final_decision"] = "incomplete"
+
+    # top issues for human review, at parity with validate_dir: a bounded
+    # sample from the committed violation artifacts, rule rarity from one
+    # single-column scan over them (violations are o(data) by construction
+    # — the full-row sample stays capped, only rule_id is read in full)
+    vio_files = glob.glob(os.path.join(run_dir, "violations", "**",
+                                       "*.parquet"), recursive=True)
+    sample = pd.DataFrame()
+    rule_totals: dict[str, int] = {}
+    if vio_files:
+        vdset = pads.dataset(vio_files)
+        rule_totals = {
+            str(k): int(v) for k, v in
+            vdset.to_table(columns=["rule_id"]).column(0)
+            .to_pandas().value_counts().items()
+        }
+        sample = vdset.head(2000).to_pandas()
+    fb = None
+    if feedback_path:
+        from ..state.feedback import FeedbackStore
+
+        fb = FeedbackStore.load(feedback_path)
+        report["review_feedback"] = fb.metrics()
+    report["top_issues"] = select_top_issues(sample, rule_totals, cap=20,
+                                             feedback=fb)
     _write_summary(run_dir, report)
     return report

@@ -107,6 +107,29 @@ class TestTopIssuesWithFeedback:
                                 feedback=fb)
         assert top[0]["rule_id"] == "R_CRIT"
 
+    def test_validate_resumable_reports_top_issues(self, ray_session,
+                                                   tmp_path):
+        from bio_data_validation_ray.pipelines.validate import (
+            validate_resumable)
+        from bio_data_validation_ray.sources.transcripts import (
+            ensure_transcripts)
+
+        d = ensure_transcripts("sf0.001")
+        fbp = str(tmp_path / "fb.json")
+        fb = FeedbackStore()
+        for _ in range(8):
+            fb.record("DUP_001_ROW", "dismissed")
+        fb.save(fbp)
+        rep = validate_resumable(d, run_dir=str(tmp_path / "run"),
+                                 files_per_pass=4, feedback_path=fbp)
+        assert rep["top_issues"], "resumable report must carry top_issues"
+        assert rep["review_feedback"]["total_feedback"] == 8
+        # severity-first ordering holds (flags-never-decides selection)
+        ranks = [t["severity"] for t in rep["top_issues"]]
+        order = {"CRITICAL": 3, "ERROR": 2, "WARNING": 1, "INFO": 0}
+        assert all(order[a] >= order[b]
+                   for a, b in zip(ranks, ranks[1:]))
+
     def test_validate_dir_accepts_feedback_path(self, ray_session, tmp_path):
         from bio_data_validation_ray.pipelines.validate import validate_dir
         from bio_data_validation_ray.sources.transcripts import (
