@@ -38,23 +38,42 @@ _ID_RE = re.compile(r"^[0-9a-f]{32}$")
 class ValidationServer:
     """State + worker behind the HTTP handler. One instance per server."""
 
-    def __init__(self, reports_dir: str):
+    def __init__(self, reports_dir: str, max_tasks: int = 10_000):
         self.reports_dir = reports_dir
         os.makedirs(reports_dir, exist_ok=True)
         self.tasks: dict[str, dict] = {}
+        self.max_tasks = max_tasks
         self._lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._run_loop, daemon=True)
         self._worker.start()
 
+    def _evict_terminal_locked(self) -> None:
+        """Bound the registry: beyond ``max_tasks``, drop the OLDEST
+        terminal (completed/failed/cancelled) entries — their reports stay
+        on disk under reports_dir; only the in-memory status record goes.
+        Pending/running tasks are never evicted. Caller holds the lock."""
+        if len(self.tasks) < self.max_tasks:
+            return
+        terminal = sorted(
+            (vid for vid, t in self.tasks.items()
+             if t["status"] in (COMPLETED, FAILED, CANCELLED)),
+            key=lambda v: self.tasks[v].get("submitted_at", 0.0))
+        for vid in terminal[: max(1, len(self.tasks) - self.max_tasks + 1)]:
+            del self.tasks[vid]
+
     # ---- task lifecycle ----
-    def submit(self, req: dict) -> dict:
+    def submit(self, req) -> dict:
+        if not isinstance(req, dict):
+            raise ValueError(
+                f"request body must be a JSON object, got {type(req).__name__}")
         input_dir = req.get("input_dir")
         if not input_dir or not os.path.isdir(input_dir):
             raise ValueError(f"input_dir missing or not a directory: "
                              f"{input_dir!r}")
         vid = uuid.uuid4().hex
         with self._lock:
+            self._evict_terminal_locked()
             self.tasks[vid] = {
                 "status": PENDING,
                 "submitted_at": time.time(),
@@ -229,6 +248,9 @@ def _make_handler(server: ValidationServer):
                 self._json(200, server.submit(req))
             except (ValueError, json.JSONDecodeError) as ex:
                 self._json(400, {"detail": str(ex)})
+            except Exception as ex:  # noqa: BLE001 — a bad request must
+                # get an HTTP error, never a dropped connection
+                self._json(500, {"detail": f"internal error: {ex}"})
 
         def do_DELETE(self):  # noqa: N802
             path = self.path.split("?")[0].rstrip("/")

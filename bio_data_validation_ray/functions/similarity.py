@@ -216,18 +216,28 @@ def _seed_centroids(ds, n_clusters: int, id_col: str, vec_col: str) -> np.ndarra
     return _quantize_rows(np.stack(seed[vec_col].to_numpy()).astype(np.float64))
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: a BIJECTIVE 64-bit mixer whose output is
+    non-monotone in the input (a bare Knuth multiply mod 2^64 is strictly
+    order-preserving for ids < 2^64/2654435761 ≈ 7e9 — 'smallest hash'
+    would then be exactly 'smallest id', the bias this sample exists to
+    avoid). uint64 arithmetic wraps, which is the intended mod-2^64."""
+    h = x.astype(np.uint64)
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 def _hash_sample(ds, n: int, id_col: str, vec_col: str) -> np.ndarray:
     """Deterministic pseudo-random sample of ~``n`` vectors: per batch,
-    keep the rows whose Knuth-hashed id is smallest (mergeable nsmallest
-    partials, n rows per batch), then the global n smallest hashes on the
-    driver. Unbiased w.r.t. id order (unlike a lowest-id sample, which
-    inherits any id/content correlation) and stable across runs/blockings.
-    Only the sample rows are ever collected."""
+    keep the rows whose splitmix64-hashed id is smallest (mergeable
+    nsmallest partials, n rows per batch), then the global n smallest
+    hashes on the driver. Unbiased w.r.t. id order (unlike a lowest-id
+    sample, which inherits any id/content correlation) and stable across
+    runs/blockings. Only the sample rows are ever collected."""
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df[id_col].to_numpy().astype(np.uint64)
-             * np.uint64(2654435761)) & np.uint64(0xFFFFFFFFFFFFFFFF)
         out = df[[id_col, vec_col]].copy()
-        out["__h"] = h.astype(np.int64)
+        out["__h"] = _mix64(df[id_col].to_numpy())  # uint64 column
         return out.nsmallest(n, "__h")
 
     samp = ds.map_batches(part, batch_format="pandas").to_pandas()

@@ -178,6 +178,7 @@ def validate_dir(
     t0 = time.time()
     thresholds = thresholds_of(policy)
     registry = registry or transcript_registry()
+    fb = _load_feedback(feedback_path)  # fail-fast on a malformed file
     report: dict = {
         "validation_id": uuid.uuid4().hex,
         "input_dir": input_dir,
@@ -209,12 +210,19 @@ def validate_dir(
                 try:
                     with open(sp) as fh:
                         summ = json.load(fh)
-                    dec = summ.get("final_decision")
-                    if (summ.get("ruleset_metadata", {}).get("rules_hash")
-                            == registry.ruleset_hash
-                            and dec and dec != "incomplete"):
+                    dec = (summ.get("final_decision")
+                           if isinstance(summ, dict) else None)
+                    meta = summ.get("ruleset_metadata") \
+                        if isinstance(summ, dict) else None
+                    if (isinstance(meta, dict)
+                            and meta.get("rules_hash") == registry.ruleset_hash
+                            and isinstance(dec, str) and dec
+                            and dec != "incomplete"):
                         worst = dec.removesuffix("_from_checkpoint")
                 except (json.JSONDecodeError, OSError):
+                    # any other malformation falls through the isinstance
+                    # guards above — a corrupt summary must degrade to the
+                    # per-shard fallback, never crash the resume
                     pass
         if worst is None:
             # fallback: worst COMMITTED per-shard decision — a resume over
@@ -633,14 +641,7 @@ def validate_dir(
         rt = _clc(vio_all, ["rule_id"], {"n": ("rule_id", "count")})
         rule_totals = (dict(zip(rt["rule_id"], rt["n"].astype(int)))
                        if len(rt) else {})
-    fb = None
-    if feedback_path:
-        from ..state.feedback import FeedbackStore
-
-        fb = FeedbackStore.load(feedback_path)
-        report["review_feedback"] = fb.metrics()
-    report["top_issues"] = select_top_issues(sample, rule_totals, cap=20,
-                                             feedback=fb)
+    _attach_top_issues(report, sample, rule_totals, fb)
 
     # ---- lineage commits (idempotent, per shard) ----
     wall = time.time() - t0
@@ -889,6 +890,27 @@ def _rationale(decision: str, c, thresholds: dict | None = None) -> str:
     return "accepted: no blocking issues"
 
 
+def _load_feedback(feedback_path: str | None):
+    """Parse the reviewer-feedback store UP FRONT — a malformed
+    ``--feedback`` file must fail in milliseconds before the expensive
+    scan, not at report-assembly time after the whole run."""
+    if not feedback_path:
+        return None
+    from ..state.feedback import FeedbackStore
+
+    return FeedbackStore.load(feedback_path)
+
+
+def _attach_top_issues(report: dict, sample, rule_totals: dict,
+                       fb) -> None:
+    """Shared report tail for validate_dir / validate_resumable: feedback
+    metrics + the severity/novelty-prioritized review selection."""
+    if fb is not None:
+        report["review_feedback"] = fb.metrics()
+    report["top_issues"] = select_top_issues(sample, rule_totals, cap=20,
+                                             feedback=fb)
+
+
 def _write_summary(run_dir: str | None, report: dict) -> None:
     if not run_dir:
         return
@@ -1023,6 +1045,7 @@ def validate_resumable(
     t0 = time.time()
     thresholds = thresholds_of(policy)
     registry = registry or transcript_registry()
+    fb = _load_feedback(feedback_path)  # fail-fast on a malformed file
     lineage = Lineage(run_dir, registry.ruleset_hash)
     all_files = list_shards(input_dir)
     committed = lineage.committed()
@@ -1353,13 +1376,6 @@ def validate_resumable(
             .to_pandas().value_counts().items()
         }
         sample = vdset.head(2000).to_pandas()
-    fb = None
-    if feedback_path:
-        from ..state.feedback import FeedbackStore
-
-        fb = FeedbackStore.load(feedback_path)
-        report["review_feedback"] = fb.metrics()
-    report["top_issues"] = select_top_issues(sample, rule_totals, cap=20,
-                                             feedback=fb)
+    _attach_top_issues(report, sample, rule_totals, fb)
     _write_summary(run_dir, report)
     return report

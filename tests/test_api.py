@@ -124,6 +124,36 @@ class TestValidateLifecycle:
         _, st2 = _get(base, f"/api/v1/validate/{s2['validation_id']}")
         assert st2["status"] == "cancelled"
 
+    def test_non_dict_json_body_is_400_not_dropped_connection(self, server):
+        base, _ = server
+        for body in (b"[1,2]", b'"x"', b"42"):
+            req = urllib.request.Request(
+                base + "/api/v1/validate", data=body,
+                headers={"Content-Type": "application/json"},
+                method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+            assert "JSON object" in json.loads(ei.value.read())["detail"]
+
+    def test_terminal_task_eviction_bounds_registry(self, server):
+        from bio_data_validation_ray.api import ValidationServer
+
+        _, httpd = server
+        st: ValidationServer = httpd.validation_state
+        st.max_tasks = 5
+        with st._lock:
+            for i in range(8):
+                st.tasks[f"{i:032x}"] = {"status": "completed",
+                                         "submitted_at": float(i)}
+            st.tasks["f" * 32] = {"status": "running",
+                                  "submitted_at": 0.0}
+            st._evict_terminal_locked()
+            # oldest terminal entries evicted, running survives
+            assert "f" * 32 in st.tasks
+            assert len(st.tasks) <= 6
+            assert f"{0:032x}" not in st.tasks
+
     def test_report_traversal_guard(self, server):
         base, _ = server
         for bad in ("..%2F..%2Fetc%2Fpasswd", "validation_..js.json",

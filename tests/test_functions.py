@@ -947,24 +947,29 @@ class TestSemDedup:
             cluster_assign, semdedup)
 
         rng = np.random.default_rng(3)
-        # ids 0..7 (the seed path's centroid picks) are one tight blob;
-        # the rest spread over 4 well-separated modes
-        blob = (rng.normal(scale=0.01, size=(8, 6)) + 5.0).tolist()
+        # the LOW-ID HEAD of the corpus — more rows than train_sample=4096,
+        # so a sample that secretly prefers low ids would train on the
+        # blob alone (the exact bias a monotone id hash reintroduces) —
+        # is one tight off-mode blob; the tail spreads over 4 modes
+        blob = (rng.normal(scale=0.01, size=(4200, 6)) + 5.0).tolist()
         modes = np.eye(4)
         rest = [(modes[i % 4] * 10
                  + rng.normal(scale=0.05, size=4)).tolist() + [0.0, 0.0]
-                for i in range(200)]
+                for i in range(2000)]
         rest = [r[:6] for r in rest]
         vecs = blob + rest
         ds = self._ds(vecs)
-        seeded = cluster_assign(ds, n_clusters=4).to_pandas()
         trained = cluster_assign(ds, n_clusters=4,
                                  centroids="trained").to_pandas()
-        # seed centroids all come from the blob -> mode points collapse
-        # into few clusters; trained centroids must use all 4
+        # trained centroids must use all 4 clusters AND keep each tight
+        # mode pure (all its points share one label) — seed centroids all
+        # sit inside the blob, so mode points split on quantization noise
         assert trained["cluster"].nunique() == 4
-        assert (trained.groupby("cluster").size().max()
-                <= seeded.groupby("cluster").size().max())
+        lab = trained.sort_values("vec_id")["cluster"].to_numpy()
+        mode_of = np.arange(len(rest)) % 4
+        for m in range(4):
+            labs = lab[len(blob):][mode_of == m]
+            assert len(set(labs.tolist())) == 1, f"mode {m} split: {set(labs)}"
         # determinism: same input -> same assignment
         trained2 = cluster_assign(ds, n_clusters=4,
                                   centroids="trained").to_pandas()
@@ -975,6 +980,28 @@ class TestSemDedup:
         out = (semdedup(ds, n_clusters=4, radius2=0, centroids="trained")
                .to_pandas())
         assert len(out) == len(vecs)
+
+    def test_hash_sample_is_not_a_lowest_id_prefix(self, ray_session):
+        """The training sample must be pseudo-random over ids: picking
+        the n smallest hashes of sequential ids must not reduce to the n
+        smallest ids (a bare Knuth multiply mod 2^64 is order-preserving
+        and silently would)."""
+        import numpy as np
+
+        from bio_data_validation_ray.functions.similarity import (
+            _hash_sample, _mix64)
+
+        n_rows, n = 3000, 500
+        vecs = [[float(i), 0.0] for i in range(n_rows)]
+        ds = self._ds(vecs)
+        samp = _hash_sample(ds, n, "vec_id", "embedding")
+        ids = samp[:, 0].astype(int)
+        assert len(ids) == n
+        assert ids.max() > n * 2, "sample collapsed to the low-id prefix"
+        # deterministic across calls and equal to the direct computation
+        h = _mix64(np.arange(n_rows))
+        expect = np.sort(np.argsort(h)[:n])
+        assert (np.sort(ids) == expect).all()
 
     def test_cluster_cap_bounds_work_and_logs(self, ray_session, caplog):
         """One degenerate cluster: cluster_cap truncates the comparison

@@ -51,6 +51,44 @@ class TestResumeGlobalDecision:
         r2 = validate_dir(d, run_dir=run_dir, concurrency=2)
         assert r2["final_decision"] == "accepted_from_checkpoint"
 
+    def test_non_dict_summary_falls_back_not_crash(self, ray_session,
+                                                   tmp_path):
+        """A run_summary.json holding valid-but-non-dict JSON (or a
+        non-string final_decision) must degrade to the per-shard
+        fallback, never raise mid-resume."""
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF, clean=True)
+        run_dir = str(tmp_path / "run")
+        validate_dir(d, run_dir=run_dir, concurrency=2)
+        sp = os.path.join(run_dir, "run_summary.json")
+        for payload in ("[]", '{"final_decision": {"weird": 1}, '
+                              '"ruleset_metadata": 7}'):
+            with open(sp, "w") as fh:
+                fh.write(payload)
+            r2 = validate_dir(d, run_dir=run_dir, concurrency=2)
+            assert r2["final_decision"] == "accepted_from_checkpoint"
+
+    def test_malformed_feedback_fails_fast(self, ray_session, tmp_path):
+        """A broken --feedback file must error BEFORE the scan starts
+        (validate_dir raises immediately; no lineage is written)."""
+        import json as _json
+
+        import pytest
+
+        from bio_data_validation_ray.pipelines.validate import validate_dir
+        from bio_data_validation_ray.sources.transcripts import ensure_transcripts
+
+        d = ensure_transcripts(SF, clean=True)
+        bad = str(tmp_path / "fb.json")
+        with open(bad, "w") as fh:
+            fh.write("{not json")
+        run_dir = str(tmp_path / "run")
+        with pytest.raises(_json.JSONDecodeError):
+            validate_dir(d, run_dir=run_dir, feedback_path=bad)
+        assert not glob.glob(os.path.join(run_dir, "lineage", "*.json"))
+
     def test_missing_summary_falls_back_to_shards(self, ray_session, tmp_path):
         from bio_data_validation_ray.pipelines.validate import validate_dir
         from bio_data_validation_ray.sources.transcripts import ensure_transcripts
