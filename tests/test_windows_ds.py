@@ -27,6 +27,38 @@ def _chunks(df, n=45):
     return rd.from_pandas([df.iloc[i:i + n] for i in range(0, len(df), n)])
 
 
+def test_pair_contract_invariant_across_chunkings(ray_session):
+    """The (interior, boundary) union must be chunking-invariant: tiny
+    chunks (every key a boundary key somewhere) and one big chunk (all
+    keys interior) give identical results for a representative op of
+    each merge style (gap partial / dual-path partial / raw head)."""
+    from bio_data_validation_ray.functions.windows import (
+        adjacent_pair_counts_ds, gap_stats_ds, grouped_top_n_ds)
+
+    df = _mk(np.random.default_rng(23), n_keys=12, rows_per_key=25)
+    results = {}
+    for n in (3, 45, 10_000):
+        ds = _chunks(df, n)
+        i1, b1 = gap_stats_ds(ds, key="key", order_cols=["idx"],
+                              ts_col="ts", driver_cap=0)
+        i2, b2 = adjacent_pair_counts_ds(ds, key="key", order_cols=["idx"],
+                                         col="val", driver_cap=0)
+        i3, b3 = grouped_top_n_ds(ds, key="key", order_cols=["idx"], n=4,
+                                  driver_cap=0)
+        out = []
+        for i, b, sort_cols in ((i1, b1, ["key"]), (i2, b2, ["key"]),
+                                (i3, b3, ["key", "idx"])):
+            full = pd.concat([i.to_pandas(), b], ignore_index=True)
+            out.append(full.sort_values(sort_cols, kind="stable")
+                       .reset_index(drop=True))
+        results[n] = out
+    for n in (45, 10_000):
+        for a, b in zip(results[3], results[n]):
+            pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                          b[sorted(b.columns)],
+                                          check_dtype=False)
+
+
 def _assert_pair_contract(interior, boundary, n_keys, collected_expect,
                           key_col="key", sort_cols=None):
     import ray.data
