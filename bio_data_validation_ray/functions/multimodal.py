@@ -386,6 +386,165 @@ def encode_png(arr: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+_Y4M_SIG = b"YUV4MPEG2 "
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, tuple[int, int], str, int]:
+    """Parse the stream header -> (W, H, (fps_num, fps_den), colorspace,
+    body_offset)."""
+    if not payload.startswith(_Y4M_SIG):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    cs = "420"
+    for tok in payload[len(_Y4M_SIG):nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            a, b = val.split(b":")
+            fps = (int(a), int(b))
+        elif tag == b"C":
+            cs = val.decode()
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    return w, h, fps, cs, nl + 1
+
+
+def _y4m_plane_bytes(w: int, h: int, cs: str) -> int:
+    if cs.startswith("mono"):
+        return w * h
+    if cs.startswith("420"):
+        return w * h + 2 * ((w // 2) * (h // 2))
+    if cs.startswith("444"):
+        return 3 * w * h
+    raise NotImplementedError(f"Y4M colorspace C{cs} not supported")
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range YUV -> RGB uint8 (the Y4M/MPEG convention)."""
+    yf = 1.164383 * (y.astype(np.float64) - 16.0)
+    uf = u.astype(np.float64) - 128.0
+    vf = v.astype(np.float64) - 128.0
+    rgb = np.stack([yf + 1.596027 * vf,
+                    yf - 0.391762 * uf - 0.812968 * vf,
+                    yf + 2.017232 * uf], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _y4m_frame_offsets(payload: bytes, body: int, fsize: int) -> list[int]:
+    """Offsets of each frame's PLANE data. FRAME marker lines may carry
+    parameters, so markers are located by scanning — but only headers are
+    touched; plane bytes are sliced lazily by the caller (frame sampling
+    reads K frames, never decodes all N)."""
+    offs = []
+    i = body
+    n = len(payload)
+    while i < n:
+        if payload[i:i + 5] != b"FRAME":
+            raise ValueError(f"Y4M frame marker missing at offset {i}")
+        nl = payload.index(b"\n", i)
+        offs.append(nl + 1)
+        i = nl + 1 + fsize
+    return offs
+
+
+def decode_y4m_frame(payload: bytes, w: int, h: int, cs: str,
+                     off: int) -> np.ndarray:
+    """Decode ONE frame's planes at ``off`` -> (H, W) uint8 for mono,
+    (H, W, 3) RGB uint8 for C420*/C444."""
+    if cs.startswith("mono"):
+        return np.frombuffer(payload, np.uint8, w * h, off).reshape(h, w)
+    if cs.startswith("420"):
+        y = np.frombuffer(payload, np.uint8, w * h, off).reshape(h, w)
+        cw, chh = w // 2, h // 2
+        u = np.frombuffer(payload, np.uint8, cw * chh,
+                          off + w * h).reshape(chh, cw)
+        v = np.frombuffer(payload, np.uint8, cw * chh,
+                          off + w * h + cw * chh).reshape(chh, cw)
+        u = u.repeat(2, 0).repeat(2, 1)[:h, :w]  # nearest upsample
+        v = v.repeat(2, 0).repeat(2, 1)[:h, :w]
+        return _yuv_to_rgb(y, u, v)
+    # C444
+    y = np.frombuffer(payload, np.uint8, w * h, off).reshape(h, w)
+    u = np.frombuffer(payload, np.uint8, w * h, off + w * h).reshape(h, w)
+    v = np.frombuffer(payload, np.uint8, w * h,
+                      off + 2 * w * h).reshape(h, w)
+    return _yuv_to_rgb(y, u, v)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """REAL decoder for YUV4MPEG2 (the public uncompressed video format;
+    what ``ffmpeg -f yuv4mpegpipe`` emits) — pure numpy, no codec library.
+    Supports Cmono (exact), C420* (nearest chroma upsample + BT.601), and
+    C444. -> (frames [N,H,W] or [N,H,W,3] uint8, (fps_num, fps_den))."""
+    w, h, fps, cs, body = _y4m_header(payload)
+    fsize = _y4m_plane_bytes(w, h, cs)
+    offs = _y4m_frame_offsets(payload, body, fsize)
+    return (np.stack([decode_y4m_frame(payload, w, h, cs, o)
+                      for o in offs]), fps)
+
+
+def sample_y4m_frames(payload: bytes, k: int) -> list[tuple[int, np.ndarray]]:
+    """Sample ``k`` evenly-spaced frames of a Y4M payload WITHOUT decoding
+    the rest: the header scan touches only frame markers; plane conversion
+    runs for exactly the sampled indices. -> [(frame_index, array), ...]"""
+    w, h, _fps, cs, body = _y4m_header(payload)
+    fsize = _y4m_plane_bytes(w, h, cs)
+    offs = _y4m_frame_offsets(payload, body, fsize)
+    n = len(offs)
+    if n == 0:
+        return []
+    if k >= n:
+        idx = list(range(n))
+    elif k == 1:
+        idx = [0]
+    else:
+        idx = sorted({(n - 1) * j // (k - 1) for j in range(k)})
+    return [(i, decode_y4m_frame(payload, w, h, cs, offs[i])) for i in idx]
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Inverse of decode_y4m (test fixture writer): (N, H, W) uint8 ->
+    Cmono (byte-exact roundtrip); (N, H, W, 3) uint8 interpreted as YUV
+    planes -> C444 (byte-exact in the YUV domain)."""
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w = a.shape[:3]
+    cs = b"mono" if a.ndim == 3 else b"444"
+    head = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n" % (
+        w, h, fps[0], fps[1], cs)
+    parts = [head]
+    for f in a:
+        parts.append(b"FRAME\n")
+        if a.ndim == 3:
+            parts.append(f.tobytes())
+        else:  # planes, not interleaved pixels
+            parts.append(np.ascontiguousarray(
+                f.transpose(2, 0, 1)).tobytes())
+    return b"".join(parts)
+
+
+def video_features(payload: bytes, dim: int = FEATURE_DIM,
+                   k: int = 4) -> np.ndarray:
+    """REAL deterministic video features: mean of per-frame image features
+    over ``k`` sampled frames, L2-normalized."""
+    sampled = sample_y4m_frames(payload, k)
+    if not sampled:
+        raise ValueError("Y4M payload has no frames")
+    acc = np.zeros(dim, dtype=np.float64)
+    for _, frame in sampled:
+        if frame.ndim == 2:
+            frame = np.repeat(frame[:, :, None], 3, axis=2)
+        acc += image_features(frame, dim)
+    nn = np.linalg.norm(acc)
+    return (acc / nn if nn else acc).astype(np.float32)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload. REAL for P6 PPM, 24-bit BMP (pure numpy)
     and non-interlaced 8-bit PNG (stdlib zlib + filter reconstruction);
@@ -438,10 +597,19 @@ class MediaFeaturizer:
             f = None
             err: Exception | None = None
             try:
-                if p.startswith((b"P6", b"BM")):
-                    f = image_features(decode_image(p), self.dim)
+                if p.startswith((b"P6", b"BM", _PNG_SIG)):
+                    img = decode_image(p)
+                    if img.ndim == 2:          # gray PNG -> 3-channel
+                        img = np.repeat(img[:, :, None], 3, axis=2)
+                    elif img.shape[2] == 4:    # RGBA PNG -> drop alpha
+                        img = img[:, :, :3]
+                    elif img.shape[2] == 2:    # gray+alpha -> replicate Y
+                        img = np.repeat(img[:, :, :1], 3, axis=2)
+                    f = image_features(img, self.dim)
                 elif p[:4] == b"RIFF":
                     f = audio_features(decode_wav(p)[0], self.dim)
+                elif p.startswith(_Y4M_SIG):
+                    f = video_features(p, self.dim)
             except (ValueError, NotImplementedError) as e:
                 err = e
                 f = None
@@ -470,9 +638,16 @@ class MediaFeaturizer:
 
 
 class FrameSampler:
-    """Actor-pool stage: video payload -> K deterministic 'frame' payloads
-    (flat_map-shaped: one output row per sampled frame). Real impl would use
-    pyav; the sampling/fan-out plumbing is real."""
+    """Actor-pool stage: video payload -> K sampled frame payloads
+    (flat_map-shaped: one output row per sampled frame).
+
+    REAL for YUV4MPEG2 payloads: K evenly-spaced frames are located by
+    marker scan and decoded individually (never the whole clip), each
+    emitted as a standalone P6 PPM — directly consumable by
+    ``decode_image`` / ``image_features`` downstream. Other video bytes
+    (compressed MP4 etc. — codec libraries absent here) keep the
+    clearly-labelled byte-slice stub so the fan-out plumbing stays
+    testable; frame_idx then counts slices, not frames."""
 
     def __init__(self, k: int = 4):
         self.k = k
@@ -483,6 +658,14 @@ class FrameSampler:
             t["media_id"].to_pylist(), t["kind"].to_pylist(), t["payload"].to_pylist()
         ):
             if kind != "video":
+                continue
+            if payload.startswith(_Y4M_SIG):
+                for i, frame in sample_y4m_frames(payload, self.k):
+                    if frame.ndim == 2:
+                        frame = np.repeat(frame[:, :, None], 3, axis=2)
+                    ids.append(mid)
+                    frame_idx.append(i)
+                    frames.append(encode_ppm(frame))
                 continue
             n = len(payload)
             for j in range(self.k):

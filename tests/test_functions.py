@@ -601,6 +601,83 @@ class TestMultimodal:
             back = decode_png(encode_png(img))
             assert back.shape == img.shape and (back == img).all(), shape
 
+    def test_y4m_mono_roundtrip_and_sampling(self):
+        from bio_data_validation_ray.functions.multimodal import (
+            decode_y4m, encode_y4m, sample_y4m_frames)
+
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, size=(10, 6, 8), dtype=np.uint8)
+        payload = encode_y4m(frames, fps=(30, 1))
+        back, fps = decode_y4m(payload)
+        assert fps == (30, 1)
+        assert (back == frames).all()
+        # evenly-spaced sampling decodes ONLY the sampled frames
+        got = sample_y4m_frames(payload, 4)
+        assert [i for i, _ in got] == [0, 3, 6, 9]
+        for i, f in got:
+            assert (f == frames[i]).all()
+        # k=1 -> first frame; k > n -> every frame once
+        assert [i for i, _ in sample_y4m_frames(payload, 1)] == [0]
+        assert len(sample_y4m_frames(payload, 99)) == 10
+
+    def test_y4m_c420_bt601_conversion(self):
+        """Hand-built C420 payload: flat YUV planes whose BT.601 RGB is
+        computed independently here — pins the limited-range matrix and
+        the nearest chroma upsample."""
+        from bio_data_validation_ray.functions.multimodal import decode_y4m
+
+        w, h = 4, 2
+        y_, u_, v_ = 120, 90, 200
+        head = b"YUV4MPEG2 W4 H2 F25:1 C420\n"
+        planes = (bytes([y_] * (w * h)) + bytes([u_] * ((w // 2) * (h // 2)))
+                  + bytes([v_] * ((w // 2) * (h // 2))))
+        payload = head + b"FRAME\n" + planes
+        frames, fps = decode_y4m(payload)
+        assert frames.shape == (1, h, w, 3)
+        yf = 1.164383 * (y_ - 16)
+        exp = np.clip(np.round([yf + 1.596027 * (v_ - 128),
+                                yf - 0.391762 * (u_ - 128)
+                                - 0.812968 * (v_ - 128),
+                                yf + 2.017232 * (u_ - 128)]),
+                      0, 255).astype(np.uint8)
+        assert (frames[0] == exp).all()
+
+    def test_frame_sampler_real_y4m_path(self, ray_session):
+        """FrameSampler emits real PPM frames for Y4M payloads (decodable
+        downstream) and keeps the labelled byte-slice stub otherwise."""
+        import pyarrow as pa
+
+        from bio_data_validation_ray.functions.multimodal import (
+            FrameSampler, decode_image, encode_y4m)
+
+        rng = np.random.default_rng(1)
+        vid = rng.integers(0, 256, size=(6, 4, 5), dtype=np.uint8)
+        t = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "kind": pa.array(["video", "video"]),
+            "payload": pa.array([encode_y4m(vid), b"\x00" * 64],
+                                pa.binary()),
+        })
+        out = FrameSampler(k=3)(t).to_pandas()
+        real = out[out.media_id == 1]
+        assert real["frame_idx"].tolist() == [0, 2, 5]
+        for _, r in real.iterrows():
+            img = decode_image(bytes(r["frame_payload"]))
+            i = int(r["frame_idx"])
+            assert (img[:, :, 0] == vid[i]).all()
+        assert len(out[out.media_id == 2]) == 3  # stub fan-out intact
+
+    def test_video_features_deterministic(self):
+        from bio_data_validation_ray.functions.multimodal import (
+            encode_y4m, video_features)
+
+        rng = np.random.default_rng(2)
+        vid = rng.integers(0, 256, size=(5, 8, 8), dtype=np.uint8)
+        p = encode_y4m(vid)
+        f1, f2 = video_features(p), video_features(p)
+        assert f1.shape == f2.shape and (f1 == f2).all()
+        assert abs(np.linalg.norm(f1) - 1.0) < 1e-5
+
     def test_png_unsupported_variants_raise(self):
         import struct
         import zlib
