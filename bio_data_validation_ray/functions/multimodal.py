@@ -4,8 +4,10 @@ with typed metadata, processed by actor-pool map_batches stages.
 Decode is REAL for the codec-free formats — binary PPM (P6), uncompressed
 24-bit BMP, PCM-16 WAV, and (since round 5) non-interlaced 8-bit PNG
 (stdlib ``zlib`` inflate + the five scanline filters — no codec library
-needed) — all parsed with pure numpy, with real nearest-neighbor resize
-and deterministic image/audio feature extraction on top. Formats whose
+needed) and YUV4MPEG2 video (frame-marker scan + BT.601; true K-frame
+sampling without decoding the clip) — all parsed with pure numpy, with
+real nearest-neighbor resize and deterministic image/audio/video feature
+extraction on top. Formats whose
 codecs genuinely are not in this container (JPEG, MP3, MP4) raise
 ``NotImplementedError`` (or take the clearly-labelled deterministic
 fake-feature path with ``fake_decode=True``), so the Ray-side plumbing —
