@@ -167,6 +167,19 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def _to_rgb3(img: np.ndarray) -> np.ndarray:
+    """Normalize any decoded image layout to (H, W, 3): gray replicates,
+    gray+alpha replicates the luma, RGBA drops alpha — the single channel
+    policy every feature/frame consumer shares."""
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if img.shape[2] == 4:
+        return img[:, :, :3]
+    return img
+
+
 def resize_image(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     """REAL nearest-neighbor resize — pure numpy index gather."""
     h, w = img.shape[:2]
@@ -418,14 +431,24 @@ def _y4m_header(payload: bytes) -> tuple[int, int, tuple[int, int], str, int]:
     return w, h, fps, cs, nl + 1
 
 
+# exact 8-bit colorspaces supported; prefix matching would silently accept
+# C420p10/Cmono10/C444alpha with the WRONG frame size and fail later with
+# a misleading "frame marker missing"
+_Y4M_MONO = {"mono"}
+_Y4M_420 = {"420", "420jpeg", "420mpeg2", "420paldv"}
+_Y4M_444 = {"444"}
+
+
 def _y4m_plane_bytes(w: int, h: int, cs: str) -> int:
-    if cs.startswith("mono"):
+    if cs in _Y4M_MONO:
         return w * h
-    if cs.startswith("420"):
-        return w * h + 2 * ((w // 2) * (h // 2))
-    if cs.startswith("444"):
+    if cs in _Y4M_420:
+        # ceil chroma sizing — the ffmpeg convention for odd dimensions
+        return w * h + 2 * (((w + 1) // 2) * ((h + 1) // 2))
+    if cs in _Y4M_444:
         return 3 * w * h
-    raise NotImplementedError(f"Y4M colorspace C{cs} not supported")
+    raise NotImplementedError(f"Y4M colorspace C{cs} not supported "
+                              "(8-bit mono/420*/444 only)")
 
 
 def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -459,12 +482,15 @@ def _y4m_frame_offsets(payload: bytes, body: int, fsize: int) -> list[int]:
 def decode_y4m_frame(payload: bytes, w: int, h: int, cs: str,
                      off: int) -> np.ndarray:
     """Decode ONE frame's planes at ``off`` -> (H, W) uint8 for mono,
-    (H, W, 3) RGB uint8 for C420*/C444."""
-    if cs.startswith("mono"):
-        return np.frombuffer(payload, np.uint8, w * h, off).reshape(h, w)
-    if cs.startswith("420"):
+    (H, W, 3) RGB uint8 for C420*/C444. Always returns an owning,
+    writable array (a zero-copy view would pin the whole clip's bytes —
+    the other decoders in this module copy for the same reason)."""
+    if cs in _Y4M_MONO:
+        return np.frombuffer(payload, np.uint8, w * h,
+                             off).reshape(h, w).copy()
+    if cs in _Y4M_420:
         y = np.frombuffer(payload, np.uint8, w * h, off).reshape(h, w)
-        cw, chh = w // 2, h // 2
+        cw, chh = (w + 1) // 2, (h + 1) // 2  # ceil: odd dims, ffmpeg conv.
         u = np.frombuffer(payload, np.uint8, cw * chh,
                           off + w * h).reshape(chh, cw)
         v = np.frombuffer(payload, np.uint8, cw * chh,
@@ -488,6 +514,9 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     w, h, fps, cs, body = _y4m_header(payload)
     fsize = _y4m_plane_bytes(w, h, cs)
     offs = _y4m_frame_offsets(payload, body, fsize)
+    if not offs:  # legal empty stream (header only, aborted pipe)
+        shape = (0, h, w) if cs in _Y4M_MONO else (0, h, w, 3)
+        return np.zeros(shape, dtype=np.uint8), fps
     return (np.stack([decode_y4m_frame(payload, w, h, cs, o)
                       for o in offs]), fps)
 
@@ -496,6 +525,8 @@ def sample_y4m_frames(payload: bytes, k: int) -> list[tuple[int, np.ndarray]]:
     """Sample ``k`` evenly-spaced frames of a Y4M payload WITHOUT decoding
     the rest: the header scan touches only frame markers; plane conversion
     runs for exactly the sampled indices. -> [(frame_index, array), ...]"""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     w, h, _fps, cs, body = _y4m_header(payload)
     fsize = _y4m_plane_bytes(w, h, cs)
     offs = _y4m_frame_offsets(payload, body, fsize)
@@ -540,9 +571,7 @@ def video_features(payload: bytes, dim: int = FEATURE_DIM,
         raise ValueError("Y4M payload has no frames")
     acc = np.zeros(dim, dtype=np.float64)
     for _, frame in sampled:
-        if frame.ndim == 2:
-            frame = np.repeat(frame[:, :, None], 3, axis=2)
-        acc += image_features(frame, dim)
+        acc += image_features(_to_rgb3(frame), dim)
     nn = np.linalg.norm(acc)
     return (acc / nn if nn else acc).astype(np.float32)
 
@@ -600,14 +629,7 @@ class MediaFeaturizer:
             err: Exception | None = None
             try:
                 if p.startswith((b"P6", b"BM", _PNG_SIG)):
-                    img = decode_image(p)
-                    if img.ndim == 2:          # gray PNG -> 3-channel
-                        img = np.repeat(img[:, :, None], 3, axis=2)
-                    elif img.shape[2] == 4:    # RGBA PNG -> drop alpha
-                        img = img[:, :, :3]
-                    elif img.shape[2] == 2:    # gray+alpha -> replicate Y
-                        img = np.repeat(img[:, :, :1], 3, axis=2)
-                    f = image_features(img, self.dim)
+                    f = image_features(_to_rgb3(decode_image(p)), self.dim)
                 elif p[:4] == b"RIFF":
                     f = audio_features(decode_wav(p)[0], self.dim)
                 elif p.startswith(_Y4M_SIG):
@@ -662,13 +684,18 @@ class FrameSampler:
             if kind != "video":
                 continue
             if payload.startswith(_Y4M_SIG):
-                for i, frame in sample_y4m_frames(payload, self.k):
-                    if frame.ndim == 2:
-                        frame = np.repeat(frame[:, :, None], 3, axis=2)
-                    ids.append(mid)
-                    frame_idx.append(i)
-                    frames.append(encode_ppm(frame))
-                continue
+                try:
+                    sampled = sample_y4m_frames(payload, self.k)
+                except (ValueError, NotImplementedError):
+                    sampled = None  # unsupported/corrupt Y4M variant ->
+                    # fall through to the byte-slice stub below; one bad
+                    # clip must not fail the whole map_batches task
+                if sampled is not None:
+                    for i, frame in sampled:
+                        ids.append(mid)
+                        frame_idx.append(i)
+                        frames.append(encode_ppm(_to_rgb3(frame)))
+                    continue
             n = len(payload)
             for j in range(self.k):
                 lo = (n * j) // self.k

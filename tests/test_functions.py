@@ -667,6 +667,54 @@ class TestMultimodal:
             assert (img[:, :, 0] == vid[i]).all()
         assert len(out[out.media_id == 2]) == 3  # stub fan-out intact
 
+    def test_y4m_edge_cases_from_review(self):
+        """Odd-dimension C420 (ceil chroma, ffmpeg convention), exact
+        colorspace matching (C422/C420p10 -> NotImplementedError, not a
+        misleading marker error), legal empty stream, k<1 rejection,
+        writable owning mono frames."""
+        import pytest
+
+        from bio_data_validation_ray.functions.multimodal import (
+            decode_y4m, encode_y4m, sample_y4m_frames)
+
+        # odd 3x3 C420: ceil chroma = 2x2
+        head = b"YUV4MPEG2 W3 H3 F25:1 C420\n"
+        planes = bytes([100] * 9) + bytes([90] * 4) + bytes([200] * 4)
+        frames, _ = decode_y4m(head + b"FRAME\n" + planes)
+        assert frames.shape == (1, 3, 3, 3)
+        # unsupported variants fail loudly by NAME
+        for cs in (b"C422", b"C420p10", b"Cmono10", b"C444alpha"):
+            bad = b"YUV4MPEG2 W2 H2 F25:1 " + cs + b"\nFRAME\n" + b"\0" * 64
+            with pytest.raises(NotImplementedError):
+                decode_y4m(bad)
+        # header-only stream decodes to an empty frame stack
+        empty, fps = decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Cmono\n")
+        assert empty.shape == (0, 2, 2) and fps == (25, 1)
+        # k < 1 rejected truthfully
+        vid = encode_y4m(np.zeros((3, 2, 2), dtype=np.uint8))
+        with pytest.raises(ValueError, match="k must be"):
+            sample_y4m_frames(vid, 0)
+        # mono frames own their memory and are writable
+        (_, f0), = sample_y4m_frames(vid, 1)
+        assert f0.flags.owndata and f0.flags.writeable
+        f0[0, 0] = 7  # must not raise
+
+    def test_frame_sampler_unsupported_y4m_falls_back_to_stub(
+            self, ray_session):
+        import pyarrow as pa
+
+        from bio_data_validation_ray.functions.multimodal import FrameSampler
+
+        c422 = b"YUV4MPEG2 W2 H2 F25:1 C422\nFRAME\n" + b"\0" * 8
+        t = pa.table({
+            "media_id": pa.array([9], pa.int64()),
+            "kind": pa.array(["video"]),
+            "payload": pa.array([c422], pa.binary()),
+        })
+        out = FrameSampler(k=2)(t).to_pandas()
+        # one bad clip must not fail the stage: byte-slice stub fan-out
+        assert len(out) == 2 and (out["media_id"] == 9).all()
+
     def test_video_features_deterministic(self):
         from bio_data_validation_ray.functions.multimodal import (
             encode_y4m, video_features)
