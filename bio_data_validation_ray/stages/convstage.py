@@ -93,7 +93,7 @@ def merge_segments_frame(seg: pd.DataFrame) -> pd.DataFrame:
     """Vectorized merge of segment rows -> one result row per conv_id.
 
     Pure numpy over factorized integer keys (reduceat per sorted group) —
-    no string sorts, no per-group Python; ~10M segments/sec on one core.
+    no string sorts beyond the key factorize, no per-group Python.
     """
     if len(seg) == 0:
         return pd.DataFrame(columns=RESULT_COLUMNS)
@@ -101,14 +101,39 @@ def merge_segments_frame(seg: pd.DataFrame) -> pd.DataFrame:
                                          sort=True)
     shard_codes, shard_uniq = pd.factorize(seg["shard"].to_numpy(dtype=object),
                                            sort=True)
-    lo0 = seg["seg_turn_lo"].to_numpy().astype(np.int64)
-    hi0 = seg["seg_turn_hi"].to_numpy().astype(np.int64)
-    n0 = seg["seg_n"].to_numpy().astype(np.int64)
-    dup0 = seg["seg_dup"].to_numpy().astype(np.int64)
-    mnts0 = seg["seg_min_ts"].to_numpy().astype(np.int64)
-    mxts0 = seg["seg_max_ts"].to_numpy().astype(np.int64)
-    mono0 = np.asarray(seg["seg_mono_ok"], dtype=bool)
+    return _merge_segments_arrays(
+        conv_codes.astype(np.int64), np.asarray(conv_uniq, dtype=object),
+        shard_codes.astype(np.int64), np.asarray(shard_uniq, dtype=object),
+        seg["seg_turn_lo"].to_numpy().astype(np.int64),
+        seg["seg_turn_hi"].to_numpy().astype(np.int64),
+        seg["seg_n"].to_numpy().astype(np.int64),
+        seg["seg_dup"].to_numpy().astype(np.int64),
+        seg["seg_min_ts"].to_numpy().astype(np.int64),
+        seg["seg_max_ts"].to_numpy().astype(np.int64),
+        np.asarray(seg["seg_mono_ok"], dtype=bool),
+    )
 
+
+def merge_segments_table(tbl: "pa.Table") -> pd.DataFrame:
+    """Arrow-table entry point for the segment merge. Measured decision:
+    a 'native' path that dictionary-encodes the key columns in Arrow and
+    rank-remaps to sorted codes is 1.5-2x SLOWER than to_pandas + pandas
+    khash factorize at 8x10^5 distinct conversations (the dictionary
+    uniques must materialize as Python strings for the output either
+    way, and pc.dictionary_encode + sort_indices + take costs more than
+    one factorize) — so this delegates, and the conversion cost is
+    accounted here rather than hidden at every call site."""
+    if tbl.num_rows == 0:
+        return pd.DataFrame(columns=RESULT_COLUMNS)
+    return merge_segments_frame(tbl.to_pandas())
+
+
+def _merge_segments_arrays(conv_codes, conv_uniq, shard_codes, shard_uniq,
+                           lo0, hi0, n0, dup0, mnts0, mxts0, mono0
+                           ) -> pd.DataFrame:
+    """Core of the segment merge over pre-factorized arrays; both key
+    dictionaries MUST be sorted-unique (the main-shard tie-break encodes
+    'lexicographically smaller' as 'smaller code')."""
     order = np.lexsort((hi0, lo0, conv_codes))
     c = conv_codes[order]
     lo, hi, nn, dup = lo0[order], hi0[order], n0[order], dup0[order]
@@ -177,18 +202,19 @@ def merge_segments_frame(seg: pd.DataFrame) -> pd.DataFrame:
     out["contiguous"] = (out["turn_lo"] == 0) & (
         out["n_distinct"] == out["turn_hi"] + 1
     )
-    # shard-list string: per-group Python only for the rare multi-shard convs
-    out["shards"] = out["main_shard"]
-    multi_mask = out["n_shards"] > 1
-    if multi_mask.any():
-        multi_set = set(out.loc[multi_mask, "conv_id"])
-        sub = seg[seg["conv_id"].isin(multi_set)]
-        joined = sub.groupby("conv_id")["shard"].agg(
-            lambda s: ",".join(sorted(set(s)))
-        )
-        out.loc[multi_mask, "shards"] = (
-            out.loc[multi_mask, "conv_id"].map(joined)
-        )
+    # shard-list string: per-group Python only for the rare multi-shard
+    # convs, built from the per-(conv, shard) pair arrays already computed
+    # above (no second scan over the segments; pair_shard is ascending
+    # within each conv group and shard_uniq is sorted, so the join is
+    # lexicographic by construction)
+    shards_col = out["main_shard"].to_numpy(copy=True)
+    multi = np.flatnonzero(n_shards > 1)
+    if multi.size:
+        gends2 = np.concatenate([gstarts2[1:], [pair_conv.size]])
+        for gi in multi:
+            codes = pair_shard[gstarts2[gi]:gends2[gi]]
+            shards_col[gi] = ",".join(shard_arr[codes])
+    out["shards"] = shards_col
     # undecidable under overlap — exact pass will overwrite
     out.loc[out["needs_exact"], ["mono_ok", "contiguous"]] = False
     return _typed(out)

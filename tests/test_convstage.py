@@ -23,6 +23,42 @@ def merge(rows):
     return merge_segments_frame(pd.DataFrame(rows)).set_index("conv_id")
 
 
+def test_table_and_frame_merges_agree():
+    """merge_segments_table (Arrow-native keys) must equal
+    merge_segments_frame on the same segments — incl. multi-shard convs
+    (shards string + lexicographic main-shard tie-break) and overlap
+    flags."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bio_data_validation_ray.stages.convstage import merge_segments_table
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(4000):
+        conv = f"conv-{rng.integers(0, 900):05d}"
+        shard = f"shard_{rng.integers(0, 7):02d}.parquet"
+        lo = int(rng.integers(0, 50))
+        n = int(rng.integers(1, 8))
+        rows.append({
+            "shard": shard, "conv_id": conv,
+            "seg_turn_lo": lo, "seg_turn_hi": lo + n - 1, "seg_n": n,
+            "seg_dup": int(rng.integers(0, 2)),
+            "seg_min_ts": int(1e15 + rng.integers(0, 1e9)),
+            "seg_max_ts": int(1e15 + rng.integers(1e9, 2e9)),
+            "seg_mono_ok": bool(rng.random() < 0.9),
+        })
+    df = pd.DataFrame(rows)
+    a = merge_segments_frame(df).sort_values("conv_id").reset_index(drop=True)
+    b = (merge_segments_table(pa.Table.from_pandas(df, preserve_index=False))
+         .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # empty input parity
+    e = merge_segments_table(
+        pa.Table.from_pandas(df.iloc[:0], preserve_index=False))
+    assert list(e.columns) == list(merge_segments_frame(df.iloc[:0]).columns)
+
+
 class TestSegmentMerge:
     def test_hot_conv_many_disjoint_segments(self):
         # a 1M-turn conversation split into 100 tiling segments (the
