@@ -45,7 +45,6 @@ from ..stages.convstage import (
     conv_violations,
     exact_conv_frame,
     merge_segments_frame,
-    merge_segments_table,
 )
 from ..sources.writers import write_parquet_idempotent
 from ..stages.rowstage import ValidateBatch
@@ -430,12 +429,8 @@ def validate_dir(
         )
         report["stages"]["conversation"] = {"deferred_to_final_merge": True}
     elif driver_mode:
-        # Arrow-native merge: the segment keys dictionary-encode in C —
-        # at bench scale the pandas string materialization of 10^6
-        # segment rows was the conversation stage's main serial cost
-        all_res = merge_segments_table(
-            out_tbl.filter(pc.equal(out_tbl["kind"], "segment"))
-            .select(SEG_COLS))
+        seg_df = kind_df("segment", SEG_COLS)
+        all_res = merge_segments_frame(seg_df)
         flagged = all_res.loc[all_res["needs_exact"], ["conv_id", "shards"]]
         exact_ids = sorted(flagged["conv_id"])
         conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))
@@ -1141,14 +1136,15 @@ def validate_resumable(
     n_seg = sum(pq.ParquetFile(f).metadata.num_rows for f in seg_files)
     vio_conv_ds = None
     if n_seg <= driver_cap:
-        # Arrow-native merge path (cf. validate_dir stage C): concat the
-        # raw tables; keys dictionary-encode in C, no per-row Python str
-        if seg_files:
-            res = merge_segments_table(pa.concat_tables(
-                [pq.read_table(f) for f in seg_files], promote_options="none"
-            ).select(SEG_COLS))
-        else:
-            res = merge_segments_frame(pd.DataFrame(columns=SEG_COLS))
+        # pandas concat aligns columns BY NAME, so per-pass segment files
+        # written under slightly different column orders still merge (an
+        # Arrow concat_tables would hard-fail on any schema drift)
+        seg_all = (
+            pd.concat([pq.read_table(f).to_pandas() for f in seg_files],
+                      ignore_index=True)
+            if seg_files else pd.DataFrame(columns=SEG_COLS)
+        )
+        res = merge_segments_frame(seg_all)
         flagged = res.loc[res["needs_exact"], ["conv_id", "shards"]]
         exact_ids = sorted(flagged["conv_id"])
         conv_shards = dict(zip(flagged["conv_id"], flagged["shards"]))

@@ -114,26 +114,18 @@ def merge_segments_frame(seg: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def merge_segments_table(tbl: "pa.Table") -> pd.DataFrame:
-    """Arrow-table entry point for the segment merge. Measured decision:
-    a 'native' path that dictionary-encodes the key columns in Arrow and
-    rank-remaps to sorted codes is 1.5-2x SLOWER than to_pandas + pandas
-    khash factorize at 8x10^5 distinct conversations (the dictionary
-    uniques must materialize as Python strings for the output either
-    way, and pc.dictionary_encode + sort_indices + take costs more than
-    one factorize) — so this delegates, and the conversion cost is
-    accounted here rather than hidden at every call site."""
-    if tbl.num_rows == 0:
-        return pd.DataFrame(columns=RESULT_COLUMNS)
-    return merge_segments_frame(tbl.to_pandas())
-
-
 def _merge_segments_arrays(conv_codes, conv_uniq, shard_codes, shard_uniq,
                            lo0, hi0, n0, dup0, mnts0, mxts0, mono0
                            ) -> pd.DataFrame:
     """Core of the segment merge over pre-factorized arrays; both key
     dictionaries MUST be sorted-unique (the main-shard tie-break encodes
-    'lexicographically smaller' as 'smaller code')."""
+    'lexicographically smaller' as 'smaller code').
+
+    Measured dead end, recorded so it isn't retried blind: an Arrow-side
+    prologue (pc.dictionary_encode + sort_indices rank remap instead of
+    pandas factorize) ran 1.5-2x SLOWER at 8e5 distinct conversations —
+    the dictionary uniques must materialize as Python strings for the
+    output either way, and the khash factorize is simply faster."""
     order = np.lexsort((hi0, lo0, conv_codes))
     c = conv_codes[order]
     lo, hi, nn, dup = lo0[order], hi0[order], n0[order], dup0[order]
@@ -180,7 +172,8 @@ def _merge_segments_arrays(conv_codes, conv_uniq, shard_codes, shard_uniq,
     prio = pair_n * (S + 1) + (S - pair_shard)
     best = np.maximum.reduceat(prio, gstarts2)
     main_shard_code = (S - (best % (S + 1))).astype(np.int64)
-    n_shards = np.diff(np.concatenate([gstarts2, [pair_conv.size]])).astype(np.int64)
+    gends2 = np.concatenate([gstarts2[1:], [pair_conv.size]])
+    n_shards = (gends2 - gstarts2).astype(np.int64)
 
     shard_arr = np.asarray(shard_uniq, dtype=object)
     out = pd.DataFrame(
@@ -210,7 +203,6 @@ def _merge_segments_arrays(conv_codes, conv_uniq, shard_codes, shard_uniq,
     shards_col = out["main_shard"].to_numpy(copy=True)
     multi = np.flatnonzero(n_shards > 1)
     if multi.size:
-        gends2 = np.concatenate([gstarts2[1:], [pair_conv.size]])
         for gi in multi:
             codes = pair_shard[gstarts2[gi]:gends2[gi]]
             shards_col[gi] = ",".join(shard_arr[codes])

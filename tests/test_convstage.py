@@ -23,40 +23,47 @@ def merge(rows):
     return merge_segments_frame(pd.DataFrame(rows)).set_index("conv_id")
 
 
-def test_table_and_frame_merges_agree():
-    """merge_segments_table (Arrow-native keys) must equal
-    merge_segments_frame on the same segments — incl. multi-shard convs
-    (shards string + lexicographic main-shard tie-break) and overlap
-    flags."""
+def test_shards_string_matches_independent_reference():
+    """The multi-shard 'shards' column is built from the merge's own
+    per-(conv, shard) pair arrays; pin it (and n_shards/main_shard)
+    against an INDEPENDENT pandas-groupby reference over the raw
+    segments — sorted-set join, lexicographic main-shard tie-break on
+    max row count."""
     import numpy as np
-    import pyarrow as pa
-
-    from bio_data_validation_ray.stages.convstage import merge_segments_table
 
     rng = np.random.default_rng(4)
     rows = []
     for i in range(4000):
-        conv = f"conv-{rng.integers(0, 900):05d}"
-        shard = f"shard_{rng.integers(0, 7):02d}.parquet"
-        lo = int(rng.integers(0, 50))
-        n = int(rng.integers(1, 8))
         rows.append({
-            "shard": shard, "conv_id": conv,
-            "seg_turn_lo": lo, "seg_turn_hi": lo + n - 1, "seg_n": n,
+            "shard": f"shard_{rng.integers(0, 7):02d}.parquet",
+            "conv_id": f"conv-{rng.integers(0, 900):05d}",
+            "seg_turn_lo": (lo := int(rng.integers(0, 50))),
+            "seg_turn_hi": lo + int(rng.integers(1, 8)) - 1,
+            "seg_n": int(rng.integers(1, 8)),
             "seg_dup": int(rng.integers(0, 2)),
             "seg_min_ts": int(1e15 + rng.integers(0, 1e9)),
             "seg_max_ts": int(1e15 + rng.integers(1e9, 2e9)),
             "seg_mono_ok": bool(rng.random() < 0.9),
         })
     df = pd.DataFrame(rows)
-    a = merge_segments_frame(df).sort_values("conv_id").reset_index(drop=True)
-    b = (merge_segments_table(pa.Table.from_pandas(df, preserve_index=False))
-         .sort_values("conv_id").reset_index(drop=True))
-    pd.testing.assert_frame_equal(a, b)
-    # empty input parity
-    e = merge_segments_table(
-        pa.Table.from_pandas(df.iloc[:0], preserve_index=False))
-    assert list(e.columns) == list(merge_segments_frame(df.iloc[:0]).columns)
+    out = merge_segments_frame(df).set_index("conv_id")
+    ref_shards = df.groupby("conv_id")["shard"].agg(
+        lambda s: ",".join(sorted(set(s))))
+    ref_nsh = df.groupby("conv_id")["shard"].nunique()
+    per_pair = df.groupby(["conv_id", "shard"])["seg_n"].sum()
+
+    def ref_main(conv):
+        p = per_pair.loc[conv]
+        mx = p.max()
+        return sorted(p[p == mx].index)[0]
+
+    assert len(out) == len(ref_shards)
+    for conv in ref_shards.index:
+        assert out.loc[conv, "n_shards"] == ref_nsh[conv]
+        assert out.loc[conv, "main_shard"] == ref_main(conv), conv
+        expect = (ref_shards[conv] if ref_nsh[conv] > 1
+                  else out.loc[conv, "main_shard"])
+        assert out.loc[conv, "shards"] == expect, conv
 
 
 class TestSegmentMerge:
