@@ -303,7 +303,11 @@ def conv_violations(results: pd.DataFrame, registry: RuleRegistry) -> pd.DataFra
         return pd.DataFrame(columns=cols)
     frames = []
 
-    def emit(mask: pd.Series, spec, value: pd.Series):
+    def emit(mask: pd.Series, spec, value_of):
+        # value_of(sub) builds the offending-value Series for the FLAGGED
+        # rows only: on a clean 10^6-conversation run the old eager form
+        # rendered per-row strings for every conversation just to discard
+        # them — ~1 s of pure serial driver time per validation
         sub = results.loc[mask]
         if len(sub) == 0:
             return
@@ -317,7 +321,7 @@ def conv_violations(results: pd.DataFrame, registry: RuleRegistry) -> pd.DataFra
                     "rule_version": spec.version,
                     "severity": spec.severity,
                     "column": spec.column,
-                    "offending_value": value.loc[sub.index].astype(str),
+                    "offending_value": value_of(sub).astype(str),
                 }
             )
         )
@@ -325,18 +329,18 @@ def conv_violations(results: pd.DataFrame, registry: RuleRegistry) -> pd.DataFra
     by_kind = {s.kind: s for s in registry.group_rules()}
     if "unique_key" in by_kind:
         emit(results["dup_turns"] > 0, by_kind["unique_key"],
-             results["dup_turns"].astype("int64").astype(str))
+             lambda sub: sub["dup_turns"].astype("int64").astype(str))
     if "contiguous_in_group" in by_kind:
         emit(~results["contiguous"], by_kind["contiguous_in_group"],
-             "min=" + results["turn_lo"].astype("int64").astype(str)
-             + ",max=" + results["turn_hi"].astype("int64").astype(str)
-             + ",distinct=" + results["n_distinct"].astype("int64").astype(str))
+             lambda sub: "min=" + sub["turn_lo"].astype("int64").astype(str)
+             + ",max=" + sub["turn_hi"].astype("int64").astype(str)
+             + ",distinct=" + sub["n_distinct"].astype("int64").astype(str))
     if "monotonic_ts_in_group" in by_kind:
         emit(~results["mono_ok"], by_kind["monotonic_ts_in_group"],
-             pd.Series("ts_out_of_order", index=results.index))
+             lambda sub: pd.Series("ts_out_of_order", index=sub.index))
     if "single_shard_group" in by_kind:
         emit(results["n_shards"] > 1, by_kind["single_shard_group"],
-             results["shards"])
+             lambda sub: sub["shards"])
     if not frames:
         return pd.DataFrame(columns=cols)
     return pd.concat(frames, ignore_index=True)[cols]
