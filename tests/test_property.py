@@ -473,3 +473,91 @@ def test_pwc_inclusive_edge_across_chunks():
     assert run([[0, 5, 10], [10, 20]], 10) == 4
     assert run([[0], [5], [10]], 10) == 3
     assert run([[0, 0], [0]], 0) == 3
+
+
+# ---- round-5 codec property tests ------------------------------------------
+
+@given(st.integers(1, 12), st.integers(1, 12),
+       st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(h, w, ch, seed):
+    """encode_png -> decode_png is the identity for every size/channel
+    combination (filter-0 scanlines exercise the plumbing; the filter
+    kernels have their own every-filter reconstruction test)."""
+    from bio_data_validation_ray.functions.multimodal import (
+        decode_png, encode_png)
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    back = decode_png(encode_png(img))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+@given(st.integers(1, 10), st.integers(1, 9), st.integers(1, 9),
+       st.integers(0, 2**32 - 1), st.integers(1, 12))
+def test_png_random_filters_reconstruct_property(n_rows, w, ch_seed, seed, k):
+    """Random per-row filter choices (the encoder's heuristic freedom)
+    must reconstruct exactly — pins Sub/Up/Average/Paeth interplay across
+    consecutive rows, not just one filter per image."""
+    import struct
+    import zlib
+
+    from bio_data_validation_ray.functions.multimodal import decode_png
+
+    ch = 3
+    h = n_rows
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    fsel = rng.integers(0, 5, size=h)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int64)
+        f = int(fsel[y])
+        filt = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+            filt[x] = (row[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = row
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (decode_png(payload) == img).all()
+
+
+@given(st.integers(0, 8), st.integers(1, 9), st.integers(1, 9),
+       st.integers(1, 10), st.integers(0, 2**32 - 1))
+def test_y4m_mono_roundtrip_and_sampling_property(n, h, w, k, seed):
+    """Mono Y4M roundtrip is exact for ANY frame count (incl. 0) and
+    sampling always returns min(k, n) distinct in-range indices with
+    frames equal to the decoded stack."""
+    from bio_data_validation_ray.functions.multimodal import (
+        decode_y4m, encode_y4m, sample_y4m_frames)
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    payload = encode_y4m(frames)
+    back, _ = decode_y4m(payload)
+    assert back.shape == frames.shape and (back == frames).all()
+    got = sample_y4m_frames(payload, k)
+    assert len(got) == min(k, n)
+    idx = [i for i, _ in got]
+    assert idx == sorted(set(idx))
+    for i, f in got:
+        assert (f == frames[i]).all()
