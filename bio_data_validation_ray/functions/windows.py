@@ -1345,6 +1345,33 @@ def temperature_sample(ds, *, key: str, order_cols: list[str],
                               quota=quota, driver_cap=driver_cap)
 
 
+def uniform_sample(ds, *, k: int, id_col: str,
+                   columns: list[str] | None = None) -> pd.DataFrame:
+    """Deterministic UNIFORM k-sample: the rows whose splitmix64-mixed id
+    is smallest. The bijective mixer (similarity._mix64) makes the draw
+    pseudo-random over ids yet exactly reproducible (and SQL-statable —
+    the oracle re-derives the same 64-bit arithmetic with 32-bit-split
+    HUGEINT multiplies). Distributed shape: per-batch nsmallest partials
+    of k rows each, then one driver nsmallest over #batches*k rows —
+    no shuffle, no full collect; the corpus-scale analog of SQL
+    ``ORDER BY hash(id) LIMIT k``."""
+    from .similarity import _mix64
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[columns].copy() if columns else df.copy()
+        out["__h"] = _mix64(df[id_col].to_numpy())
+        return out.nsmallest(k, "__h")
+
+    samp = ds.map_batches(part, batch_format="pandas").to_pandas()
+    if len(samp) == 0:
+        return samp
+    return (samp.nsmallest(k, "__h").drop(columns="__h")
+            .reset_index(drop=True))
+
+
 # --- trailing time-range window peak ---------------------------------------
 
 _PWC_COLS = ["key", "interior_peak", "first_ts", "last_ts",

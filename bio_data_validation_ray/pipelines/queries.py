@@ -1206,6 +1206,22 @@ def doc_word_counts(sf_dir):
     return word_counts(ds, top_k=50)
 
 
+def doc_uniform_sample(sf_dir):
+    """Deterministic uniform 100-doc sample (windows.uniform_sample): the
+    100 smallest splitmix64(doc_id) rows — reproducible corpus
+    subsampling with no shuffle and no full collect. The oracle restates
+    the exact mixer in SQL (xor/shift + mod-2^64 multiplies done as
+    32-bit-split HUGEINT products) and takes ORDER BY h LIMIT 100."""
+    from ..functions.windows import uniform_sample
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = uniform_sample(ds, k=100, id_col="doc_id",
+                         columns=["doc_id", "n_chars"])
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_temp_sample(sf_dir):
     """Sqrt-temperature mixture sampling (windows.temperature_sample) over
     the skewed lang column: each language contributes floor(sqrt(count))
@@ -3014,6 +3030,7 @@ QUERIES = {
     "doc_token_bpe": doc_token_bpe,
     "doc_word_counts": doc_word_counts,
     "doc_tfidf": doc_tfidf,
+    "doc_uniform_sample": doc_uniform_sample,
     "doc_temp_sample": doc_temp_sample,
     "doc_top_words_sketch": doc_top_words_sketch,
     "doc_quality_filter": doc_quality_filter,
@@ -3961,6 +3978,24 @@ WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
 SELECT word, count(*) AS n FROM w
 GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        # splitmix64 restated exactly: mod-2^64 multiplies as 32-bit-split
+        # HUGEINT products (a full 64x64 product overflows INT128)
+        "doc_uniform_sample": """
+WITH s1 AS (SELECT doc_id, n_chars,
+        xor(CAST(doc_id AS UBIGINT), CAST(doc_id AS UBIGINT) >> 30) AS a
+      FROM documents),
+s2 AS (SELECT doc_id, n_chars, CAST(((CAST(a AS HUGEINT) % 4294967296)
+        * 484763065 + (((CAST(a AS HUGEINT) % 4294967296) * 3210233709
+        + (CAST(a AS HUGEINT) // 4294967296) * 484763065) % 4294967296)
+        * 4294967296) % 18446744073709551616 AS UBIGINT) AS b FROM s1),
+s3 AS (SELECT doc_id, n_chars, xor(b, b >> 27) AS c FROM s2),
+s4 AS (SELECT doc_id, n_chars, CAST(((CAST(c AS HUGEINT) % 4294967296)
+        * 321982955 + (((CAST(c AS HUGEINT) % 4294967296) * 2496678331
+        + (CAST(c AS HUGEINT) // 4294967296) * 321982955) % 4294967296)
+        * 4294967296) % 18446744073709551616 AS UBIGINT) AS d FROM s3),
+s5 AS (SELECT doc_id, n_chars, xor(d, d >> 31) AS h FROM s4)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (SELECT * FROM s5 ORDER BY h LIMIT 100) ORDER BY doc_id""",
         "doc_temp_sample": """
 WITH q AS (SELECT lang, CAST(floor(sqrt(count(*))) AS BIGINT) AS quota
            FROM documents GROUP BY 1),
