@@ -137,6 +137,21 @@ class LangId:
         return batch
 
 
+def normalize_text(t: pa.Table, col: str = "text",
+                   out_col: str = "norm_text") -> pa.Table:
+    """Canonical text normalization (the pretraining-dedup preprocessor:
+    lowercase, collapse all whitespace runs to one space, trim) as pure
+    Arrow compute — utf8_lower + one RE2 replace + utf8_trim, zero Python
+    per row. Both pyarrow and DuckDB run RE2, so the oracle restates this
+    EXACTLY as lower + regexp_replace('\\s+', ' ', 'g') + trim."""
+    import pyarrow.compute as pc
+
+    s = pc.utf8_lower(t[col])
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    s = pc.utf8_trim_whitespace(s)
+    return t.append_column(out_col, s)
+
+
 def add_fingerprint(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     """Document fingerprint = md5 hex of the raw text (oracle: md5(text))."""
     batch["fingerprint"] = [

@@ -1206,6 +1206,35 @@ def doc_word_counts(sf_dir):
     return word_counts(ds, top_k=50)
 
 
+def doc_normalize(sf_dir):
+    """Canonical text normalization (textstats.normalize_text: lower +
+    collapse whitespace runs + trim — the standard dedup preprocessor),
+    summarized per doc as (norm_len, norm_md5) so raw text never reaches
+    the compare. pyarrow and DuckDB both run RE2, so the oracle is
+    lower/regexp_replace/trim verbatim."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+
+    from ..functions.textstats import normalize_text
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def summarize(t: pa.Table) -> pd.DataFrame:
+        t = normalize_text(t)
+        norm = t["norm_text"].to_pylist()
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "norm_len": np.asarray([len(x) for x in norm], dtype=np.int64),
+            "norm_md5": [_hl.md5(x.encode("utf-8")).hexdigest()
+                         for x in norm],
+        })
+
+    out = ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_uniform_sample(sf_dir):
     """Deterministic uniform 100-doc sample (windows.uniform_sample): the
     100 smallest splitmix64(doc_id) rows — reproducible corpus
@@ -3030,6 +3059,7 @@ QUERIES = {
     "doc_token_bpe": doc_token_bpe,
     "doc_word_counts": doc_word_counts,
     "doc_tfidf": doc_tfidf,
+    "doc_normalize": doc_normalize,
     "doc_uniform_sample": doc_uniform_sample,
     "doc_temp_sample": doc_temp_sample,
     "doc_top_words_sketch": doc_top_words_sketch,
@@ -3978,6 +4008,14 @@ WITH w AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
                                      x -> x <> '')) AS word FROM documents)
 SELECT word, count(*) AS n FROM w
 GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+        "doc_normalize": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(n) AS BIGINT) AS norm_len,
+       md5(n) AS norm_md5
+FROM (SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+      FROM documents)
+ORDER BY doc_id""",
         # splitmix64 restated exactly: mod-2^64 multiplies as 32-bit-split
         # HUGEINT products (a full 64x64 product overflows INT128)
         "doc_uniform_sample": """
