@@ -1372,6 +1372,38 @@ def uniform_sample(ds, *, k: int, id_col: str,
             .reset_index(drop=True))
 
 
+def weighted_sample(ds, *, k: int, id_col: str, weight_col: str,
+                    columns: list[str] | None = None) -> pd.DataFrame:
+    """Deterministic weight-proportional k-sample (Duffield-Lund-Thorup
+    priority sampling with a hashed uniform): rank ascending by
+    floor(h32 * 2^31 / w) where h32 is the top 32 bits of splitmix64(id)
+    and w = max(weight, 1) — heavier rows draw smaller priorities, so
+    inclusion probability grows with weight (the domain-reweighting
+    sampler of pretraining mixes). All arithmetic is int64-exact (h32 <
+    2^32, scale 2^31 — no float ever enters the ordering), ties break on
+    id, so the draw is reproducible AND SQL-statable verbatim. Same
+    distributed shape as ``uniform_sample``: k-row nsmallest partials per
+    batch, one driver nsmallest."""
+    from .similarity import _mix64
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[columns].copy() if columns else df.copy()
+        h32 = (_mix64(df[id_col].to_numpy())
+               >> np.uint64(32)).astype(np.int64)
+        w = np.maximum(df[weight_col].to_numpy().astype(np.int64), 1)
+        out["__p"] = (h32 * np.int64(1 << 31)) // w
+        return out.nsmallest(k, ["__p", id_col])
+
+    samp = ds.map_batches(part, batch_format="pandas").to_pandas()
+    if len(samp) == 0:
+        return samp
+    return (samp.nsmallest(k, ["__p", id_col]).drop(columns="__p")
+            .reset_index(drop=True))
+
+
 # --- trailing time-range window peak ---------------------------------------
 
 _PWC_COLS = ["key", "interior_peak", "first_ts", "last_ts",

@@ -1235,6 +1235,22 @@ def doc_normalize(sf_dir):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_weighted_sample(sf_dir):
+    """Weight-proportional 100-doc draw (windows.weighted_sample: DLT
+    priority sampling, weight = n_chars) — the domain-reweighting sampler
+    of pretraining mixes, with a fully integer ordering (h32 * 2^31 // w,
+    ties on doc_id) so the DuckDB oracle states the identical draw."""
+    from ..functions.windows import weighted_sample
+
+    ds = _read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = weighted_sample(ds, k=100, id_col="doc_id",
+                          weight_col="n_chars",
+                          columns=["doc_id", "n_chars"])
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_uniform_sample(sf_dir):
     """Deterministic uniform 100-doc sample (windows.uniform_sample): the
     100 smallest splitmix64(doc_id) rows — reproducible corpus
@@ -3061,6 +3077,7 @@ QUERIES = {
     "doc_tfidf": doc_tfidf,
     "doc_normalize": doc_normalize,
     "doc_uniform_sample": doc_uniform_sample,
+    "doc_weighted_sample": doc_weighted_sample,
     "doc_temp_sample": doc_temp_sample,
     "doc_top_words_sketch": doc_top_words_sketch,
     "doc_quality_filter": doc_quality_filter,
@@ -4034,6 +4051,24 @@ s4 AS (SELECT doc_id, n_chars, CAST(((CAST(c AS HUGEINT) % 4294967296)
 s5 AS (SELECT doc_id, n_chars, xor(d, d >> 31) AS h FROM s4)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM (SELECT * FROM s5 ORDER BY h LIMIT 100) ORDER BY doc_id""",
+        "doc_weighted_sample": """
+WITH s1 AS (SELECT doc_id, n_chars,
+        xor(CAST(doc_id AS UBIGINT), CAST(doc_id AS UBIGINT) >> 30) AS a
+      FROM documents),
+s2 AS (SELECT doc_id, n_chars, CAST(((CAST(a AS HUGEINT) % 4294967296)
+        * 484763065 + (((CAST(a AS HUGEINT) % 4294967296) * 3210233709
+        + (CAST(a AS HUGEINT) // 4294967296) * 484763065) % 4294967296)
+        * 4294967296) % 18446744073709551616 AS UBIGINT) AS b FROM s1),
+s3 AS (SELECT doc_id, n_chars, xor(b, b >> 27) AS c FROM s2),
+s4 AS (SELECT doc_id, n_chars, CAST(((CAST(c AS HUGEINT) % 4294967296)
+        * 321982955 + (((CAST(c AS HUGEINT) % 4294967296) * 2496678331
+        + (CAST(c AS HUGEINT) // 4294967296) * 321982955) % 4294967296)
+        * 4294967296) % 18446744073709551616 AS UBIGINT) AS d FROM s3),
+s5 AS (SELECT doc_id, n_chars,
+        (CAST(xor(d, d >> 31) AS HUGEINT) // 4294967296) * 2147483648
+          // greatest(CAST(n_chars AS HUGEINT), 1) AS p FROM s4)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM (SELECT * FROM s5 ORDER BY p, doc_id LIMIT 100) ORDER BY doc_id""",
         "doc_temp_sample": """
 WITH q AS (SELECT lang, CAST(floor(sqrt(count(*))) AS BIGINT) AS quota
            FROM documents GROUP BY 1),
