@@ -229,21 +229,19 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _hash_sample(ds, n: int, id_col: str, vec_col: str) -> np.ndarray:
-    """Deterministic pseudo-random sample of ~``n`` vectors: per batch,
-    keep the rows whose splitmix64-hashed id is smallest (mergeable
-    nsmallest partials, n rows per batch), then the global n smallest
-    hashes on the driver. Unbiased w.r.t. id order (unlike a lowest-id
+    """Deterministic pseudo-random sample of ~``n`` vectors — the one
+    distributed splitmix64 top-k draw (windows.uniform_sample: mergeable
+    nsmallest partials, n rows per batch, driver nsmallest) projected to
+    the vector matrix. Unbiased w.r.t. id order (unlike a lowest-id
     sample, which inherits any id/content correlation) and stable across
     runs/blockings. Only the sample rows are ever collected."""
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[id_col, vec_col]].copy()
-        out["__h"] = _mix64(df[id_col].to_numpy())  # uint64 column
-        return out.nsmallest(n, "__h")
+    from .windows import uniform_sample
 
-    samp = ds.map_batches(part, batch_format="pandas").to_pandas()
-    samp = samp.nsmallest(n, "__h").sort_values(id_col)
+    samp = uniform_sample(ds, k=n, id_col=id_col,
+                          columns=[id_col, vec_col])
     if len(samp) == 0:
         raise ValueError("_hash_sample: empty dataset")
+    samp = samp.sort_values(id_col)
     return np.stack(samp[vec_col].to_numpy()).astype(np.float64)
 
 

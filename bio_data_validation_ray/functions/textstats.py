@@ -141,14 +141,18 @@ def normalize_text(t: pa.Table, col: str = "text",
                    out_col: str = "norm_text") -> pa.Table:
     """Canonical text normalization (the pretraining-dedup preprocessor:
     lowercase, collapse all whitespace runs to one space, trim) as pure
-    Arrow compute — utf8_lower + one RE2 replace + utf8_trim, zero Python
-    per row. Both pyarrow and DuckDB run RE2, so the oracle restates this
-    EXACTLY as lower + regexp_replace('\\s+', ' ', 'g') + trim."""
+    Arrow compute — utf8_lower + one RE2 replace + a space-only trim,
+    zero Python per row. Both pyarrow and DuckDB run RE2 and both trim
+    plain spaces by default, so the oracle restates this EXACTLY as
+    lower + regexp_replace('\\s+', ' ', 'g') + trim. (utf8_trim_whitespace
+    would ALSO strip Unicode whitespace RE2's \\s never matched — VT,
+    NEL, U+2028 — silently diverging from the SQL; the space-only trim
+    keeps the two engines byte-identical on any input.)"""
     import pyarrow.compute as pc
 
     s = pc.utf8_lower(t[col])
     s = pc.replace_substring_regex(s, r"\s+", " ")
-    s = pc.utf8_trim_whitespace(s)
+    s = pc.utf8_trim(s, " ")
     return t.append_column(out_col, s)
 
 

@@ -1366,8 +1366,8 @@ def uniform_sample(ds, *, k: int, id_col: str,
         return out.nsmallest(k, "__h")
 
     samp = ds.map_batches(part, batch_format="pandas").to_pandas()
-    if len(samp) == 0:
-        return samp
+    if "__h" not in samp.columns:  # empty dataset: no block ran part()
+        return pd.DataFrame(columns=columns or [id_col])
     return (samp.nsmallest(k, "__h").drop(columns="__h")
             .reset_index(drop=True))
 
@@ -1393,13 +1393,20 @@ def weighted_sample(ds, *, k: int, id_col: str, weight_col: str,
         out = df[columns].copy() if columns else df.copy()
         h32 = (_mix64(df[id_col].to_numpy())
                >> np.uint64(32)).astype(np.int64)
-        w = np.maximum(df[weight_col].to_numpy().astype(np.int64), 1)
+        wv = df[weight_col].to_numpy()
+        if not np.issubdtype(wv.dtype, np.integer):
+            raise TypeError(
+                f"weighted_sample: {weight_col} must be an integer column "
+                f"(got {wv.dtype}); float weights would truncate silently "
+                "and NaN would clamp to weight 1 — the int64-exact "
+                "ordering contract only holds for integer weights")
+        w = np.maximum(wv.astype(np.int64), 1)
         out["__p"] = (h32 * np.int64(1 << 31)) // w
         return out.nsmallest(k, ["__p", id_col])
 
     samp = ds.map_batches(part, batch_format="pandas").to_pandas()
-    if len(samp) == 0:
-        return samp
+    if "__p" not in samp.columns:  # empty dataset: no block ran part()
+        return pd.DataFrame(columns=columns or [id_col, weight_col])
     return (samp.nsmallest(k, ["__p", id_col]).drop(columns="__p")
             .reset_index(drop=True))
 

@@ -1218,17 +1218,22 @@ def doc_normalize(sf_dir):
 
     from ..functions.textstats import normalize_text
 
+    import pyarrow.compute as pc
+
     ds = _read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def summarize(t: pa.Table) -> pd.DataFrame:
-        t = normalize_text(t)
-        norm = t["norm_text"].to_pylist()
+        # null text is excluded in BOTH engines (the oracle states
+        # WHERE text IS NOT NULL); lengths come from the vectorized
+        # utf8_length kernel — only the md5 loop is per-row Python
+        t = normalize_text(t.filter(pc.is_valid(t["text"])))
         return pd.DataFrame({
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
             .astype(np.int64),
-            "norm_len": np.asarray([len(x) for x in norm], dtype=np.int64),
+            "norm_len": pc.utf8_length(t["norm_text"]).to_numpy(
+                zero_copy_only=False).astype(np.int64),
             "norm_md5": [_hl.md5(x.encode("utf-8")).hexdigest()
-                         for x in norm],
+                         for x in t["norm_text"].to_pylist()],
         })
 
     out = ds.map_batches(summarize, batch_format="pyarrow").to_pandas()
@@ -4031,7 +4036,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        md5(n) AS norm_md5
 FROM (SELECT doc_id,
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
-      FROM documents)
+      FROM documents WHERE text IS NOT NULL)
 ORDER BY doc_id""",
         # splitmix64 restated exactly: mod-2^64 multiplies as 32-bit-split
         # HUGEINT products (a full 64x64 product overflows INT128)

@@ -263,3 +263,35 @@ def test_order_snapshot_survives_shuffled_partials():
         pw_parts.sample(frac=1.0, random_state=13).reset_index(drop=True),
         120_000_000).sort_values("key").reset_index(drop=True)
     pd.testing.assert_frame_equal(ordered, shuffled)
+
+
+def test_sampling_edge_cases_from_review(ray_session):
+    """Empty datasets return properly-columned empty frames (no KeyError,
+    no leaked helper column); float weights are rejected loudly; the
+    space-only trim keeps normalize_text byte-identical to the SQL
+    oracle's trim on non-RE2-whitespace edges."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bio_data_validation_ray.functions.textstats import normalize_text
+    from bio_data_validation_ray.functions.windows import (
+        uniform_sample, weighted_sample)
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "id": pd.Series([], dtype=np.int64),
+        "w": pd.Series([], dtype=np.int64)}))
+    u = uniform_sample(empty, k=5, id_col="id", columns=["id", "w"])
+    assert list(u.columns) == ["id", "w"] and len(u) == 0
+    w = weighted_sample(empty, k=5, id_col="id", weight_col="w",
+                        columns=["id", "w"])
+    assert list(w.columns) == ["id", "w"] and len(w) == 0
+    with pytest.raises(Exception, match="integer column"):
+        weighted_sample(
+            rd.from_pandas(pd.DataFrame({"id": [1], "w": [1.5]})),
+            k=1, id_col="id", weight_col="w")
+    # \x0b is not RE2 \s: neither collapsed nor trimmed (DuckDB trim()
+    # would leave it too — byte parity with the oracle)
+    out = normalize_text(pa.table({"text": ["\x0bX\x0b", "  a  b  ", None]}))
+    assert out["norm_text"].to_pylist() == ["\x0bx\x0b", "a b", None]
